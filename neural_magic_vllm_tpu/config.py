@@ -1,0 +1,447 @@
+"""Engine configuration dataclasses.
+
+Mirrors the reference's 13-config design (vllm/config.py, 1569 LoC): typed
+dataclasses with cross-validation, assembled by EngineArgs. TPU-first twists:
+- ``gpu_memory_utilization`` -> ``hbm_utilization``
+  (the reference flag name is still accepted by EngineArgs).
+- SchedulerConfig carries the static-shape bucket lattice (prefill token
+  buckets, decode batch buckets) that replaces CUDA-graph batch sizes.
+- ParallelConfig describes a jax.sharding Mesh (data/model axes), not
+  NCCL process groups.
+"""
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Union
+
+from neural_magic_vllm_tpu.logger import init_logger
+from neural_magic_vllm_tpu.utils import next_power_of_2, round_up
+
+logger = init_logger(__name__)
+
+_STR_DTYPE_TO_JNP = {
+    "float32": "float32",
+    "float": "float32",
+    "float16": "bfloat16",  # TPU: fp16 promoted to bf16
+    "half": "bfloat16",
+    "bfloat16": "bfloat16",
+    "auto": None,
+}
+
+
+class ModelConfig:
+    """Model + tokenizer + dtype + quantization configuration
+    (reference vllm/config.py:41)."""
+
+    def __init__(
+        self,
+        model: str,
+        tokenizer: Optional[str] = None,
+        tokenizer_mode: str = "auto",
+        trust_remote_code: bool = False,
+        dtype: str = "auto",
+        seed: int = 0,
+        revision: Optional[str] = None,
+        max_model_len: Optional[int] = None,
+        quantization: Optional[str] = None,
+        quantization_param_path: Optional[str] = None,
+        sparsity: Optional[str] = None,
+        enforce_eager: bool = False,
+        max_logprobs: int = 20,
+        skip_tokenizer_init: bool = False,
+        served_model_name: Optional[Union[str, List[str]]] = None,
+        rope_scaling: Optional[Dict[str, Any]] = None,
+        rope_theta: Optional[float] = None,
+        hf_config: Optional[Any] = None,
+        tokenizer_revision: Optional[str] = None,
+    ) -> None:
+        self.model = model
+        self.tokenizer = tokenizer or model
+        self.tokenizer_mode = tokenizer_mode
+        self.trust_remote_code = trust_remote_code
+        self.seed = seed
+        self.revision = revision
+        self.tokenizer_revision = tokenizer_revision
+        self.quantization = quantization
+        self.quantization_param_path = quantization_param_path
+        self.sparsity = sparsity
+        self.enforce_eager = enforce_eager
+        self.max_logprobs = max_logprobs
+        self.skip_tokenizer_init = skip_tokenizer_init
+        self.rope_scaling = rope_scaling
+        self.rope_theta = rope_theta
+
+        if hf_config is None:
+            from neural_magic_vllm_tpu.transformers_utils.config import (
+                get_hf_config)
+            hf_config = get_hf_config(model, trust_remote_code, revision)
+        self.hf_config = hf_config
+        self.hf_text_config = getattr(hf_config, "text_config", hf_config)
+
+        # dtype resolution: "auto" follows checkpoint dtype, but fp16 is
+        # promoted to bf16 on TPU (same exponent range as fp32; fp16 would
+        # need loss-scale handling and has no TPU advantage).
+        ckpt_dtype = str(getattr(self.hf_text_config, "torch_dtype", None)
+                         or "float32").replace("torch.", "")
+        if dtype == "auto":
+            self.dtype = "bfloat16" if ckpt_dtype in ("float16", "bfloat16",
+                                                      "half") else "float32"
+        else:
+            resolved = _STR_DTYPE_TO_JNP.get(dtype)
+            if resolved is None:
+                raise ValueError(f"Unknown dtype: {dtype}")
+            self.dtype = resolved
+
+        derived_max = getattr(self.hf_text_config, "max_position_embeddings",
+                              None) or 2048
+        if max_model_len is None:
+            self.max_model_len = derived_max
+        else:
+            if max_model_len > derived_max and rope_scaling is None:
+                logger.warning(
+                    "max_model_len %d > model max_position_embeddings %d",
+                    max_model_len, derived_max)
+            self.max_model_len = max_model_len
+
+        if served_model_name is None:
+            self.served_model_name = model
+        elif isinstance(served_model_name, list):
+            self.served_model_name = served_model_name[0]
+        else:
+            self.served_model_name = served_model_name
+
+        self._verify_quantization()
+
+    def _verify_quantization(self) -> None:
+        supported = [None, "fp8", "int8", "gptq", "awq", "compressed-tensors"]
+        if self.quantization is not None:
+            self.quantization = self.quantization.lower()
+        if self.quantization not in supported:
+            raise ValueError(
+                f"Unknown quantization method: {self.quantization}. "
+                f"Supported: {supported}")
+
+    # --- architecture probes ---------------------------------------------
+    def get_hidden_size(self) -> int:
+        return self.hf_text_config.hidden_size
+
+    def get_head_size(self) -> int:
+        cfg = self.hf_text_config
+        if hasattr(cfg, "head_dim") and cfg.head_dim is not None:
+            return cfg.head_dim
+        return cfg.hidden_size // cfg.num_attention_heads
+
+    def get_total_num_attention_heads(self) -> int:
+        return self.hf_text_config.num_attention_heads
+
+    def get_total_num_kv_heads(self) -> int:
+        cfg = self.hf_text_config
+        return getattr(cfg, "num_key_value_heads", None) \
+            or cfg.num_attention_heads
+
+    def get_num_kv_heads(self, parallel_config: "ParallelConfig") -> int:
+        # When TP > total kv heads, kv heads are replicated.
+        return max(
+            1,
+            self.get_total_num_kv_heads() //
+            parallel_config.tensor_parallel_size)
+
+    def get_num_attention_heads(self,
+                                parallel_config: "ParallelConfig") -> int:
+        return (self.get_total_num_attention_heads() //
+                parallel_config.tensor_parallel_size)
+
+    def get_num_layers(self, parallel_config: "ParallelConfig") -> int:
+        total = self.hf_text_config.num_hidden_layers
+        return total // parallel_config.pipeline_parallel_size
+
+    def get_vocab_size(self) -> int:
+        return self.hf_text_config.vocab_size
+
+    def get_sliding_window(self) -> Optional[int]:
+        cfg = self.hf_text_config
+        if getattr(cfg, "use_sliding_window", True) is False:
+            return None
+        return getattr(cfg, "sliding_window", None)
+
+
+class CacheConfig:
+    """Paged KV-cache configuration (reference vllm/config.py:447)."""
+
+    def __init__(
+        self,
+        block_size: int = 16,
+        hbm_utilization: float = 0.9,
+        swap_space: float = 4.0,  # GiB of host swap per chip
+        cache_dtype: str = "auto",
+        num_gpu_blocks_override: Optional[int] = None,
+        sliding_window: Optional[int] = None,
+        enable_prefix_caching: bool = False,
+    ) -> None:
+        self.block_size = block_size
+        self.hbm_utilization = hbm_utilization
+        self.swap_space_bytes = int(swap_space * 2**30)
+        self.cache_dtype = cache_dtype
+        self.num_gpu_blocks_override = num_gpu_blocks_override
+        self.sliding_window = sliding_window
+        self.enable_prefix_caching = enable_prefix_caching
+        self._verify_args()
+        # Filled by the worker after HBM profiling:
+        self.num_gpu_blocks: Optional[int] = None
+        self.num_cpu_blocks: Optional[int] = None
+
+    def _verify_args(self) -> None:
+        if self.hbm_utilization > 1.0 or self.hbm_utilization <= 0:
+            raise ValueError(
+                "hbm_utilization must be in (0, 1], got "
+                f"{self.hbm_utilization}.")
+        if self.cache_dtype not in ("auto", "fp8", "fp8_e4m3", "fp8_e5m2",
+                                    "int8", "bfloat16", "float32"):
+            raise ValueError(f"Unknown kv cache dtype: {self.cache_dtype}")
+        if self.block_size & (self.block_size - 1):
+            raise ValueError(
+                f"block_size must be a power of 2, got {self.block_size}")
+
+    @property
+    def gpu_memory_utilization(self) -> float:  # reference-compat alias
+        return self.hbm_utilization
+
+
+class ParallelConfig:
+    """Device-mesh parallelism (reference vllm/config.py:653, re-imagined).
+
+    The reference builds NCCL process groups; here the same sizes define a
+    jax.sharding.Mesh with axes ("data", "model"). data = replica axis for
+    batch sharding (engine-parallel continuous batching); model = tensor
+    parallel over ICI. PP maps to stage sub-meshes (stage > 1 is wired in a
+    later milestone but validated here).
+    """
+
+    def __init__(
+        self,
+        pipeline_parallel_size: int = 1,
+        tensor_parallel_size: int = 1,
+        data_parallel_size: int = 1,
+        max_parallel_loading_workers: Optional[int] = None,
+        disable_custom_all_reduce: bool = True,
+        distributed_executor_backend: Optional[str] = None,
+    ) -> None:
+        self.pipeline_parallel_size = pipeline_parallel_size
+        self.tensor_parallel_size = tensor_parallel_size
+        self.data_parallel_size = data_parallel_size
+        self.max_parallel_loading_workers = max_parallel_loading_workers
+        self.disable_custom_all_reduce = disable_custom_all_reduce
+        self.distributed_executor_backend = distributed_executor_backend
+        self.world_size = (pipeline_parallel_size * tensor_parallel_size *
+                           data_parallel_size)
+        self._verify_args()
+
+    def _verify_args(self) -> None:
+        for n, v in (("tensor_parallel_size", self.tensor_parallel_size),
+                     ("pipeline_parallel_size", self.pipeline_parallel_size),
+                     ("data_parallel_size", self.data_parallel_size)):
+            if v < 1:
+                raise ValueError(f"{n} must be >= 1, got {v}")
+
+
+class SchedulerConfig:
+    """Scheduler + static-shape bucket configuration
+    (reference vllm/config.py:765 plus the TPU bucket lattice that replaces
+    CUDA-graph capture, reference tpu_model_runner.py:591-608)."""
+
+    def __init__(
+        self,
+        max_num_batched_tokens: Optional[int] = None,
+        max_num_seqs: int = 256,
+        max_model_len: int = 2048,
+        num_lookahead_slots: int = 0,
+        delay_factor: float = 0.0,
+        enable_chunked_prefill: bool = False,
+        preemption_mode: Optional[str] = None,
+        min_prefill_bucket: int = 16,
+        min_decode_bucket: int = 8,
+    ) -> None:
+        if max_num_batched_tokens is None:
+            if enable_chunked_prefill:
+                max_num_batched_tokens = 512
+            else:
+                max_num_batched_tokens = max(max_model_len, 2048)
+        self.max_num_batched_tokens = max_num_batched_tokens
+        if not enable_chunked_prefill \
+                and max_num_batched_tokens < max_model_len:
+            raise ValueError(
+                f"max_num_batched_tokens ({max_num_batched_tokens}) must be "
+                f">= max_model_len ({max_model_len}) unless chunked prefill "
+                "is enabled.")
+        self.max_num_seqs = max_num_seqs
+        self.max_model_len = max_model_len
+        self.num_lookahead_slots = num_lookahead_slots
+        self.delay_factor = delay_factor
+        self.chunked_prefill_enabled = enable_chunked_prefill
+        self.preemption_mode = preemption_mode
+        self.min_prefill_bucket = min_prefill_bucket
+        self.min_decode_bucket = min_decode_bucket
+
+    # --- static-shape bucket lattice --------------------------------------
+    def prefill_buckets(self) -> List[int]:
+        """Padded prefill token counts: powers of two from min bucket up to
+        max_num_batched_tokens (rounded up to a power of 2)."""
+        out = []
+        b = self.min_prefill_bucket
+        top = next_power_of_2(self.max_num_batched_tokens)
+        while b < top:
+            out.append(b)
+            b *= 2
+        out.append(top)
+        return out
+
+    def decode_buckets(self) -> List[int]:
+        """Padded decode batch sizes: 8,16,32,48,64,... in steps mirroring
+        the reference's 16-step lattice (tpu_model_runner.py:600-608)."""
+        out = []
+        b = self.min_decode_bucket
+        while b < min(self.max_num_seqs, 16):
+            out.append(b)
+            b *= 2
+        b = 16
+        while b <= self.max_num_seqs:
+            out.append(b)
+            b += 16
+        if out and out[-1] < self.max_num_seqs:
+            out.append(round_up(self.max_num_seqs, 16))
+        return sorted(set(out))
+
+    def pad_prefill_len(self, n: int) -> int:
+        for b in self.prefill_buckets():
+            if n <= b:
+                return b
+        return self.prefill_buckets()[-1]
+
+    def pad_decode_batch(self, n: int) -> int:
+        for b in self.decode_buckets():
+            if n <= b:
+                return b
+        return self.decode_buckets()[-1]
+
+
+class DeviceConfig:
+    """Target platform (reference vllm/config.py:855)."""
+
+    def __init__(self, device: str = "auto") -> None:
+        if device == "auto":
+            import jax
+            platform = jax.default_backend()
+            device = "tpu" if platform in ("tpu", "axon") else platform
+        self.device_type = device
+        self.device = device
+
+
+class LoadConfig:
+    """Weight-loading configuration (reference vllm/config.py:604)."""
+
+    SUPPORTED_FORMATS = ("auto", "safetensors", "pt", "dummy",
+                         "sharded_state", "npz")
+
+    def __init__(self,
+                 load_format: str = "auto",
+                 download_dir: Optional[str] = None,
+                 model_loader_extra_config: Optional[Dict[str, Any]] = None):
+        self.load_format = load_format
+        self.download_dir = download_dir
+        self.model_loader_extra_config = model_loader_extra_config or {}
+        if load_format not in self.SUPPORTED_FORMATS:
+            raise ValueError(f"Unknown load format: {load_format}. "
+                             f"Supported: {self.SUPPORTED_FORMATS}")
+
+
+@dataclass
+class LoRAConfig:
+    """LoRA serving configuration (reference vllm/config.py:1266)."""
+    max_lora_rank: int = 16
+    max_loras: int = 1
+    fully_sharded_loras: bool = False
+    max_cpu_loras: Optional[int] = None
+    lora_dtype: Optional[str] = None
+    lora_extra_vocab_size: int = 256
+    long_lora_scaling_factors: Optional[List[float]] = None
+
+    def __post_init__(self):
+        possible_ranks = (8, 16, 32, 64, 128, 256)
+        if self.max_lora_rank not in possible_ranks:
+            raise ValueError(f"max_lora_rank ({self.max_lora_rank}) must be "
+                             f"one of {possible_ranks}.")
+        if self.max_loras < 1:
+            raise ValueError(f"max_loras ({self.max_loras}) must be >= 1.")
+        if self.max_cpu_loras is None:
+            self.max_cpu_loras = self.max_loras
+        elif self.max_cpu_loras < self.max_loras:
+            raise ValueError(
+                f"max_cpu_loras ({self.max_cpu_loras}) must be >= "
+                f"max_loras ({self.max_loras})")
+
+
+@dataclass
+class SpeculativeConfig:
+    """Speculative decoding configuration (reference vllm/config.py:888).
+
+    Round-1 supports the ngram (prompt-lookup) proposer; draft-model
+    speculation lands with the spec_decode worker.
+    """
+    num_speculative_tokens: int = 0
+    speculative_model: Optional[str] = None
+    ngram_prompt_lookup_max: int = 0
+    ngram_prompt_lookup_min: int = 0
+    speculative_disable_by_batch_size: Optional[int] = None
+
+    @property
+    def enabled(self) -> bool:
+        return self.num_speculative_tokens > 0
+
+
+@dataclass
+class DecodingConfig:
+    """Guided decoding backend selection (reference vllm/config.py:1511)."""
+    guided_decoding_backend: str = "builtin"
+
+    def __post_init__(self):
+        if self.guided_decoding_backend not in ("builtin", "outlines",
+                                                "lm-format-enforcer"):
+            raise ValueError(
+                f"Unknown guided decoding backend: "
+                f"{self.guided_decoding_backend}")
+
+
+@dataclass
+class ObservabilityConfig:
+    """Tracing config (reference vllm/config.py:1526)."""
+    otlp_traces_endpoint: Optional[str] = None
+
+
+@dataclass
+class MultiModalConfig:
+    """Placeholder for vision-model inputs (reference vllm/config.py:1321)."""
+    image_input_type: Optional[str] = None
+
+
+@dataclass
+class EngineConfig:
+    """Bundle of all configs (reference vllm/config.py:1537)."""
+    model_config: ModelConfig
+    cache_config: CacheConfig
+    parallel_config: ParallelConfig
+    scheduler_config: SchedulerConfig
+    device_config: DeviceConfig
+    load_config: LoadConfig
+    lora_config: Optional[LoRAConfig] = None
+    speculative_config: Optional[SpeculativeConfig] = None
+    decoding_config: Optional[DecodingConfig] = None
+    observability_config: Optional[ObservabilityConfig] = None
+    multimodal_config: Optional[MultiModalConfig] = None
+
+    def __post_init__(self):
+        if self.decoding_config is None:
+            self.decoding_config = DecodingConfig()
+        if self.observability_config is None:
+            self.observability_config = ObservabilityConfig()
+
+    def to_dict(self):
+        return dict(self.__dict__)

@@ -1,0 +1,47 @@
+"""Environment flags (analogue of reference vllm/envs.py).
+
+All flags are lazily resolved at attribute access so tests can monkeypatch
+os.environ. Names use the NMV_TPU_ prefix.
+"""
+import os
+from typing import Any, Callable, Dict
+
+environment_variables: Dict[str, Callable[[], Any]] = {
+    # Logging
+    "NMV_TPU_CONFIGURE_LOGGING":
+    lambda: int(os.getenv("NMV_TPU_CONFIGURE_LOGGING", "1")),
+    "NMV_TPU_LOGGING_LEVEL":
+    lambda: os.getenv("NMV_TPU_LOGGING_LEVEL", "INFO"),
+    # Attention backend override: "pallas" | "jnp" | None (auto)
+    "NMV_TPU_ATTENTION_BACKEND":
+    lambda: os.getenv("NMV_TPU_ATTENTION_BACKEND", None),
+    # XLA persistent compilation cache directory.
+    "NMV_TPU_XLA_CACHE_PATH":
+    lambda: os.getenv("NMV_TPU_XLA_CACHE_PATH",
+                      os.path.expanduser("~/.cache/nmv_tpu/xla_cache")),
+    # Engine iteration watchdog (seconds) for the async engine.
+    "NMV_TPU_ENGINE_ITERATION_TIMEOUT_S":
+    lambda: int(os.getenv("NMV_TPU_ENGINE_ITERATION_TIMEOUT_S", "60")),
+    # Test hook: artificial preemption (reference scheduler.py:21-24).
+    "NMV_TPU_TEST_ENABLE_ARTIFICIAL_PREEMPT":
+    lambda: bool(int(os.getenv("NMV_TPU_TEST_ENABLE_ARTIFICIAL_PREEMPT", "0"))),
+    # Force on-host sampling fallback (debugging).
+    "NMV_TPU_FORCE_HOST_SAMPLING":
+    lambda: bool(int(os.getenv("NMV_TPU_FORCE_HOST_SAMPLING", "0"))),
+    # Usage-stat opt-out (reference: VLLM_NO_USAGE_STATS). No-op placeholder.
+    "NMV_TPU_NO_USAGE_STATS":
+    lambda: bool(int(os.getenv("NMV_TPU_NO_USAGE_STATS", "1"))),
+    # MoE token chunking (reference: VLLM_FUSED_MOE_CHUNK_SIZE).
+    "NMV_TPU_FUSED_MOE_CHUNK_SIZE":
+    lambda: int(os.getenv("NMV_TPU_FUSED_MOE_CHUNK_SIZE", "32768")),
+}
+
+
+def __getattr__(name: str):
+    if name in environment_variables:
+        return environment_variables[name]()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return list(environment_variables.keys())

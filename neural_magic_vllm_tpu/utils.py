@@ -1,0 +1,107 @@
+"""Small utilities (analogue of reference vllm/utils.py)."""
+import socket
+import time
+from collections import OrderedDict
+from typing import Generic, Hashable, Optional, TypeVar
+
+T = TypeVar("T")
+
+
+class Counter:
+    """Monotonic id counter (reference vllm/utils.py:60)."""
+
+    def __init__(self, start: int = 0) -> None:
+        self.counter = start
+
+    def __next__(self) -> int:
+        i = self.counter
+        self.counter += 1
+        return i
+
+    def reset(self) -> None:
+        self.counter = 0
+
+
+class LRUCache(Generic[T]):
+    """Simple LRU cache with a pin/eviction callback seam
+    (reference vllm/utils.py:74)."""
+
+    def __init__(self, capacity: int):
+        self.cache: OrderedDict[Hashable, T] = OrderedDict()
+        self.capacity = capacity
+
+    def __contains__(self, key: Hashable) -> bool:
+        return key in self.cache
+
+    def __len__(self) -> int:
+        return len(self.cache)
+
+    def get(self, key: Hashable, default: Optional[T] = None) -> Optional[T]:
+        if key in self.cache:
+            self.cache.move_to_end(key)
+            return self.cache[key]
+        return default
+
+    def put(self, key: Hashable, value: T) -> None:
+        self.cache[key] = value
+        self.cache.move_to_end(key)
+        while len(self.cache) > self.capacity:
+            k, v = self.cache.popitem(last=False)
+            self._on_remove(k, v)
+
+    def pop(self, key: Hashable, default: Optional[T] = None) -> Optional[T]:
+        return self.cache.pop(key, default)
+
+    def clear(self) -> None:
+        self.cache.clear()
+
+    def _on_remove(self, key: Hashable, value: T) -> None:
+        pass
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+def next_power_of_2(x: int) -> int:
+    if x <= 1:
+        return 1
+    return 1 << (x - 1).bit_length()
+
+
+def get_open_port() -> int:
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("", 0))
+        return s.getsockname()[1]
+
+
+def now() -> float:
+    return time.monotonic()
+
+
+STR_DTYPE_TO_BITS = {
+    "auto": 16,
+    "bfloat16": 16,
+    "float16": 16,
+    "float32": 32,
+    "fp8": 8,
+    "fp8_e4m3": 8,
+    "fp8_e5m2": 8,
+    "int8": 8,
+}
+
+
+def make_ndarray_with_pad(x, pad, dtype, *, max_len=None):
+    """Ragged list-of-lists -> padded 2D numpy array
+    (analogue of reference make_tensor_with_pad, vllm/utils.py:629)."""
+    import numpy as np
+    if max_len is None:
+        max_len = max((len(row) for row in x), default=0)
+    out = np.full((len(x), max_len), pad, dtype=dtype)
+    for i, row in enumerate(x):
+        out[i, :len(row)] = row
+    return out
