@@ -297,17 +297,17 @@ class SchedulerConfig:
     def decode_buckets(self) -> List[int]:
         """Padded decode batch sizes: 8,16,32,48,64,... in steps mirroring
         the reference's 16-step lattice (tpu_model_runner.py:600-608)."""
+        cap = self.max_num_seqs
         out = []
         b = self.min_decode_bucket
-        while b < min(self.max_num_seqs, 16):
+        while b < min(cap, 16):
             out.append(b)
             b *= 2
         b = 16
-        while b <= self.max_num_seqs:
+        while b < cap:
             out.append(b)
             b += 16
-        if out and out[-1] < self.max_num_seqs:
-            out.append(round_up(self.max_num_seqs, 16))
+        out.append(cap if cap <= 16 else round_up(cap, 16))
         return sorted(set(out))
 
     def pad_prefill_len(self, n: int) -> int:

@@ -1,0 +1,200 @@
+"""EngineArgs: the user-facing flag surface
+(reference vllm/engine/arg_utils.py, ~70 flags -> 13 configs)."""
+import argparse
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Union
+
+from neural_magic_vllm_tpu.config import (CacheConfig, DecodingConfig,
+                                          DeviceConfig, EngineConfig,
+                                          LoadConfig, LoRAConfig,
+                                          ModelConfig, ObservabilityConfig,
+                                          ParallelConfig, SchedulerConfig,
+                                          SpeculativeConfig)
+
+
+@dataclass
+class EngineArgs:
+    model: str = "facebook/opt-125m"
+    tokenizer: Optional[str] = None
+    tokenizer_mode: str = "auto"
+    skip_tokenizer_init: bool = False
+    trust_remote_code: bool = False
+    download_dir: Optional[str] = None
+    load_format: str = "auto"
+    dtype: str = "auto"
+    kv_cache_dtype: str = "auto"
+    quantization_param_path: Optional[str] = None
+    seed: int = 0
+    max_model_len: Optional[int] = None
+    # parallelism
+    pipeline_parallel_size: int = 1
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    distributed_executor_backend: Optional[str] = None
+    # KV cache
+    block_size: int = 16
+    enable_prefix_caching: bool = False
+    swap_space: float = 4.0  # GiB
+    gpu_memory_utilization: float = 0.90  # reference-compat name
+    hbm_utilization: Optional[float] = None
+    num_gpu_blocks_override: Optional[int] = None
+    # scheduler
+    max_num_batched_tokens: Optional[int] = None
+    max_num_seqs: int = 256
+    max_logprobs: int = 20
+    enable_chunked_prefill: bool = False
+    num_lookahead_slots: int = 0
+    scheduler_delay_factor: float = 0.0
+    preemption_mode: Optional[str] = None
+    # model
+    revision: Optional[str] = None
+    tokenizer_revision: Optional[str] = None
+    quantization: Optional[str] = None
+    sparsity: Optional[str] = None
+    rope_scaling: Optional[Dict[str, Any]] = None
+    rope_theta: Optional[float] = None
+    enforce_eager: bool = False
+    disable_custom_all_reduce: bool = True
+    # LoRA
+    enable_lora: bool = False
+    max_loras: int = 1
+    max_lora_rank: int = 16
+    fully_sharded_loras: bool = False
+    lora_extra_vocab_size: int = 256
+    long_lora_scaling_factors: Optional[List[float]] = None
+    max_cpu_loras: Optional[int] = None
+    # speculative decoding
+    speculative_model: Optional[str] = None
+    num_speculative_tokens: Optional[int] = None
+    ngram_prompt_lookup_max: Optional[int] = None
+    ngram_prompt_lookup_min: Optional[int] = None
+    speculative_disable_by_batch_size: Optional[int] = None
+    # misc
+    device: str = "auto"
+    served_model_name: Optional[Union[str, List[str]]] = None
+    guided_decoding_backend: str = "builtin"
+    otlp_traces_endpoint: Optional[str] = None
+    disable_log_stats: bool = False
+
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser
+                     ) -> argparse.ArgumentParser:
+        for f in dataclasses.fields(EngineArgs):
+            name = "--" + f.name.replace("_", "-")
+            if f.type in ("bool", bool):
+                parser.add_argument(name, action="store_true",
+                                    default=f.default)
+            else:
+                tp = {"int": int, "float": float}.get(
+                    str(f.type).replace("typing.Optional[", "").rstrip("]"),
+                    str)
+                if f.name in ("max_model_len", "max_num_batched_tokens",
+                              "num_gpu_blocks_override",
+                              "num_speculative_tokens",
+                              "ngram_prompt_lookup_max",
+                              "ngram_prompt_lookup_min",
+                              "speculative_disable_by_batch_size",
+                              "max_cpu_loras"):
+                    tp = int
+                if f.name in ("swap_space", "gpu_memory_utilization",
+                              "hbm_utilization", "scheduler_delay_factor",
+                              "rope_theta"):
+                    tp = float
+                parser.add_argument(name, type=tp, default=f.default)
+        return parser
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "EngineArgs":
+        attrs = [f.name for f in dataclasses.fields(cls)]
+        return cls(**{a: getattr(args, a) for a in attrs if hasattr(args, a)})
+
+    def create_engine_config(self) -> EngineConfig:
+        model_config = ModelConfig(
+            model=self.model,
+            tokenizer=self.tokenizer,
+            tokenizer_mode=self.tokenizer_mode,
+            trust_remote_code=self.trust_remote_code,
+            dtype=self.dtype,
+            seed=self.seed,
+            revision=self.revision,
+            tokenizer_revision=self.tokenizer_revision,
+            max_model_len=self.max_model_len,
+            quantization=self.quantization,
+            quantization_param_path=self.quantization_param_path,
+            sparsity=self.sparsity,
+            enforce_eager=self.enforce_eager,
+            max_logprobs=self.max_logprobs,
+            skip_tokenizer_init=self.skip_tokenizer_init,
+            served_model_name=self.served_model_name,
+            rope_scaling=self.rope_scaling,
+            rope_theta=self.rope_theta,
+        )
+        cache_config = CacheConfig(
+            block_size=self.block_size,
+            hbm_utilization=(self.hbm_utilization
+                             or self.gpu_memory_utilization),
+            swap_space=self.swap_space,
+            cache_dtype=self.kv_cache_dtype,
+            num_gpu_blocks_override=self.num_gpu_blocks_override,
+            sliding_window=model_config.get_sliding_window(),
+            enable_prefix_caching=self.enable_prefix_caching,
+        )
+        parallel_config = ParallelConfig(
+            pipeline_parallel_size=self.pipeline_parallel_size,
+            tensor_parallel_size=self.tensor_parallel_size,
+            data_parallel_size=self.data_parallel_size,
+            disable_custom_all_reduce=self.disable_custom_all_reduce,
+            distributed_executor_backend=self.distributed_executor_backend,
+        )
+        scheduler_config = SchedulerConfig(
+            max_num_batched_tokens=self.max_num_batched_tokens,
+            max_num_seqs=self.max_num_seqs,
+            max_model_len=model_config.max_model_len,
+            num_lookahead_slots=(self.num_speculative_tokens
+                                 or self.num_lookahead_slots),
+            delay_factor=self.scheduler_delay_factor,
+            enable_chunked_prefill=self.enable_chunked_prefill,
+            preemption_mode=self.preemption_mode,
+        )
+        device_config = DeviceConfig(device=self.device)
+        load_config = LoadConfig(load_format=self.load_format,
+                                 download_dir=self.download_dir)
+        lora_config = LoRAConfig(
+            max_lora_rank=self.max_lora_rank,
+            max_loras=self.max_loras,
+            fully_sharded_loras=self.fully_sharded_loras,
+            lora_extra_vocab_size=self.lora_extra_vocab_size,
+            long_lora_scaling_factors=self.long_lora_scaling_factors,
+            max_cpu_loras=self.max_cpu_loras,
+        ) if self.enable_lora else None
+        speculative_config = None
+        if self.num_speculative_tokens:
+            speculative_config = SpeculativeConfig(
+                num_speculative_tokens=self.num_speculative_tokens,
+                speculative_model=self.speculative_model,
+                ngram_prompt_lookup_max=self.ngram_prompt_lookup_max or 0,
+                ngram_prompt_lookup_min=self.ngram_prompt_lookup_min or 0,
+                speculative_disable_by_batch_size=(
+                    self.speculative_disable_by_batch_size))
+        decoding_config = DecodingConfig(
+            guided_decoding_backend=self.guided_decoding_backend)
+        observability_config = ObservabilityConfig(
+            otlp_traces_endpoint=self.otlp_traces_endpoint)
+        return EngineConfig(model_config=model_config,
+                            cache_config=cache_config,
+                            parallel_config=parallel_config,
+                            scheduler_config=scheduler_config,
+                            device_config=device_config,
+                            load_config=load_config,
+                            lora_config=lora_config,
+                            speculative_config=speculative_config,
+                            decoding_config=decoding_config,
+                            observability_config=observability_config)
+
+
+@dataclass
+class AsyncEngineArgs(EngineArgs):
+    engine_use_ray: bool = False
+    disable_log_requests: bool = False
+    max_log_len: Optional[int] = None

@@ -1,0 +1,321 @@
+"""LLMEngine: the synchronous serving engine
+(reference vllm/engine/llm_engine.py:66).
+
+Owns the tokenizer, scheduler, executor, detokenizer, output processor and
+stats; step() drives one iteration of continuous batching.
+"""
+import time
+from typing import Dict, Iterable, List, Optional, Union
+
+from neural_magic_vllm_tpu.config import EngineConfig
+from neural_magic_vllm_tpu.core.scheduler import Scheduler, SchedulerOutputs
+from neural_magic_vllm_tpu.engine.arg_utils import EngineArgs
+from neural_magic_vllm_tpu.engine.metrics import StatLogger, Stats
+from neural_magic_vllm_tpu.engine.output_processor import \
+    SingleStepOutputProcessor
+from neural_magic_vllm_tpu.engine.stop_checker import StopChecker
+from neural_magic_vllm_tpu.logger import init_logger
+from neural_magic_vllm_tpu.outputs import RequestOutput
+from neural_magic_vllm_tpu.sampling_params import SamplingParams
+from neural_magic_vllm_tpu.sequence import (ExecuteModelRequest, Sequence,
+                                            SequenceGroup, SequenceStatus)
+from neural_magic_vllm_tpu.transformers_utils.detokenizer import Detokenizer
+from neural_magic_vllm_tpu.transformers_utils.tokenizer import get_tokenizer
+from neural_magic_vllm_tpu.utils import Counter
+from neural_magic_vllm_tpu.version import __version__
+
+logger = init_logger(__name__)
+
+
+class LLMEngine:
+
+    def __init__(self, engine_config: EngineConfig, executor_class=None,
+                 log_stats: bool = True) -> None:
+        cfg = engine_config
+        self.model_config = cfg.model_config
+        self.cache_config = cfg.cache_config
+        self.parallel_config = cfg.parallel_config
+        self.scheduler_config = cfg.scheduler_config
+        self.device_config = cfg.device_config
+        self.load_config = cfg.load_config
+        self.lora_config = cfg.lora_config
+        self.speculative_config = cfg.speculative_config
+        self.decoding_config = cfg.decoding_config
+        self.observability_config = cfg.observability_config
+        self.log_stats = log_stats
+
+        logger.info(
+            "Initializing engine v%s: model=%r dtype=%s max_model_len=%d "
+            "tp=%d block_size=%d prefix_caching=%s chunked_prefill=%s",
+            __version__, self.model_config.model, self.model_config.dtype,
+            self.model_config.max_model_len,
+            self.parallel_config.tensor_parallel_size,
+            self.cache_config.block_size,
+            self.cache_config.enable_prefix_caching,
+            self.scheduler_config.chunked_prefill_enabled)
+
+        self.seq_counter = Counter()
+        if not self.model_config.skip_tokenizer_init:
+            self.tokenizer = get_tokenizer(
+                self.model_config.tokenizer,
+                tokenizer_mode=self.model_config.tokenizer_mode,
+                trust_remote_code=self.model_config.trust_remote_code,
+                revision=self.model_config.tokenizer_revision)
+            self.detokenizer = Detokenizer(self.tokenizer)
+        else:
+            self.tokenizer = None
+            self.detokenizer = None
+
+        if executor_class is None:
+            from neural_magic_vllm_tpu.executor.tpu_executor import \
+                TPUExecutor
+            executor_class = TPUExecutor
+        self.model_executor = executor_class(
+            model_config=self.model_config,
+            cache_config=self.cache_config,
+            parallel_config=self.parallel_config,
+            scheduler_config=self.scheduler_config,
+            device_config=self.device_config,
+            load_config=self.load_config,
+            lora_config=self.lora_config,
+            speculative_config=self.speculative_config,
+        )
+        self._initialize_kv_caches()
+
+        self.scheduler = Scheduler(self.scheduler_config, self.cache_config,
+                                   self.lora_config)
+        self.stop_checker = StopChecker(self.model_config.max_model_len)
+        self.output_processor = SingleStepOutputProcessor(
+            self.scheduler, self.detokenizer, self.stop_checker,
+            self.seq_counter)
+        self.stat_logger = StatLogger(
+            model_name=self.model_config.served_model_name,
+            max_model_len=self.model_config.max_model_len) \
+            if log_stats else None
+        self.tracer = None
+        if self.observability_config and \
+                self.observability_config.otlp_traces_endpoint:
+            from neural_magic_vllm_tpu.tracing import init_tracer
+            self.tracer = init_tracer(
+                "nmv_tpu.llm_engine",
+                self.observability_config.otlp_traces_endpoint)
+
+    def _initialize_kv_caches(self) -> None:
+        num_gpu_blocks, num_cpu_blocks = (
+            self.model_executor.determine_num_available_blocks())
+        if self.cache_config.num_gpu_blocks_override is not None:
+            num_gpu_blocks = self.cache_config.num_gpu_blocks_override
+        self.cache_config.num_gpu_blocks = num_gpu_blocks
+        self.cache_config.num_cpu_blocks = num_cpu_blocks
+        self.model_executor.initialize_cache(num_gpu_blocks, num_cpu_blocks)
+
+    @classmethod
+    def from_engine_args(cls, engine_args: EngineArgs,
+                         executor_class=None) -> "LLMEngine":
+        engine_config = engine_args.create_engine_config()
+        return cls(engine_config, executor_class=executor_class,
+                   log_stats=not engine_args.disable_log_stats)
+
+    # --- request intake ----------------------------------------------------------
+    def _get_eos_token_id(self) -> Optional[int]:
+        if self.tokenizer is None:
+            return None
+        return self.tokenizer.eos_token_id
+
+    def encode_request(self, prompt: Optional[str],
+                       prompt_token_ids: Optional[List[int]],
+                       truncate_prompt_tokens: Optional[int] = None
+                       ) -> List[int]:
+        if prompt_token_ids is None:
+            assert prompt is not None and self.tokenizer is not None
+            prompt_token_ids = self.tokenizer.encode(prompt)
+        if truncate_prompt_tokens is not None:
+            prompt_token_ids = prompt_token_ids[-truncate_prompt_tokens:]
+        return prompt_token_ids
+
+    def add_request(
+        self,
+        request_id: str,
+        prompt: Optional[str] = None,
+        sampling_params: Optional[SamplingParams] = None,
+        prompt_token_ids: Optional[List[int]] = None,
+        arrival_time: Optional[float] = None,
+        lora_request=None,
+        trace_headers: Optional[Dict[str, str]] = None,
+    ) -> None:
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if sampling_params.use_beam_search:
+            raise NotImplementedError(
+                "Beam search is not supported yet on the TPU engine.")
+        if arrival_time is None:
+            arrival_time = time.time()
+        prompt_token_ids = self.encode_request(
+            prompt, prompt_token_ids, sampling_params.truncate_prompt_tokens)
+        if len(prompt_token_ids) >= self.model_config.max_model_len:
+            raise ValueError(
+                f"Prompt length ({len(prompt_token_ids)}) is at or over the "
+                f"model's max length ({self.model_config.max_model_len}).")
+
+        if sampling_params.logprobs is not None and \
+                sampling_params.logprobs > self.model_config.max_logprobs:
+            raise ValueError(
+                f"logprobs={sampling_params.logprobs} > max_logprobs="
+                f"{self.model_config.max_logprobs}")
+
+        sampling_params = sampling_params.clone()
+        eos = self._get_eos_token_id()
+        if self.tokenizer is not None and hasattr(
+                self.tokenizer, "eos_token_id"):
+            pass
+        seq = Sequence(seq_id=next(self.seq_counter),
+                       prompt=prompt,
+                       prompt_token_ids=prompt_token_ids,
+                       block_size=self.cache_config.block_size,
+                       eos_token_id=eos,
+                       lora_request=lora_request)
+        seq_group = SequenceGroup(request_id=request_id,
+                                  seqs=[seq],
+                                  sampling_params=sampling_params,
+                                  arrival_time=arrival_time,
+                                  lora_request=lora_request,
+                                  trace_headers=trace_headers)
+        self.scheduler.add_seq_group(seq_group)
+
+    def abort_request(self, request_id: Union[str, Iterable[str]]) -> None:
+        self.scheduler.abort_seq_group(request_id)
+
+    def get_num_unfinished_requests(self) -> int:
+        return self.scheduler.get_num_unfinished_seq_groups()
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_seqs()
+
+    # --- stepping -----------------------------------------------------------------
+    def step(self) -> List[RequestOutput]:
+        seq_group_metadata_list, scheduler_outputs = \
+            self.scheduler.schedule()
+
+        if not scheduler_outputs.is_empty():
+            execute_model_req = ExecuteModelRequest(
+                seq_group_metadata_list=seq_group_metadata_list,
+                blocks_to_swap_in=scheduler_outputs.blocks_to_swap_in,
+                blocks_to_swap_out=scheduler_outputs.blocks_to_swap_out,
+                blocks_to_copy=scheduler_outputs.blocks_to_copy,
+                num_lookahead_slots=scheduler_outputs.num_lookahead_slots,
+                running_queue_size=scheduler_outputs.running_queue_size,
+            )
+            outputs = self.model_executor.execute_model(execute_model_req)
+        else:
+            outputs = []
+
+        return self._process_model_outputs(outputs, scheduler_outputs)
+
+    def _process_model_outputs(self, outputs,
+                               scheduler_outputs: SchedulerOutputs
+                               ) -> List[RequestOutput]:
+        now = time.time()
+        request_outputs: List[RequestOutput] = []
+
+        if outputs:
+            sampler_output = outputs[0]
+            assert len(sampler_output.outputs) == len(
+                scheduler_outputs.scheduled_seq_groups)
+            for scheduled, group_output in zip(
+                    scheduler_outputs.scheduled_seq_groups,
+                    sampler_output.outputs):
+                seq_group = scheduled.seq_group
+                seq_group.update_num_computed_tokens(
+                    scheduled.token_chunk_size)
+                self.output_processor.process_outputs(seq_group,
+                                                      group_output)
+                seq_group.maybe_set_first_token_time(now)
+                seq_group.metrics.last_token_time = now
+
+        self.scheduler.free_finished_seq_groups()
+
+        for scheduled in scheduler_outputs.scheduled_seq_groups:
+            request_outputs.append(
+                RequestOutput.from_seq_group(scheduled.seq_group))
+        for seq_group in scheduler_outputs.ignored_seq_groups:
+            request_outputs.append(RequestOutput.from_seq_group(seq_group))
+
+        if self.stat_logger is not None:
+            self.stat_logger.log(
+                self._get_stats(scheduler_outputs, request_outputs))
+        if self.tracer is not None:
+            self._emit_traces(request_outputs)
+        return request_outputs
+
+    # --- stats / tracing -----------------------------------------------------------
+    def _get_stats(self, scheduler_outputs: SchedulerOutputs,
+                   request_outputs: List[RequestOutput]) -> Stats:
+        now = time.time()
+        num_prompt_tokens = 0
+        num_generation_tokens = 0
+        time_to_first_tokens: List[float] = []
+        time_per_output_tokens: List[float] = []
+        time_e2e: List[float] = []
+        for scheduled in scheduler_outputs.scheduled_seq_groups:
+            sg = scheduled.seq_group
+            if sg.is_prefill():
+                num_prompt_tokens += scheduled.token_chunk_size
+            else:
+                num_generation_tokens += scheduled.token_chunk_size
+            m = sg.metrics
+            if m.first_token_time and sg.num_seqs() and \
+                    sg.get_seqs()[0].get_output_len() == 1:
+                time_to_first_tokens.append(m.first_token_time -
+                                            m.arrival_time)
+            elif not sg.is_prefill():
+                time_per_output_tokens.append(now - m.last_token_time)
+        for ro in request_outputs:
+            if ro.finished and ro.metrics and ro.metrics.finished_time:
+                time_e2e.append(ro.metrics.finished_time -
+                                ro.metrics.arrival_time)
+        free_blocks = self.scheduler.block_manager.get_num_free_gpu_blocks()
+        total_blocks = self.cache_config.num_gpu_blocks or 1
+        return Stats(
+            now=now,
+            num_running_sys=len(self.scheduler.running),
+            num_waiting_sys=len(self.scheduler.waiting),
+            num_swapped_sys=len(self.scheduler.swapped),
+            gpu_cache_usage_sys=1.0 - free_blocks / total_blocks,
+            num_prompt_tokens_iter=num_prompt_tokens,
+            num_generation_tokens_iter=num_generation_tokens,
+            num_preemption_iter=scheduler_outputs.preempted,
+            time_to_first_tokens_iter=time_to_first_tokens,
+            time_per_output_tokens_iter=time_per_output_tokens,
+            time_e2e_requests=time_e2e,
+        )
+
+    def _emit_traces(self, request_outputs: List[RequestOutput]) -> None:
+        from neural_magic_vllm_tpu.tracing import SpanAttributes
+        for ro in request_outputs:
+            if not ro.finished or ro.metrics is None:
+                continue
+            m = ro.metrics
+            with self.tracer.start_as_current_span(
+                    "llm_request", start_time=int(m.arrival_time * 1e9)) \
+                    as span:
+                span.set_attribute(SpanAttributes.LLM_REQUEST_ID,
+                                   ro.request_id)
+                span.set_attribute(SpanAttributes.LLM_PROMPT_TOKENS,
+                                   len(ro.prompt_token_ids))
+                span.set_attribute(
+                    SpanAttributes.LLM_COMPLETION_TOKENS,
+                    sum(len(o.token_ids) for o in ro.outputs))
+                if m.first_token_time:
+                    span.set_attribute(
+                        SpanAttributes.LLM_LATENCY_TIME_TO_FIRST_TOKEN,
+                        m.first_token_time - m.arrival_time)
+                if m.time_in_queue:
+                    span.set_attribute(
+                        SpanAttributes.LLM_LATENCY_TIME_IN_QUEUE,
+                        m.time_in_queue)
+                if m.finished_time:
+                    span.set_attribute(SpanAttributes.LLM_LATENCY_E2E,
+                                       m.finished_time - m.arrival_time)
+
+    def check_health(self) -> None:
+        self.model_executor.check_health()

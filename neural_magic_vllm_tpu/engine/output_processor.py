@@ -1,0 +1,80 @@
+"""Single-step output processor: appends sampled tokens, forks parallel
+samples, detokenizes incrementally, checks stops, frees finished seqs
+(reference vllm/engine/output_processor/single_step.py:18)."""
+from typing import List, Optional
+
+from neural_magic_vllm_tpu.core.scheduler import Scheduler
+from neural_magic_vllm_tpu.engine.stop_checker import StopChecker
+from neural_magic_vllm_tpu.sequence import (CompletionSequenceGroupOutput,
+                                            SequenceGroup, SequenceStatus)
+from neural_magic_vllm_tpu.transformers_utils.detokenizer import Detokenizer
+from neural_magic_vllm_tpu.utils import Counter
+
+
+class SingleStepOutputProcessor:
+
+    def __init__(self, scheduler: Scheduler,
+                 detokenizer: Optional[Detokenizer],
+                 stop_checker: StopChecker, seq_counter: Counter) -> None:
+        self.scheduler = scheduler
+        self.detokenizer = detokenizer
+        self.stop_checker = stop_checker
+        self.seq_counter = seq_counter
+
+    def process_outputs(self, seq_group: SequenceGroup,
+                        output: CompletionSequenceGroupOutput) -> None:
+        if output.prompt_logprobs is not None \
+                and seq_group.prompt_logprobs is None:
+            if self.detokenizer and \
+                    seq_group.sampling_params.detokenize:
+                self.detokenizer.decode_prompt_logprobs_inplace(
+                    seq_group, output.prompt_logprobs)
+            seq_group.prompt_logprobs = output.prompt_logprobs
+        if not output.samples:
+            return  # mid-prompt chunk: nothing sampled
+
+        samples = output.samples
+        parent_seqs = seq_group.get_seqs(status=SequenceStatus.RUNNING)
+        parent_child: dict = {s.seq_id: [] for s in parent_seqs}
+        for sample in samples:
+            parent_child[sample.parent_seq_id].append(sample)
+
+        child_seqs = []
+        for parent in parent_seqs:
+            child_samples = parent_child[parent.seq_id]
+            if not child_samples:
+                # Parent produced no sample this step (shouldn't happen in
+                # non-beam sampling); drop it.
+                continue
+            # Fork for all but the last sample (parallel sampling n>1).
+            for child_sample in child_samples[:-1]:
+                new_child_seq_id = next(self.seq_counter)
+                child = parent.fork(new_child_seq_id)
+                child.append_token_id(child_sample.output_token,
+                                      child_sample.logprobs)
+                child_seqs.append((child, parent))
+            last = child_samples[-1]
+            parent.append_token_id(last.output_token, last.logprobs)
+            child_seqs.append((parent, parent))
+
+        sp = seq_group.sampling_params
+        for seq, _ in child_seqs:
+            if self.detokenizer and sp.detokenize:
+                new_char_count = self.detokenizer.decode_sequence_inplace(
+                    seq, sp)
+            else:
+                new_char_count = 0
+            self.stop_checker.maybe_stop_sequence(seq, new_char_count, sp)
+
+        # Register forked children with the group + block manager.
+        for seq, parent in child_seqs:
+            if seq is not parent:
+                seq_group.add(seq)
+                if not seq.is_finished():
+                    self.scheduler.fork_seq(parent, seq)
+
+        for seq, parent in child_seqs:
+            if seq is parent and seq.is_finished():
+                self.scheduler.free_seq(seq)
+            if seq is not parent and seq.is_finished():
+                self.scheduler.free_seq(seq)

@@ -1,0 +1,73 @@
+"""Attention layer facade (analogue of reference vllm/attention/layer.py +
+backends/abstract.py): writes KV to the paged cache, then dispatches to the
+prefill or decode attention op."""
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neural_magic_vllm_tpu.ops.attention import get_attention_backend
+from neural_magic_vllm_tpu.ops.kv_cache import KVCache, write_kv
+
+
+class AttentionMetadata(NamedTuple):
+    """Per-step attention inputs (reference AttentionMetadata,
+    vllm/attention/backends/abstract.py:59). All arrays are padded to the
+    step's static bucket.
+
+    prefill: slot_mapping [S]; block_tables [1, maxb]; context_lens [1]
+    decode:  slot_mapping [B]; block_tables [B, maxb]; context_lens [B]
+             (context_lens counts all tokens incl. the one being decoded)
+    """
+    slot_mapping: jax.Array
+    block_tables: jax.Array
+    context_lens: jax.Array
+
+
+class Attention:
+    """One instance per decoder layer."""
+
+    def __init__(
+        self,
+        num_heads: int,
+        head_dim: int,
+        num_kv_heads: int,
+        scale: float,
+        sliding_window: Optional[int] = None,
+        logit_cap: Optional[float] = None,
+        backend: Optional[str] = None,
+    ) -> None:
+        self.num_heads = num_heads
+        self.head_dim = head_dim
+        self.num_kv_heads = num_kv_heads
+        self.scale = scale
+        self.sliding_window = sliding_window
+        self.logit_cap = logit_cap
+        self._prefill_fn, self._decode_fn = get_attention_backend(backend)
+
+    def __call__(
+        self,
+        q: jax.Array,  # [T, num_heads, head_dim]
+        k: jax.Array,  # [T, num_kv_heads, head_dim]
+        v: jax.Array,
+        kv_cache: KVCache,
+        meta: AttentionMetadata,
+        *,
+        is_prefill: bool,
+    ) -> Tuple[jax.Array, KVCache]:
+        k_cache, v_cache = write_kv(kv_cache[0], kv_cache[1], k, v,
+                                    meta.slot_mapping)
+        if is_prefill:
+            out = self._prefill_fn(q, k, v, k_cache, v_cache,
+                                   meta.block_tables[0],
+                                   meta.context_lens[0],
+                                   scale=self.scale,
+                                   sliding_window=self.sliding_window,
+                                   logit_cap=self.logit_cap)
+        else:
+            out = self._decode_fn(q, k_cache, v_cache, meta.block_tables,
+                                  meta.context_lens,
+                                  scale=self.scale,
+                                  sliding_window=self.sliding_window,
+                                  logit_cap=self.logit_cap)
+        return out, (k_cache, v_cache)

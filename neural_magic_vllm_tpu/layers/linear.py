@@ -1,0 +1,82 @@
+"""Linear layers and the quantization seam.
+
+The reference routes every linear through LinearMethodBase.create_weights/
+apply (vllm/model_executor/layers/linear.py:69) — the single seam all
+quantization plugs into. Same design here: a LinearMethod owns the parameter
+layout and the matmul; TP sharding is expressed as a PartitionSpec per
+parameter (consumed by the loader / jit in parallel/mesh.py) instead of the
+reference's per-shard weight_loader narrowing.
+
+Weights are stored [in_features, out_features] so the forward is x @ W —
+contraction on the leading axis feeds the MXU without a transpose.
+"""
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+
+class LinearMethod:
+    """Strategy interface (reference LinearMethodBase, linear.py:69)."""
+
+    def create_params(self, rng, in_features: int, out_features: int,
+                      dtype, use_bias: bool) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def param_specs(self, partition: str,
+                    use_bias: bool) -> Dict[str, P]:
+        raise NotImplementedError
+
+    def load_weight(self, hf_weight: np.ndarray, dtype) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def apply(self, params: Dict[str, Any], x: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+
+class UnquantizedLinearMethod(LinearMethod):
+    """bf16/fp32 dense matmul (reference UnquantizedLinearMethod,
+    linear.py:103)."""
+
+    def create_params(self, rng, in_features, out_features, dtype,
+                      use_bias):
+        scale = 1.0 / np.sqrt(in_features)
+        w = jax.random.uniform(rng, (in_features, out_features),
+                               dtype=jnp.float32, minval=-scale,
+                               maxval=scale).astype(dtype)
+        params = {"weight": w}
+        if use_bias:
+            params["bias"] = jnp.zeros((out_features, ), dtype=dtype)
+        return params
+
+    def param_specs(self, partition, use_bias):
+        # "column": output dim sharded over the model axis (q/k/v/gate/up).
+        # "row": input dim sharded (o_proj/down_proj) -> psum after matmul,
+        # inserted by GSPMD from the shardings.
+        if partition == "column":
+            specs = {"weight": P(None, "model")}
+            bias_spec = P("model")
+        elif partition == "row":
+            specs = {"weight": P("model", None)}
+            bias_spec = P(None)
+        else:  # replicated
+            specs = {"weight": P(None, None)}
+            bias_spec = P(None)
+        if use_bias:
+            specs["bias"] = bias_spec
+        return specs
+
+    def apply(self, params, x):
+        out = jnp.dot(x, params["weight"],
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+        if "bias" in params:
+            out = out + params["bias"]
+        return out
+
+
+def get_linear_method(quant_config: Optional[Any]) -> LinearMethod:
+    if quant_config is None:
+        return UnquantizedLinearMethod()
+    return quant_config.get_linear_method()

@@ -1,0 +1,515 @@
+"""TPU model runner: bucketed AOT-compiled step executables.
+
+Replaces the reference's CUDA-graph capture (vllm/worker/model_runner.py:910)
+and mirrors its own TPU port's design (vllm/worker/tpu_model_runner.py):
+- every step runs a jitted executable whose shapes come from a bucket
+  lattice (prefill token buckets, decode batch buckets); warmup pre-compiles
+  all buckets so serving never hits a compile.
+- KV caches are donated to every step so XLA updates them in place.
+- sampling runs in-graph (temperature/top-k/top-p/min-p/seeds/top-n
+  logprobs); a host fallback covers penalties, logits processors, prompt
+  logprobs and beam search.
+"""
+import functools
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_magic_vllm_tpu.layers.attention import AttentionMetadata
+from neural_magic_vllm_tpu.logger import init_logger
+from neural_magic_vllm_tpu.models import get_model_class
+from neural_magic_vllm_tpu.ops.sampling import SamplingTensors, sample
+from neural_magic_vllm_tpu.sampling_params import SamplingParams, \
+    SamplingType
+from neural_magic_vllm_tpu.sequence import (CompletionSequenceGroupOutput,
+                                            Logprob, SamplerOutput,
+                                            SequenceGroupMetadata,
+                                            SequenceOutput)
+from neural_magic_vllm_tpu.utils import cdiv
+from neural_magic_vllm_tpu.worker import host_sampler
+from neural_magic_vllm_tpu.worker.cache_engine import CacheEngine
+
+logger = init_logger(__name__)
+
+_SAMPLING_EPS = 1e-5
+
+
+def _needs_host_sampling(sp: SamplingParams) -> bool:
+    return (bool(sp.logits_processors)
+            or abs(sp.presence_penalty) >= _SAMPLING_EPS
+            or abs(sp.frequency_penalty) >= _SAMPLING_EPS
+            or abs(sp.repetition_penalty - 1.0) >= _SAMPLING_EPS
+            or sp.min_tokens > 0 or sp.use_beam_search)
+
+
+class TPUModelRunner:
+
+    def __init__(self, model_config, cache_config, scheduler_config,
+                 parallel_config, device_config, load_config,
+                 mesh=None) -> None:
+        self.model_config = model_config
+        self.cache_config = cache_config
+        self.scheduler_config = scheduler_config
+        self.parallel_config = parallel_config
+        self.device_config = device_config
+        self.load_config = load_config
+        self.mesh = mesh
+
+        self.block_size = cache_config.block_size
+        self.max_blocks_per_seq = cdiv(model_config.max_model_len,
+                                       self.block_size)
+        self.max_logprobs = model_config.max_logprobs
+
+        arch = getattr(model_config.hf_config, "architectures",
+                       ["LlamaForCausalLM"])
+        self.model = get_model_class(arch)(model_config, parallel_config)
+        self.params = None
+        self._salt = int(np.random.default_rng(model_config.seed).integers(
+            0, 2**31))
+        # (kind, bucket-independent static opts) -> jitted fn
+        self._fns: Dict[Tuple, Any] = {}
+
+    # --- model loading ----------------------------------------------------------
+    def load_model(self) -> None:
+        t0 = time.time()
+        if self.load_config.load_format == "dummy":
+            params = self.model.init_params(
+                jax.random.PRNGKey(self.model_config.seed))
+        else:
+            params = self.model.load_params(self.model_config.model)
+        self.params = self._shard_params(params)
+        logger.info("Model loaded in %.2fs", time.time() - t0)
+
+    def _shard_params(self, params):
+        if self.mesh is None:
+            return jax.device_put(params)
+        from jax.sharding import NamedSharding
+        specs = self.model.param_specs()
+        shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(self.mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+        return jax.device_put(params, shardings)
+
+    def kv_sharding(self):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return NamedSharding(self.mesh, P("model", None, None, None))
+
+    # --- step executables -----------------------------------------------------
+    def _get_fn(self, kind: str, num_logprobs: int):
+        key = (kind, num_logprobs)
+        if key in self._fns:
+            return self._fns[key]
+        model = self.model
+
+        if kind == "prefill_sample":
+
+            def fn(params, kv_caches, tokens, positions, meta, sample_idx,
+                   samp):
+                hidden, new_caches = model.forward(params, tokens, positions,
+                                                   kv_caches, meta,
+                                                   is_prefill=True)
+                last = jax.lax.dynamic_slice_in_dim(hidden, sample_idx, 1, 0)
+                logits = model.compute_logits(params, last)
+                out = sample(logits, samp, max_logprobs=num_logprobs)
+                return new_caches, out
+
+            jfn = jax.jit(fn, donate_argnums=(1, ))
+
+        elif kind == "prefill_logits":
+            # full-chunk logits (prompt logprobs / host sampling)
+
+            def fn(params, kv_caches, tokens, positions, meta):
+                hidden, new_caches = model.forward(params, tokens, positions,
+                                                   kv_caches, meta,
+                                                   is_prefill=True)
+                logits = model.compute_logits(params, hidden)
+                return new_caches, logits
+
+            jfn = jax.jit(fn, donate_argnums=(1, ))
+
+        elif kind == "decode_sample":
+
+            def fn(params, kv_caches, tokens, positions, meta, samp):
+                hidden, new_caches = model.forward(params, tokens, positions,
+                                                   kv_caches, meta,
+                                                   is_prefill=False)
+                logits = model.compute_logits(params, hidden)
+                out = sample(logits, samp, max_logprobs=num_logprobs)
+                return new_caches, out
+
+            jfn = jax.jit(fn, donate_argnums=(1, ))
+
+        elif kind == "decode_logits":
+
+            def fn(params, kv_caches, tokens, positions, meta):
+                hidden, new_caches = model.forward(params, tokens, positions,
+                                                   kv_caches, meta,
+                                                   is_prefill=False)
+                logits = model.compute_logits(params, hidden)
+                return new_caches, logits
+
+            jfn = jax.jit(fn, donate_argnums=(1, ))
+        else:
+            raise ValueError(kind)
+        self._fns[key] = jfn
+        return jfn
+
+    # --- warmup -----------------------------------------------------------------
+    def warmup(self, cache_engine: CacheEngine,
+               full: bool = False) -> None:
+        """Pre-compile the serving executables for every bucket (reference
+        tpu_model_runner.py:159-197). With full=False only the largest
+        buckets compile eagerly (CI-friendly); the rest compile on first
+        use (persisted in the XLA compilation cache)."""
+        t0 = time.time()
+        prefill_buckets = self.scheduler_config.prefill_buckets()
+        decode_buckets = self.scheduler_config.decode_buckets()
+        if not full:
+            prefill_buckets = prefill_buckets[-1:]
+            decode_buckets = decode_buckets[-1:]
+        for s in prefill_buckets:
+            kv = cache_engine.kv_caches
+            kv = self._run_dummy_prefill(kv, s)
+            cache_engine.kv_caches = kv
+        for b in decode_buckets:
+            kv = cache_engine.kv_caches
+            kv = self._run_dummy_decode(kv, b)
+            cache_engine.kv_caches = kv
+        logger.info("Warmup done in %.1fs (%d prefill + %d decode buckets)",
+                    time.time() - t0, len(prefill_buckets),
+                    len(decode_buckets))
+
+    def _dummy_samp(self, B: int) -> SamplingTensors:
+        return SamplingTensors(
+            temperature=jnp.zeros((B, ), jnp.float32),
+            top_k=jnp.full((B, ), 1, jnp.int32),
+            top_p=jnp.ones((B, ), jnp.float32),
+            min_p=jnp.zeros((B, ), jnp.float32),
+            presence_penalty=jnp.zeros((B, ), jnp.float32),
+            frequency_penalty=jnp.zeros((B, ), jnp.float32),
+            repetition_penalty=jnp.ones((B, ), jnp.float32),
+            keys=jnp.zeros((B, 2), jnp.uint32),
+        )
+
+    def _run_dummy_prefill(self, kv_caches, s: int):
+        meta = AttentionMetadata(
+            slot_mapping=jnp.full((s, ), -1, jnp.int32),
+            block_tables=jnp.zeros((1, self.max_blocks_per_seq), jnp.int32),
+            context_lens=jnp.zeros((1, ), jnp.int32))
+        fn = self._get_fn("prefill_sample", 0)
+        new_kv, _ = fn(self.params, kv_caches,
+                       jnp.zeros((s, ), jnp.int32),
+                       jnp.zeros((s, ), jnp.int32), meta,
+                       jnp.int32(0), self._dummy_samp(1))
+        return new_kv
+
+    def _run_dummy_decode(self, kv_caches, b: int):
+        meta = AttentionMetadata(
+            slot_mapping=jnp.full((b, ), -1, jnp.int32),
+            block_tables=jnp.zeros((b, self.max_blocks_per_seq), jnp.int32),
+            context_lens=jnp.ones((b, ), jnp.int32))
+        fn = self._get_fn("decode_sample", 0)
+        new_kv, _ = fn(self.params, kv_caches,
+                       jnp.zeros((b, ), jnp.int32),
+                       jnp.zeros((b, ), jnp.int32), meta,
+                       self._dummy_samp(b))
+        return new_kv
+
+    # --- memory profiling -------------------------------------------------------
+    def profile_peak_bytes(self, cache_engine_tmp_blocks: int = 8) -> int:
+        """Run the largest prefill against a tiny KV cache and report peak
+        device memory (reference determine_num_available_blocks,
+        worker.py:155-198)."""
+        model = self.model
+        kvh = self.model_config.get_num_kv_heads(self.parallel_config)
+        hd = self.model_config.get_head_size()
+        from neural_magic_vllm_tpu.worker.cache_engine import \
+            get_kv_cache_dtype
+        kv_dtype = get_kv_cache_dtype(self.cache_config.cache_dtype,
+                                      self.model_config.dtype)
+        tmp_engine = CacheEngine(
+            num_layers=self.model_config.get_num_layers(
+                self.parallel_config), num_kv_heads=kvh, head_dim=hd,
+            block_size=self.block_size,
+            num_device_blocks=cache_engine_tmp_blocks, num_cpu_blocks=0,
+            kv_dtype=kv_dtype)
+        s = self.scheduler_config.prefill_buckets()[-1]
+        kv = self._run_dummy_prefill(tmp_engine.kv_caches, s)
+        jax.block_until_ready(kv)
+        dev = jax.devices()[0]
+        stats = dev.memory_stats() if hasattr(dev, "memory_stats") else None
+        del kv, tmp_engine
+        if stats and "peak_bytes_in_use" in stats:
+            return int(stats["peak_bytes_in_use"])
+        return -1
+
+    # --- input preparation -------------------------------------------------------
+    def _block_table_row(self, table: List[int]) -> np.ndarray:
+        row = np.zeros((self.max_blocks_per_seq, ), np.int32)
+        n = min(len(table), self.max_blocks_per_seq)
+        row[:n] = table[:n]
+        return row
+
+    def _seq_key(self, sgm: SequenceGroupMetadata, seq_id: int,
+                 step_idx: int) -> np.ndarray:
+        """Per-(request, sequence, step) PRNG key. Seeded requests must be
+        reproducible across runs, so only the seed, the sequence's index
+        WITHIN its group, and the step counter enter the key — never global
+        ids."""
+        sp = sgm.sampling_params
+        seq_index = sorted(sgm.seq_data).index(seq_id)
+        if sp.seed is not None:
+            k0 = np.uint32(sp.seed & 0xFFFFFFFF)
+        else:
+            k0 = np.uint32((hash(sgm.request_id) ^ self._salt) & 0xFFFFFFFF)
+        k1 = np.uint32((seq_index * 2654435761 + step_idx) & 0xFFFFFFFF)
+        return np.array([k0, k1], np.uint32)
+
+    def _samp_tensors(self, sgms_and_seqs, step_idxs) -> SamplingTensors:
+        B = len(sgms_and_seqs)
+        temp = np.zeros((B, ), np.float32)
+        top_k = np.zeros((B, ), np.int32)
+        top_p = np.ones((B, ), np.float32)
+        min_p = np.zeros((B, ), np.float32)
+        keys = np.zeros((B, 2), np.uint32)
+        V = self.model_config.get_vocab_size()
+        for i, (sgm, seq_id) in enumerate(sgms_and_seqs):
+            sp = sgm.sampling_params
+            temp[i] = sp.temperature
+            top_k[i] = sp.top_k if sp.top_k > 0 else V
+            top_p[i] = sp.top_p
+            min_p[i] = sp.min_p
+            keys[i] = self._seq_key(sgm, seq_id, step_idxs[i])
+        zeros = np.zeros((B, ), np.float32)
+        return SamplingTensors(temperature=jnp.asarray(temp),
+                               top_k=jnp.asarray(top_k),
+                               top_p=jnp.asarray(top_p),
+                               min_p=jnp.asarray(min_p),
+                               presence_penalty=jnp.asarray(zeros),
+                               frequency_penalty=jnp.asarray(zeros),
+                               repetition_penalty=jnp.asarray(
+                                   np.ones((B, ), np.float32)),
+                               keys=jnp.asarray(keys))
+
+    def _logprob_dict(self, token: int, chosen_lp: float,
+                      top_vals: Optional[np.ndarray],
+                      top_ids: Optional[np.ndarray],
+                      num_logprobs: Optional[int]) -> Dict[int, Logprob]:
+        lp: Dict[int, Logprob] = {}
+        if num_logprobs and top_ids is not None:
+            for rank in range(min(num_logprobs, len(top_ids))):
+                lp[int(top_ids[rank])] = Logprob(float(top_vals[rank]),
+                                                 rank=rank + 1)
+        if token not in lp:
+            rank = None
+            if top_ids is not None:
+                hits = np.nonzero(top_ids == token)[0]
+                rank = int(hits[0]) + 1 if len(hits) else None
+            lp[token] = Logprob(float(chosen_lp), rank=rank)
+        return lp
+
+    # --- execution ----------------------------------------------------------------
+    def execute_model(
+        self,
+        seq_group_metadata_list: List[SequenceGroupMetadata],
+        cache_engine: CacheEngine,
+    ) -> SamplerOutput:
+        group_outputs: Dict[int, CompletionSequenceGroupOutput] = {}
+        prefills = [(i, m) for i, m in enumerate(seq_group_metadata_list)
+                    if m.is_prompt]
+        decodes = [(i, m) for i, m in enumerate(seq_group_metadata_list)
+                   if not m.is_prompt]
+
+        for idx, sgm in prefills:
+            group_outputs[idx] = self._execute_prefill(sgm, cache_engine)
+        if decodes:
+            for idx, out in zip(
+                [i for i, _ in decodes],
+                    self._execute_decode([m for _, m in decodes],
+                                         cache_engine)):
+                group_outputs[idx] = out
+
+        return SamplerOutput(outputs=[
+            group_outputs[i] for i in range(len(seq_group_metadata_list))
+        ])
+
+    # --- prefill ---------------------------------------------------------------
+    def _execute_prefill(self, sgm: SequenceGroupMetadata,
+                         cache_engine: CacheEngine
+                         ) -> CompletionSequenceGroupOutput:
+        seq_id = next(iter(sgm.seq_data))
+        seq_data = sgm.seq_data[seq_id]
+        sp = sgm.sampling_params
+        token_ids = seq_data.get_token_ids()
+        seq_len = len(token_ids)
+        computed = seq_data.get_num_computed_tokens()
+        chunk = sgm.token_chunk_size
+        end = computed + chunk
+
+        # Prefix-cache hit: skip tokens whose blocks are already computed
+        # (reference model_runner.py:465-483). Keep >= 1 query token.
+        start = computed
+        if sgm.computed_block_nums:
+            cached_tokens = len(sgm.computed_block_nums) * self.block_size
+            start = max(start, min(cached_tokens, end - 1))
+
+        q_tokens = token_ids[start:end]
+        S = len(q_tokens)
+        s_pad = self.scheduler_config.pad_prefill_len(S)
+
+        table = sgm.block_tables[seq_id]
+        tokens = np.zeros((s_pad, ), np.int32)
+        tokens[:S] = q_tokens
+        positions = np.zeros((s_pad, ), np.int32)
+        positions[:S] = np.arange(start, end, dtype=np.int32)
+        slots = np.full((s_pad, ), -1, np.int32)
+        for j, p in enumerate(range(start, end)):
+            slots[j] = table[p // self.block_size] * self.block_size + \
+                p % self.block_size
+
+        meta = AttentionMetadata(
+            slot_mapping=jnp.asarray(slots),
+            block_tables=jnp.asarray(
+                self._block_table_row(table)[None, :]),
+            context_lens=jnp.asarray([start], np.int32))
+
+        num_logprobs = sp.logprobs or 0
+        want_prompt_lp = sp.prompt_logprobs is not None
+        # best_of > 1: parallel sampling draws best_of tokens from the
+        # prompt's final distribution (host path, then the output processor
+        # forks the children).
+        host = (_needs_host_sampling(sp) or want_prompt_lp
+                or sp.best_of > 1)
+
+        if host:
+            fn = self._get_fn("prefill_logits", 0)
+            new_kv, logits = fn(self.params, cache_engine.kv_caches,
+                                jnp.asarray(tokens), jnp.asarray(positions),
+                                meta)
+            cache_engine.kv_caches = new_kv
+            logits_np = np.asarray(logits[:S], np.float32)
+            prompt_lp = None
+            if want_prompt_lp and start == 0:
+                prompt_lp = host_sampler.prompt_logprobs_from_logits(
+                    logits_np, token_ids[:end], sp.prompt_logprobs)
+            if not sgm.do_sample:
+                return CompletionSequenceGroupOutput(
+                    samples=[], prompt_logprobs=prompt_lp)
+            samples = []
+            for j in range(sp.best_of):
+                token, lp = host_sampler.sample_row(
+                    logits_np[S - 1], sp, seq_data.prompt_token_ids,
+                    seq_data.output_token_ids,
+                    eos_token_id=None,
+                    step_seed=seq_data.get_len() * (j + 1) + j,
+                    num_logprobs=num_logprobs)
+                samples.append(SequenceOutput(seq_id, token, lp))
+            return CompletionSequenceGroupOutput(
+                samples=samples, prompt_logprobs=prompt_lp)
+
+        nlp = self.max_logprobs if num_logprobs else 0
+        fn = self._get_fn("prefill_sample", nlp)
+        samp = self._samp_tensors([(sgm, seq_id)], [seq_data.get_len()])
+        new_kv, out = fn(self.params, cache_engine.kv_caches,
+                         jnp.asarray(tokens), jnp.asarray(positions), meta,
+                         jnp.int32(S - 1), samp)
+        cache_engine.kv_caches = new_kv
+        if not sgm.do_sample:
+            return CompletionSequenceGroupOutput(samples=[])
+        tid, chosen, tv, ti = jax.device_get(out)
+        lp = self._logprob_dict(int(tid[0]), float(chosen[0]),
+                                tv[0] if nlp else None,
+                                ti[0] if nlp else None, num_logprobs)
+        return CompletionSequenceGroupOutput(
+            samples=[SequenceOutput(seq_id, int(tid[0]), lp)])
+
+    # --- decode -----------------------------------------------------------------
+    def _execute_decode(self, sgms: List[SequenceGroupMetadata],
+                        cache_engine: CacheEngine
+                        ) -> List[CompletionSequenceGroupOutput]:
+        rows: List[Tuple[SequenceGroupMetadata, int]] = []
+        for sgm in sgms:
+            for seq_id in sgm.seq_data:
+                rows.append((sgm, seq_id))
+        B = len(rows)
+        b_pad = self.scheduler_config.pad_decode_batch(B)
+
+        tokens = np.zeros((b_pad, ), np.int32)
+        positions = np.zeros((b_pad, ), np.int32)
+        slots = np.full((b_pad, ), -1, np.int32)
+        ctx_lens = np.ones((b_pad, ), np.int32)
+        tables = np.zeros((b_pad, self.max_blocks_per_seq), np.int32)
+        step_idxs = []
+        for i, (sgm, seq_id) in enumerate(rows):
+            data = sgm.seq_data[seq_id]
+            seq_len = data.get_len()
+            tokens[i] = data.get_last_token_id()
+            positions[i] = seq_len - 1
+            table = sgm.block_tables[seq_id]
+            slots[i] = table[(seq_len - 1) // self.block_size] * \
+                self.block_size + (seq_len - 1) % self.block_size
+            ctx_lens[i] = seq_len
+            tables[i] = self._block_table_row(table)
+            step_idxs.append(seq_len)
+
+        meta = AttentionMetadata(slot_mapping=jnp.asarray(slots),
+                                 block_tables=jnp.asarray(tables),
+                                 context_lens=jnp.asarray(ctx_lens))
+
+        host = any(_needs_host_sampling(sgm.sampling_params)
+                   for sgm, _ in rows)
+        any_logprobs = any((sgm.sampling_params.logprobs or 0) > 0
+                           for sgm, _ in rows)
+
+        if host:
+            fn = self._get_fn("decode_logits", 0)
+            new_kv, logits = fn(self.params, cache_engine.kv_caches,
+                                jnp.asarray(tokens), jnp.asarray(positions),
+                                meta)
+            cache_engine.kv_caches = new_kv
+            logits_np = np.asarray(logits[:B], np.float32)
+            results = []
+            for i, (sgm, seq_id) in enumerate(rows):
+                data = sgm.seq_data[seq_id]
+                token, lp = host_sampler.sample_row(
+                    logits_np[i], sgm.sampling_params,
+                    data.prompt_token_ids, data.output_token_ids,
+                    step_seed=data.get_len(),
+                    num_logprobs=sgm.sampling_params.logprobs or 0)
+                results.append((seq_id, token, lp))
+        else:
+            nlp = self.max_logprobs if any_logprobs else 0
+            fn = self._get_fn("decode_sample", nlp)
+            pad_rows = rows + [rows[-1]] * (b_pad - B)
+            samp = self._samp_tensors(pad_rows,
+                                      step_idxs + [0] * (b_pad - B))
+            new_kv, out = fn(self.params, cache_engine.kv_caches,
+                             jnp.asarray(tokens), jnp.asarray(positions),
+                             meta, samp)
+            cache_engine.kv_caches = new_kv
+            tid, chosen, tv, ti = jax.device_get(out)
+            results = []
+            for i, (sgm, seq_id) in enumerate(rows):
+                num_lp = sgm.sampling_params.logprobs or 0
+                lp = self._logprob_dict(int(tid[i]), float(chosen[i]),
+                                        tv[i] if nlp else None,
+                                        ti[i] if nlp else None, num_lp)
+                results.append((seq_id, int(tid[i]), lp))
+
+        # Group rows back into per-seq-group outputs.
+        out_list: List[CompletionSequenceGroupOutput] = []
+        r = 0
+        for sgm in sgms:
+            samples = []
+            for seq_id in sgm.seq_data:
+                rid, token, lp = results[r]
+                assert rid == seq_id
+                samples.append(SequenceOutput(seq_id, token, lp))
+                r += 1
+            out_list.append(CompletionSequenceGroupOutput(samples=samples))
+        return out_list

@@ -1,0 +1,138 @@
+"""TPU worker: owns the model runner + cache engine on one host
+(analogue of reference vllm/worker/worker.py + tpu_worker.py)."""
+import os
+from typing import List, Optional, Tuple
+
+import jax
+
+from neural_magic_vllm_tpu import envs
+from neural_magic_vllm_tpu.logger import init_logger
+from neural_magic_vllm_tpu.sequence import ExecuteModelRequest, SamplerOutput
+from neural_magic_vllm_tpu.utils import cdiv
+from neural_magic_vllm_tpu.worker.cache_engine import (
+    CacheEngine, get_kv_cache_dtype, kv_cache_bytes_per_block)
+from neural_magic_vllm_tpu.worker.model_runner import TPUModelRunner
+
+logger = init_logger(__name__)
+
+_DEFAULT_CPU_TEST_BLOCKS = 512
+
+
+class Worker:
+
+    def __init__(self, model_config, cache_config, scheduler_config,
+                 parallel_config, device_config, load_config,
+                 mesh=None) -> None:
+        self.model_config = model_config
+        self.cache_config = cache_config
+        self.scheduler_config = scheduler_config
+        self.parallel_config = parallel_config
+        self.device_config = device_config
+        self.load_config = load_config
+        self.mesh = mesh
+        self.model_runner = TPUModelRunner(model_config, cache_config,
+                                           scheduler_config, parallel_config,
+                                           device_config, load_config, mesh)
+        self.cache_engine: Optional[CacheEngine] = None
+
+    # --- init ------------------------------------------------------------------
+    def init_device(self) -> None:
+        # Persistent XLA compile cache (reference tpu_worker.py:101):
+        # first-run warmup compiles are reused across restarts.
+        if jax.default_backend() in ("tpu", "axon"):
+            cache_dir = envs.NMV_TPU_XLA_CACHE_PATH
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                from jax.experimental.compilation_cache import \
+                    compilation_cache
+                compilation_cache.set_cache_dir(cache_dir)
+            except Exception as e:  # pragma: no cover
+                logger.warning("Could not set XLA compile cache: %s", e)
+
+    def load_model(self) -> None:
+        self.model_runner.load_model()
+
+    # --- memory profiling -------------------------------------------------------
+    def _block_bytes(self) -> int:
+        kv_dtype = get_kv_cache_dtype(self.cache_config.cache_dtype,
+                                      self.model_config.dtype)
+        return kv_cache_bytes_per_block(
+            self.cache_config.block_size,
+            self.model_config.get_num_kv_heads(self.parallel_config),
+            self.model_config.get_head_size(),
+            self.model_config.get_num_layers(self.parallel_config),
+            kv_dtype)
+
+    def determine_num_available_blocks(self) -> Tuple[int, int]:
+        """Profile a worst-case prefill and size the KV cache from leftover
+        HBM (reference worker.py:155-198 / tpu_worker.py:107-141)."""
+        block_bytes = self._block_bytes()
+        num_cpu_blocks = int(self.cache_config.swap_space_bytes //
+                             block_bytes)
+        override = self.cache_config.num_gpu_blocks_override
+        if override is not None:
+            return override, num_cpu_blocks
+
+        dev = jax.devices()[0]
+        stats = dev.memory_stats() if hasattr(dev, "memory_stats") else None
+        if not stats or "bytes_limit" not in stats:
+            logger.info("No device memory stats (CPU backend?); using "
+                        "default %d device blocks", _DEFAULT_CPU_TEST_BLOCKS)
+            return _DEFAULT_CPU_TEST_BLOCKS, num_cpu_blocks
+
+        peak = self.model_runner.profile_peak_bytes()
+        total = int(stats["bytes_limit"])
+        usable = int(total * self.cache_config.hbm_utilization) - peak
+        num_blocks = max(usable // block_bytes, 0)
+        # round down to a multiple of 8 (reference tpu_worker.py:135)
+        num_blocks = (num_blocks // 8) * 8
+        logger.info(
+            "HBM total=%.2fGiB peak=%.2fGiB -> %d KV blocks "
+            "(%d tokens), %d CPU swap blocks", total / 2**30, peak / 2**30,
+            num_blocks, num_blocks * self.cache_config.block_size,
+            num_cpu_blocks)
+        return num_blocks, num_cpu_blocks
+
+    def initialize_cache(self, num_gpu_blocks: int,
+                         num_cpu_blocks: int) -> None:
+        self.cache_config.num_gpu_blocks = num_gpu_blocks
+        self.cache_config.num_cpu_blocks = num_cpu_blocks
+        kv_dtype = get_kv_cache_dtype(self.cache_config.cache_dtype,
+                                      self.model_config.dtype)
+        self.cache_engine = CacheEngine(
+            num_layers=self.model_config.get_num_layers(
+                self.parallel_config),
+            num_kv_heads=self.model_config.get_num_kv_heads(
+                self.parallel_config),
+            head_dim=self.model_config.get_head_size(),
+            block_size=self.cache_config.block_size,
+            num_device_blocks=num_gpu_blocks,
+            num_cpu_blocks=num_cpu_blocks,
+            kv_dtype=kv_dtype)
+        if self.mesh is not None:
+            sharding = self.model_runner.kv_sharding()
+            self.cache_engine.kv_caches = jax.device_put(
+                self.cache_engine.kv_caches, sharding)
+        warm = not self.model_config.enforce_eager
+        if warm and jax.default_backend() in ("tpu", "axon"):
+            self.model_runner.warmup(self.cache_engine, full=False)
+
+    # --- execution ---------------------------------------------------------------
+    def execute_model(
+            self,
+            req: ExecuteModelRequest) -> List[SamplerOutput]:
+        assert self.cache_engine is not None
+        if req.blocks_to_swap_out:
+            self.cache_engine.swap_out(req.blocks_to_swap_out)
+        if req.blocks_to_swap_in:
+            self.cache_engine.swap_in(req.blocks_to_swap_in)
+        if req.blocks_to_copy:
+            self.cache_engine.copy(req.blocks_to_copy)
+        if not req.seq_group_metadata_list:
+            return []
+        output = self.model_runner.execute_model(
+            req.seq_group_metadata_list, self.cache_engine)
+        return [output]
+
+    def check_health(self) -> None:
+        return  # in-process worker is alive by construction

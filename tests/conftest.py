@@ -6,11 +6,19 @@ dry-runs the multi-chip path; see __graft_entry__.py).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the sandbox's axon TPU plugin registers itself as platform
+# "tpu" and ignores the JAX_PLATFORMS env var, so pin via jax.config too.
+# Tests run on an 8-virtual-device CPU mesh so multi-chip sharding logic is
+# exercised without TPU hardware.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
