@@ -259,6 +259,7 @@ class SchedulerConfig:
         preemption_mode: Optional[str] = None,
         min_prefill_bucket: int = 16,
         min_decode_bucket: int = 8,
+        num_scheduler_steps: int = 1,
     ) -> None:
         if max_num_batched_tokens is None:
             if enable_chunked_prefill:
@@ -280,6 +281,13 @@ class SchedulerConfig:
         self.preemption_mode = preemption_mode
         self.min_prefill_bucket = min_prefill_bucket
         self.min_decode_bucket = min_decode_bucket
+        # Multi-step decode: K decode iterations fused into one device
+        # dispatch (in-graph token feedback), amortizing host latency.
+        # Lookahead slots keep the block tables valid K tokens ahead.
+        self.num_scheduler_steps = max(1, num_scheduler_steps)
+        if self.num_scheduler_steps > 1:
+            self.num_lookahead_slots = max(self.num_lookahead_slots,
+                                           self.num_scheduler_steps - 1)
 
     # --- static-shape bucket lattice --------------------------------------
     def prefill_buckets(self) -> List[int]:

@@ -322,7 +322,8 @@ class PagedBlockSpaceManager(BlockSpaceManager):
                      num_lookahead_slots: int = 0) -> List[Tuple[int, int]]:
         """Allocate a slot for seq's newly appended token(s). Returns
         (src_block, dst_block) copy-on-write pairs."""
-        logical_blocks_needed = cdiv(seq.get_len(), self.block_size)
+        logical_blocks_needed = cdiv(seq.get_len() + num_lookahead_slots,
+                                     self.block_size)
         block_table = self.block_tables[seq.seq_id]
 
         # Grow the table if new logical blocks are needed (decode adds at

@@ -45,6 +45,7 @@ class EngineArgs:
     max_logprobs: int = 20
     enable_chunked_prefill: bool = False
     num_lookahead_slots: int = 0
+    num_scheduler_steps: int = 1
     scheduler_delay_factor: float = 0.0
     preemption_mode: Optional[str] = None
     # model
@@ -153,6 +154,7 @@ class EngineArgs:
             max_model_len=model_config.max_model_len,
             num_lookahead_slots=(self.num_speculative_tokens
                                  or self.num_lookahead_slots),
+            num_scheduler_steps=self.num_scheduler_steps,
             delay_factor=self.scheduler_delay_factor,
             enable_chunked_prefill=self.enable_chunked_prefill,
             preemption_mode=self.preemption_mode,

@@ -217,16 +217,20 @@ class LLMEngine:
         now = time.time()
         request_outputs: List[RequestOutput] = []
 
-        if outputs:
-            sampler_output = outputs[0]
+        # outputs is one SamplerOutput per fused device step (len > 1 on
+        # the multi-step decode path); append tokens round by round so stop
+        # conditions cut off over-generated tail tokens.
+        for step_i, sampler_output in enumerate(outputs):
             assert len(sampler_output.outputs) == len(
                 scheduler_outputs.scheduled_seq_groups)
             for scheduled, group_output in zip(
                     scheduler_outputs.scheduled_seq_groups,
                     sampler_output.outputs):
                 seq_group = scheduled.seq_group
+                if seq_group.is_finished():
+                    continue
                 seq_group.update_num_computed_tokens(
-                    scheduled.token_chunk_size)
+                    scheduled.token_chunk_size if step_i == 0 else 1)
                 self.output_processor.process_outputs(seq_group,
                                                       group_output)
                 seq_group.maybe_set_first_token_time(now)
@@ -242,14 +246,16 @@ class LLMEngine:
 
         if self.stat_logger is not None:
             self.stat_logger.log(
-                self._get_stats(scheduler_outputs, request_outputs))
+                self._get_stats(scheduler_outputs, request_outputs,
+                                num_steps=max(1, len(outputs))))
         if self.tracer is not None:
             self._emit_traces(request_outputs)
         return request_outputs
 
     # --- stats / tracing -----------------------------------------------------------
     def _get_stats(self, scheduler_outputs: SchedulerOutputs,
-                   request_outputs: List[RequestOutput]) -> Stats:
+                   request_outputs: List[RequestOutput],
+                   num_steps: int = 1) -> Stats:
         now = time.time()
         num_prompt_tokens = 0
         num_generation_tokens = 0
@@ -261,7 +267,8 @@ class LLMEngine:
             if sg.is_prefill():
                 num_prompt_tokens += scheduled.token_chunk_size
             else:
-                num_generation_tokens += scheduled.token_chunk_size
+                num_generation_tokens += scheduled.token_chunk_size * \
+                    num_steps
             m = sg.metrics
             if m.first_token_time and sg.num_seqs() and \
                     sg.get_seqs()[0].get_output_len() == 1:

@@ -21,8 +21,9 @@ from jax.sharding import PartitionSpec as P
 class LinearMethod:
     """Strategy interface (reference LinearMethodBase, linear.py:69)."""
 
-    def create_params(self, rng, in_features: int, out_features: int,
-                      dtype, use_bias: bool) -> Dict[str, Any]:
+    def create_params(self, rng: np.random.Generator, in_features: int,
+                      out_features: int, use_bias: bool) -> Dict[str, Any]:
+        """Host-side (numpy) random init; dtype cast happens at device_put."""
         raise NotImplementedError
 
     def param_specs(self, partition: str,
@@ -40,15 +41,13 @@ class UnquantizedLinearMethod(LinearMethod):
     """bf16/fp32 dense matmul (reference UnquantizedLinearMethod,
     linear.py:103)."""
 
-    def create_params(self, rng, in_features, out_features, dtype,
-                      use_bias):
+    def create_params(self, rng, in_features, out_features, use_bias):
         scale = 1.0 / np.sqrt(in_features)
-        w = jax.random.uniform(rng, (in_features, out_features),
-                               dtype=jnp.float32, minval=-scale,
-                               maxval=scale).astype(dtype)
+        w = rng.uniform(-scale, scale,
+                        (in_features, out_features)).astype(np.float32)
         params = {"weight": w}
         if use_bias:
-            params["bias"] = jnp.zeros((out_features, ), dtype=dtype)
+            params["bias"] = np.zeros((out_features, ), np.float32)
         return params
 
     def param_specs(self, partition, use_bias):

@@ -108,13 +108,22 @@ class RotaryEmbedding:
                 inv_freq = new_freq
         self.inv_freq = inv_freq
 
+    def precompute(self, positions: jax.Array
+                   ) -> Tuple[jax.Array, jax.Array]:
+        """positions [T] -> (cos, sin) [T, rd/2]; computed once per step and
+        reused by every layer (the layers run under lax.scan)."""
+        freqs = positions.astype(jnp.float32)[:, None] * \
+            self.inv_freq[None, :]
+        return jnp.cos(freqs) * self.mscale, jnp.sin(freqs) * self.mscale
+
     def __call__(self, positions: jax.Array, q: jax.Array,
                  k: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """positions: [T]; q: [T, nqh, hd]; k: [T, kvh, hd]."""
-        freqs = positions.astype(jnp.float32)[:, None] * \
-            self.inv_freq[None, :]  # [T, rd/2]
-        cos = jnp.cos(freqs) * self.mscale
-        sin = jnp.sin(freqs) * self.mscale
+        cos, sin = self.precompute(positions)
+        return self.apply(cos, sin, q, k)
+
+    def apply(self, cos: jax.Array, sin: jax.Array, q: jax.Array,
+              k: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
         def rotate(x):
             dtype = x.dtype

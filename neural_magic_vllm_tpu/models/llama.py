@@ -1,10 +1,14 @@
 """Llama-family decoder (Llama 2/3, Mistral, TinyLlama).
 
 Capability parity with the reference vllm/model_executor/models/llama.py,
-re-designed for TPU: pure-functional forward over a param pytree, paged KV
-caches threaded through and donated, TP expressed as PartitionSpecs on params
-(GSPMD inserts the all-reduces the reference does explicitly in
-RowParallelLinear).
+re-designed for TPU:
+- pure-functional forward over a param pytree; paged KV caches threaded
+  through and donated.
+- layers run under ``lax.scan`` over STACKED layer params (leading axis =
+  layer), so XLA traces one layer regardless of depth — compile time stays
+  flat where the reference re-captures CUDA graphs per shape.
+- TP is PartitionSpecs on params (GSPMD inserts the all-reduces the
+  reference codes by hand in RowParallelLinear, linear.py:690).
 """
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -19,21 +23,30 @@ from neural_magic_vllm_tpu.layers.attention import Attention, \
 from neural_magic_vllm_tpu.layers.linear import (LinearMethod,
                                                  UnquantizedLinearMethod,
                                                  get_linear_method)
-from neural_magic_vllm_tpu.layers.norm import fused_add_rms_norm, rms_norm
+from neural_magic_vllm_tpu.layers.norm import rms_norm
 from neural_magic_vllm_tpu.layers.rotary import get_rope
 from neural_magic_vllm_tpu.models import register_model
 from neural_magic_vllm_tpu.ops.kv_cache import KVCache
 
 
+def stack_layer_params(layers: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """List of per-layer param dicts -> one dict of arrays with a leading
+    layer axis (scan xs)."""
+    out = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *layers)
+    return out
+
+
 @register_model("LlamaForCausalLM", "LLaMAForCausalLM",
                 "MistralForCausalLM")
 class LlamaForCausalLM:
-    """Functional model definition. Params are a plain pytree; all methods
-    are trace-safe and called under jit by the model runner."""
+    """Functional model definition. Params are a plain pytree with
+    params["layers"] holding layer-stacked arrays."""
 
-    # Subclass knobs (qwen2 sets qkv_bias=True, etc.)
+    # Subclass knobs (qwen2 sets qkv_bias=True, gemma sets offsets/scale).
     qkv_bias = False
     tie_word_embeddings_default = False
+    norm_weight_offset = 0.0
+    scale_embeddings = False
 
     def __init__(self, model_config, parallel_config=None,
                  quant_config=None) -> None:
@@ -69,70 +82,76 @@ class LlamaForCausalLM:
                               sliding_window=self.sliding_window)
 
     # --- params ---------------------------------------------------------------
-    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
-        """Random init (DummyModelLoader analogue, loader.py:309)."""
+    def _init_layer(self, rng: np.random.Generator) -> Dict[str, Any]:
         lm = self.linear_method
-        keys = jax.random.split(rng, self.num_layers + 3)
         H, I = self.hidden_size, self.intermediate_size
         nh, kvh, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        return {
+            "input_norm": np.ones((H, ), np.float32),
+            "post_norm": np.ones((H, ), np.float32),
+            "q": lm.create_params(rng, H, nh * hd, self.qkv_bias),
+            "k": lm.create_params(rng, H, kvh * hd, self.qkv_bias),
+            "v": lm.create_params(rng, H, kvh * hd, self.qkv_bias),
+            "o": lm.create_params(rng, nh * hd, H, False),
+            "gate": lm.create_params(rng, H, I, False),
+            "up": lm.create_params(rng, H, I, False),
+            "down": lm.create_params(rng, I, H, False),
+        }
 
-        def layer_params(key):
-            ks = jax.random.split(key, 7)
-            return {
-                "input_norm": jnp.ones((H, ), self.dtype),
-                "post_norm": jnp.ones((H, ), self.dtype),
-                "q": lm.create_params(ks[0], H, nh * hd, self.dtype,
-                                      self.qkv_bias),
-                "k": lm.create_params(ks[1], H, kvh * hd, self.dtype,
-                                      self.qkv_bias),
-                "v": lm.create_params(ks[2], H, kvh * hd, self.dtype,
-                                      self.qkv_bias),
-                "o": lm.create_params(ks[3], nh * hd, H, self.dtype, False),
-                "gate": lm.create_params(ks[4], H, I, self.dtype, False),
-                "up": lm.create_params(ks[5], H, I, self.dtype, False),
-                "down": lm.create_params(ks[6], I, H, self.dtype, False),
-            }
-
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
+        """Random init (DummyModelLoader analogue, loader.py:309). Built
+        host-side with numpy — per-tensor jax.random dispatches through a
+        device tunnel are pathologically slow for large models."""
+        H = self.hidden_size
+        seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1]) \
+            if hasattr(rng, "dtype") and rng.dtype.kind == "V" else \
+            int(np.asarray(rng).ravel()[-1])
+        nprng = np.random.default_rng(seed)
+        layers = [self._init_layer(nprng) for _ in range(self.num_layers)]
         params = {
             "embed":
-            jax.random.normal(keys[0], (self.vocab_size, H),
-                              self.dtype) * 0.02,
-            "layers": [layer_params(keys[i + 1])
-                       for i in range(self.num_layers)],
-            "final_norm": jnp.ones((H, ), self.dtype),
+            (nprng.standard_normal(
+                (self.vocab_size, H)) * 0.02).astype(np.float32),
+            "layers": stack_layer_params(layers),
+            "final_norm": np.ones((H, ), np.float32),
         }
         if not self.tie_embeddings:
-            params["lm_head"] = jax.random.normal(
-                keys[-1], (H, self.vocab_size), self.dtype) * 0.02
-        return params
+            params["lm_head"] = (nprng.standard_normal(
+                (H, self.vocab_size)) * 0.02).astype(np.float32)
+        else:
+            params["lm_head"] = params["embed"].T.copy()
+        return jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype=self.dtype), params)
+
+    def _layer_specs(self) -> Dict[str, Any]:
+        lm = self.linear_method
+        return {
+            "input_norm": P(None),
+            "post_norm": P(None),
+            "q": lm.param_specs("column", self.qkv_bias),
+            "k": lm.param_specs("column", self.qkv_bias),
+            "v": lm.param_specs("column", self.qkv_bias),
+            "o": lm.param_specs("row", False),
+            "gate": lm.param_specs("column", False),
+            "up": lm.param_specs("column", False),
+            "down": lm.param_specs("row", False),
+        }
 
     def param_specs(self) -> Dict[str, Any]:
-        """PartitionSpec tree parallel to params (TP over the "model" mesh
-        axis: column-parallel q/k/v/gate/up, row-parallel o/down, vocab-
-        sharded embedding/lm_head, reference linear.py:227,690)."""
-        lm = self.linear_method
-
-        def layer_specs():
-            return {
-                "input_norm": P(None),
-                "post_norm": P(None),
-                "q": lm.param_specs("column", self.qkv_bias),
-                "k": lm.param_specs("column", self.qkv_bias),
-                "v": lm.param_specs("column", self.qkv_bias),
-                "o": lm.param_specs("row", False),
-                "gate": lm.param_specs("column", False),
-                "up": lm.param_specs("column", False),
-                "down": lm.param_specs("row", False),
-            }
-
-        specs = {
+        """PartitionSpec tree parallel to params. Layer-stacked arrays get a
+        leading None (layer) axis on each per-layer spec. TP over the
+        "model" mesh axis: column-parallel q/k/v/gate/up, row-parallel
+        o/down, vocab-sharded embedding/lm_head
+        (reference linear.py:227,690; vocab_parallel_embedding.py:128)."""
+        layer = jax.tree_util.tree_map(
+            lambda s: P(None, *s), self._layer_specs(),
+            is_leaf=lambda x: isinstance(x, P))
+        return {
             "embed": P("model", None),
-            "layers": [layer_specs() for _ in range(self.num_layers)],
+            "layers": layer,
             "final_norm": P(None),
+            "lm_head": P(None, "model"),
         }
-        if not self.tie_embeddings:
-            specs["lm_head"] = P(None, "model")
-        return specs
 
     # --- HF checkpoint loading -------------------------------------------------
     # (name mapping analogue of reference llama.py load_weights:433-488)
@@ -146,45 +165,57 @@ class LlamaForCausalLM:
         "mlp.down_proj": "down",
     }
 
+    def _load_into_layers(self, layers: List[Dict], name: str,
+                          w: np.ndarray, params: Dict[str, Any]) -> bool:
+        if name == "model.embed_tokens.weight":
+            params["embed"] = w
+        elif name == "model.norm.weight":
+            params["final_norm"] = w
+        elif name == "lm_head.weight":
+            params["lm_head"] = w.T.copy()
+        elif name.startswith("model.layers."):
+            parts = name.split(".")
+            idx = int(parts[2])
+            sub = ".".join(parts[3:-1])
+            kind = parts[-1]  # weight | bias
+            layer = layers[idx]
+            if sub == "input_layernorm":
+                layer["input_norm"] = w
+            elif sub == "post_attention_layernorm":
+                layer["post_norm"] = w
+            elif sub in self._HF_LINEARS:
+                tgt = layer.setdefault(self._HF_LINEARS[sub], {})
+                tgt["weight" if kind == "weight" else "bias"] = \
+                    w.T.copy() if kind == "weight" else w
+            else:
+                return False
+        else:
+            return False
+        return True
+
+    def _finalize_layers(self, layers: List[Dict]) -> None:
+        """Post-load hook (MoE models stack expert tensors here)."""
+
     def load_params(self, model_dir: str) -> Dict[str, Any]:
         from neural_magic_vllm_tpu.models.weight_utils import \
             iterate_safetensors
-        np_dtype = np.float32
-        params: Dict[str, Any] = {
-            "layers": [dict() for _ in range(self.num_layers)]
-        }
+        params: Dict[str, Any] = {}
+        layers: List[Dict] = [dict() for _ in range(self.num_layers)]
         for name, w in iterate_safetensors(model_dir):
-            if name == "model.embed_tokens.weight":
-                params["embed"] = w.astype(np_dtype)
-            elif name == "model.norm.weight":
-                params["final_norm"] = w.astype(np_dtype)
-            elif name == "lm_head.weight":
-                params["lm_head"] = w.T.astype(np_dtype)
-            elif name.startswith("model.layers."):
-                parts = name.split(".")
-                idx = int(parts[2])
-                sub = ".".join(parts[3:-1])
-                kind = parts[-1]  # weight | bias
-                layer = params["layers"][idx]
-                if sub == "input_layernorm":
-                    layer["input_norm"] = w.astype(np_dtype)
-                elif sub == "post_attention_layernorm":
-                    layer["post_norm"] = w.astype(np_dtype)
-                elif sub in self._HF_LINEARS:
-                    tgt = layer.setdefault(self._HF_LINEARS[sub], {})
-                    if kind == "weight":
-                        tgt["weight"] = w.T.astype(np_dtype)
-                    else:
-                        tgt["bias"] = w.astype(np_dtype)
-        if self.tie_embeddings and "lm_head" not in params:
+            self._load_into_layers(layers, name, w, params)
+        if self.tie_embeddings or "lm_head" not in params:
             params["lm_head"] = params["embed"].T.copy()
-            self.tie_embeddings = False  # materialized
+        self._finalize_layers(layers)
+        params["layers"] = stack_layer_params(layers)
         return jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, dtype=self.dtype), params)
 
     # --- forward -----------------------------------------------------------------
     def embed_tokens(self, params, token_ids: jax.Array) -> jax.Array:
-        return jnp.take(params["embed"], token_ids, axis=0)
+        x = jnp.take(params["embed"], token_ids, axis=0)
+        if self.scale_embeddings:
+            x = x * jnp.asarray(self.hidden_size**0.5, x.dtype)
+        return x
 
     def _mlp(self, lp, x):
         lm = self.linear_method
@@ -192,54 +223,55 @@ class LlamaForCausalLM:
         up = lm.apply(lp["up"], x)
         return lm.apply(lp["down"], silu_and_mul(gate, up))
 
+    def _layer(self, lp, res, rope_cos, rope_sin, k_cache, v_cache, meta,
+               is_prefill: bool):
+        lm = self.linear_method
+        off = self.norm_weight_offset
+        T = res.shape[0]
+        normed = rms_norm(res, lp["input_norm"], self.rms_eps, off)
+        q = lm.apply(lp["q"], normed).reshape(T, self.num_heads,
+                                              self.head_dim)
+        k = lm.apply(lp["k"], normed).reshape(T, self.num_kv_heads,
+                                              self.head_dim)
+        v = lm.apply(lp["v"], normed).reshape(T, self.num_kv_heads,
+                                              self.head_dim)
+        q, k = self.rope.apply(rope_cos, rope_sin, q, k)
+        attn_out, new_cache = self.attn(q, k, v, (k_cache, v_cache), meta,
+                                        is_prefill=is_prefill)
+        attn_out = lm.apply(
+            lp["o"], attn_out.reshape(T, self.num_heads * self.head_dim))
+        res = res + attn_out
+        normed2 = rms_norm(res, lp["post_norm"], self.rms_eps, off)
+        res = res + self._mlp(lp, normed2)
+        return res, new_cache
+
     def forward(
         self,
         params: Dict[str, Any],
         token_ids: jax.Array,  # [T]
         positions: jax.Array,  # [T]
-        kv_caches: List[KVCache],
+        kv_caches: KVCache,  # (k_stack [L,kvh,nb,bs,hd], v_stack)
         meta: AttentionMetadata,
         *,
         is_prefill: bool,
-    ) -> Tuple[jax.Array, List[KVCache]]:
-        lm = self.linear_method
-        T = token_ids.shape[0]
+    ) -> Tuple[jax.Array, KVCache]:
+        k_stack, v_stack = kv_caches
         x = self.embed_tokens(params, token_ids)
-        residual = jnp.zeros_like(x)
-        new_caches: List[KVCache] = []
-        h = x
-        # first layer norm is not fused with a residual add
-        for i, lp in enumerate(params["layers"]):
-            if i == 0:
-                normed = rms_norm(h, lp["input_norm"], self.rms_eps)
-                residual = h
-            else:
-                normed, residual = fused_add_rms_norm(
-                    h, residual, lp["input_norm"], self.rms_eps)
-            q = lm.apply(lp["q"], normed).reshape(T, self.num_heads,
-                                                  self.head_dim)
-            k = lm.apply(lp["k"], normed).reshape(T, self.num_kv_heads,
-                                                  self.head_dim)
-            v = lm.apply(lp["v"], normed).reshape(T, self.num_kv_heads,
-                                                  self.head_dim)
-            q, k = self.rope(positions, q, k)
-            attn_out, new_cache = self.attn(q, k, v, kv_caches[i], meta,
-                                            is_prefill=is_prefill)
-            new_caches.append(new_cache)
-            attn_out = lm.apply(lp["o"],
-                                attn_out.reshape(T,
-                                                 self.num_heads *
-                                                 self.head_dim))
-            normed2, residual = fused_add_rms_norm(attn_out, residual,
-                                                   lp["post_norm"],
-                                                   self.rms_eps)
-            h = self._mlp(lp, normed2)
-        final, _ = fused_add_rms_norm(h, residual, params["final_norm"],
-                                      self.rms_eps)
-        return final, new_caches
+        rope_cos, rope_sin = self.rope.precompute(positions)
+
+        def body(res, xs):
+            lp, k_c, v_c = xs
+            res, (new_k, new_v) = self._layer(lp, res, rope_cos, rope_sin,
+                                              k_c, v_c, meta, is_prefill)
+            return res, (new_k, new_v)
+
+        res, (new_k, new_v) = jax.lax.scan(
+            body, x, (params["layers"], k_stack, v_stack))
+        final = rms_norm(res, params["final_norm"], self.rms_eps,
+                         self.norm_weight_offset)
+        return final, (new_k, new_v)
 
     def compute_logits(self, params, hidden: jax.Array) -> jax.Array:
         """[T, H] -> [T, V] fp32 (reference LogitsProcessor)."""
-        lm_head = params["lm_head"]
-        return jnp.dot(hidden, lm_head,
+        return jnp.dot(hidden, params["lm_head"],
                        preferred_element_type=jnp.float32)

@@ -49,30 +49,7 @@ def write_kv(
     return k_flat.reshape(k_cache.shape), v_flat.reshape(v_cache.shape)
 
 
-def copy_blocks(kv_caches: List[KVCache],
-                src_dst: jax.Array) -> List[KVCache]:
-    """Batched copy-on-write block copies (reference copy_blocks,
-    csrc/cache_kernels.cu). src_dst: [N, 2] int32; rows with src < 0 are
-    no-ops (padding), implemented by clamping dst to an OOB index that
-    mode="drop" discards."""
-    if src_dst.shape[0] == 0:
-        return kv_caches
-    nb = kv_caches[0][0].shape[1]
-    src = src_dst[:, 0]
-    dst = jnp.where(src < 0, nb, src_dst[:, 1])  # nb = OOB -> dropped
-    src = jnp.maximum(src, 0)
-    out = []
-    for k_cache, v_cache in kv_caches:
-        k_cache = k_cache.at[:, dst].set(k_cache[:, src], mode="drop")
-        v_cache = v_cache.at[:, dst].set(v_cache[:, src], mode="drop")
-        out.append((k_cache, v_cache))
-    return out
-
-
-# jitted with donation so the copies happen in place on device
-_copy_blocks_jit = jax.jit(copy_blocks, donate_argnums=(0, ))
-
-
-def copy_blocks_inplace(kv_caches, src_dst_pairs) -> List[KVCache]:
-    src_dst = jnp.asarray(src_dst_pairs, dtype=jnp.int32).reshape(-1, 2)
-    return _copy_blocks_jit(kv_caches, src_dst)
+# Copy-on-write block copies and swap transfers operate on the
+# layer-stacked caches and live in worker/cache_engine.py
+# (_copy_pages/_gather_pages/_scatter_pages) — the analogues of the
+# reference's copy_blocks/swap_blocks cache kernels (csrc/cache_kernels.cu).

@@ -37,6 +37,16 @@ logger = init_logger(__name__)
 _SAMPLING_EPS = 1e-5
 
 
+def _fold_position(samp: SamplingTensors, positions) -> SamplingTensors:
+    """Derive per-step PRNG keys in-graph: key = (k0, k1 ^ position * odd).
+    Keeps seeded sampling reproducible and identical across single-step and
+    multi-step execution."""
+    k1 = samp.keys[:, 1] ^ (positions.astype(jnp.uint32) *
+                            jnp.uint32(2654435761))
+    keys = jnp.stack([samp.keys[:, 0], k1], axis=1)
+    return samp._replace(keys=keys)
+
+
 def _needs_host_sampling(sp: SamplingParams) -> bool:
     return (bool(sp.logits_processors)
             or abs(sp.presence_penalty) >= _SAMPLING_EPS
@@ -94,10 +104,11 @@ class TPUModelRunner:
         return jax.device_put(params, shardings)
 
     def kv_sharding(self):
+        """KV stacks [L, kvh, nb, bs, hd]: kv-head axis over "model"."""
         if self.mesh is None:
             return None
         from jax.sharding import NamedSharding, PartitionSpec as P
-        return NamedSharding(self.mesh, P("model", None, None, None))
+        return NamedSharding(self.mesh, P(None, "model", None, None, None))
 
     # --- step executables -----------------------------------------------------
     def _get_fn(self, kind: str, num_logprobs: int):
@@ -115,7 +126,10 @@ class TPUModelRunner:
                                                    is_prefill=True)
                 last = jax.lax.dynamic_slice_in_dim(hidden, sample_idx, 1, 0)
                 logits = model.compute_logits(params, last)
-                out = sample(logits, samp, max_logprobs=num_logprobs)
+                pos = jax.lax.dynamic_slice_in_dim(positions, sample_idx, 1,
+                                                   0)
+                out = sample(logits, _fold_position(samp, pos),
+                             max_logprobs=num_logprobs)
                 return new_caches, out
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
@@ -139,8 +153,42 @@ class TPUModelRunner:
                                                    kv_caches, meta,
                                                    is_prefill=False)
                 logits = model.compute_logits(params, hidden)
-                out = sample(logits, samp, max_logprobs=num_logprobs)
+                out = sample(logits, _fold_position(samp, positions),
+                             max_logprobs=num_logprobs)
                 return new_caches, out
+
+            jfn = jax.jit(fn, donate_argnums=(1, ))
+
+        elif kind == "decode_multi":
+            # K fused decode iterations: sampled tokens feed the next
+            # iteration in-graph; ONE host round trip per K tokens/seq.
+            # This is the TPU answer to host-latency amortization (the
+            # reference's multi-step scheduling / CUDA-graph trick).
+            K, nlp = num_logprobs
+            bs = self.block_size
+
+            def fn(params, kv_caches, tokens, positions, tables, valid,
+                   samp):
+
+                def body(carry, _):
+                    kv, toks, pos = carry
+                    blk = jnp.take_along_axis(tables, (pos // bs)[:, None],
+                                              axis=1)[:, 0]
+                    slots = jnp.where(valid, blk * bs + pos % bs, -1)
+                    meta = AttentionMetadata(slot_mapping=slots,
+                                             block_tables=tables,
+                                             context_lens=pos + 1)
+                    hidden, newkv = model.forward(params, toks, pos, kv,
+                                                  meta, is_prefill=False)
+                    logits = model.compute_logits(params, hidden)
+                    out = sample(logits, _fold_position(samp, pos),
+                                 max_logprobs=nlp)
+                    tid = out[0]
+                    return (newkv, tid, pos + 1), out
+
+                (new_caches, _, _), ys = jax.lax.scan(
+                    body, (kv_caches, tokens, positions), None, length=K)
+                return new_caches, ys
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
@@ -237,7 +285,7 @@ class TPUModelRunner:
                 self.parallel_config), num_kv_heads=kvh, head_dim=hd,
             block_size=self.block_size,
             num_device_blocks=cache_engine_tmp_blocks, num_cpu_blocks=0,
-            kv_dtype=kv_dtype)
+            kv_dtype=kv_dtype, sharding=self.kv_sharding())
         s = self.scheduler_config.prefill_buckets()[-1]
         kv = self._run_dummy_prefill(tmp_engine.kv_caches, s)
         jax.block_until_ready(kv)
@@ -255,22 +303,23 @@ class TPUModelRunner:
         row[:n] = table[:n]
         return row
 
-    def _seq_key(self, sgm: SequenceGroupMetadata, seq_id: int,
-                 step_idx: int) -> np.ndarray:
-        """Per-(request, sequence, step) PRNG key. Seeded requests must be
-        reproducible across runs, so only the seed, the sequence's index
-        WITHIN its group, and the step counter enter the key — never global
-        ids."""
+    def _seq_key(self, sgm: SequenceGroupMetadata,
+                 seq_id: int) -> np.ndarray:
+        """Per-(request, sequence) base PRNG key; the token position is
+        folded in IN-GRAPH (_fold_position), so seeded requests are
+        reproducible across runs and across single/multi-step execution.
+        Only the seed and the sequence's index WITHIN its group enter the
+        key — never global ids."""
         sp = sgm.sampling_params
         seq_index = sorted(sgm.seq_data).index(seq_id)
         if sp.seed is not None:
             k0 = np.uint32(sp.seed & 0xFFFFFFFF)
         else:
             k0 = np.uint32((hash(sgm.request_id) ^ self._salt) & 0xFFFFFFFF)
-        k1 = np.uint32((seq_index * 2654435761 + step_idx) & 0xFFFFFFFF)
+        k1 = np.uint32((seq_index * 97 + 1) & 0xFFFFFFFF)
         return np.array([k0, k1], np.uint32)
 
-    def _samp_tensors(self, sgms_and_seqs, step_idxs) -> SamplingTensors:
+    def _samp_tensors(self, sgms_and_seqs) -> SamplingTensors:
         B = len(sgms_and_seqs)
         temp = np.zeros((B, ), np.float32)
         top_k = np.zeros((B, ), np.int32)
@@ -284,7 +333,7 @@ class TPUModelRunner:
             top_k[i] = sp.top_k if sp.top_k > 0 else V
             top_p[i] = sp.top_p
             min_p[i] = sp.min_p
-            keys[i] = self._seq_key(sgm, seq_id, step_idxs[i])
+            keys[i] = self._seq_key(sgm, seq_id)
         zeros = np.zeros((B, ), np.float32)
         return SamplingTensors(temperature=jnp.asarray(temp),
                                top_k=jnp.asarray(top_k),
@@ -318,13 +367,24 @@ class TPUModelRunner:
         self,
         seq_group_metadata_list: List[SequenceGroupMetadata],
         cache_engine: CacheEngine,
-    ) -> SamplerOutput:
-        group_outputs: Dict[int, CompletionSequenceGroupOutput] = {}
+    ) -> List[SamplerOutput]:
+        """Returns one SamplerOutput per fused step (len > 1 only on the
+        multi-step decode fast path)."""
         prefills = [(i, m) for i, m in enumerate(seq_group_metadata_list)
                     if m.is_prompt]
         decodes = [(i, m) for i, m in enumerate(seq_group_metadata_list)
                    if not m.is_prompt]
 
+        K = self.scheduler_config.num_scheduler_steps
+        if (K > 1 and not prefills and decodes
+                and all(len(m.seq_data) == 1 for _, m in decodes)
+                and not any(
+                    _needs_host_sampling(m.sampling_params)
+                    for _, m in decodes)):
+            return self._execute_decode_multi([m for _, m in decodes],
+                                              cache_engine, K)
+
+        group_outputs: Dict[int, CompletionSequenceGroupOutput] = {}
         for idx, sgm in prefills:
             group_outputs[idx] = self._execute_prefill(sgm, cache_engine)
         if decodes:
@@ -334,9 +394,9 @@ class TPUModelRunner:
                                          cache_engine)):
                 group_outputs[idx] = out
 
-        return SamplerOutput(outputs=[
+        return [SamplerOutput(outputs=[
             group_outputs[i] for i in range(len(seq_group_metadata_list))
-        ])
+        ])]
 
     # --- prefill ---------------------------------------------------------------
     def _execute_prefill(self, sgm: SequenceGroupMetadata,
@@ -414,7 +474,7 @@ class TPUModelRunner:
 
         nlp = self.max_logprobs if num_logprobs else 0
         fn = self._get_fn("prefill_sample", nlp)
-        samp = self._samp_tensors([(sgm, seq_id)], [seq_data.get_len()])
+        samp = self._samp_tensors([(sgm, seq_id)])
         new_kv, out = fn(self.params, cache_engine.kv_caches,
                          jnp.asarray(tokens), jnp.asarray(positions), meta,
                          jnp.int32(S - 1), samp)
@@ -427,6 +487,55 @@ class TPUModelRunner:
                                 ti[0] if nlp else None, num_logprobs)
         return CompletionSequenceGroupOutput(
             samples=[SequenceOutput(seq_id, int(tid[0]), lp)])
+
+    # --- fused multi-step decode --------------------------------------------
+    def _execute_decode_multi(self, sgms: List[SequenceGroupMetadata],
+                              cache_engine: CacheEngine,
+                              K: int) -> List[SamplerOutput]:
+        """K decode iterations in one dispatch (in-graph token feedback).
+        Precondition: single-seq groups, device sampling, lookahead slots
+        already allocated by the scheduler for K-1 extra tokens."""
+        rows = [(sgm, next(iter(sgm.seq_data))) for sgm in sgms]
+        B = len(rows)
+        b_pad = self.scheduler_config.pad_decode_batch(B)
+
+        tokens = np.zeros((b_pad, ), np.int32)
+        positions = np.zeros((b_pad, ), np.int32)
+        valid = np.zeros((b_pad, ), np.bool_)
+        tables = np.zeros((b_pad, self.max_blocks_per_seq), np.int32)
+        for i, (sgm, seq_id) in enumerate(rows):
+            data = sgm.seq_data[seq_id]
+            tokens[i] = data.get_last_token_id()
+            positions[i] = data.get_len() - 1
+            valid[i] = True
+            tables[i] = self._block_table_row(sgm.block_tables[seq_id])
+
+        any_logprobs = any((sgm.sampling_params.logprobs or 0) > 0
+                           for sgm, _ in rows)
+        nlp = self.max_logprobs if any_logprobs else 0
+        fn = self._get_fn("decode_multi", (K, nlp))
+        pad_rows = rows + [rows[-1]] * (b_pad - B)
+        samp = self._samp_tensors(pad_rows)
+        new_kv, ys = fn(self.params, cache_engine.kv_caches,
+                        jnp.asarray(tokens), jnp.asarray(positions),
+                        jnp.asarray(tables), jnp.asarray(valid), samp)
+        cache_engine.kv_caches = new_kv
+        tid, chosen, tv, ti = jax.device_get(ys)  # each [K, b_pad, ...]
+
+        outputs: List[SamplerOutput] = []
+        for k in range(K):
+            group_outputs = []
+            for i, (sgm, seq_id) in enumerate(rows):
+                num_lp = sgm.sampling_params.logprobs or 0
+                lp = self._logprob_dict(int(tid[k, i]), float(chosen[k, i]),
+                                        tv[k, i] if nlp else None,
+                                        ti[k, i] if nlp else None, num_lp)
+                group_outputs.append(
+                    CompletionSequenceGroupOutput(samples=[
+                        SequenceOutput(seq_id, int(tid[k, i]), lp)
+                    ]))
+            outputs.append(SamplerOutput(outputs=group_outputs))
+        return outputs
 
     # --- decode -----------------------------------------------------------------
     def _execute_decode(self, sgms: List[SequenceGroupMetadata],
@@ -444,7 +553,6 @@ class TPUModelRunner:
         slots = np.full((b_pad, ), -1, np.int32)
         ctx_lens = np.ones((b_pad, ), np.int32)
         tables = np.zeros((b_pad, self.max_blocks_per_seq), np.int32)
-        step_idxs = []
         for i, (sgm, seq_id) in enumerate(rows):
             data = sgm.seq_data[seq_id]
             seq_len = data.get_len()
@@ -455,7 +563,6 @@ class TPUModelRunner:
                 self.block_size + (seq_len - 1) % self.block_size
             ctx_lens[i] = seq_len
             tables[i] = self._block_table_row(table)
-            step_idxs.append(seq_len)
 
         meta = AttentionMetadata(slot_mapping=jnp.asarray(slots),
                                  block_tables=jnp.asarray(tables),
@@ -486,8 +593,7 @@ class TPUModelRunner:
             nlp = self.max_logprobs if any_logprobs else 0
             fn = self._get_fn("decode_sample", nlp)
             pad_rows = rows + [rows[-1]] * (b_pad - B)
-            samp = self._samp_tensors(pad_rows,
-                                      step_idxs + [0] * (b_pad - B))
+            samp = self._samp_tensors(pad_rows)
             new_kv, out = fn(self.params, cache_engine.kv_caches,
                              jnp.asarray(tokens), jnp.asarray(positions),
                              meta, samp)

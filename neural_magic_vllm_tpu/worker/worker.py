@@ -108,11 +108,8 @@ class Worker:
             block_size=self.cache_config.block_size,
             num_device_blocks=num_gpu_blocks,
             num_cpu_blocks=num_cpu_blocks,
-            kv_dtype=kv_dtype)
-        if self.mesh is not None:
-            sharding = self.model_runner.kv_sharding()
-            self.cache_engine.kv_caches = jax.device_put(
-                self.cache_engine.kv_caches, sharding)
+            kv_dtype=kv_dtype,
+            sharding=self.model_runner.kv_sharding())
         warm = not self.model_config.enforce_eager
         if warm and jax.default_backend() in ("tpu", "axon"):
             self.model_runner.warmup(self.cache_engine, full=False)
@@ -130,9 +127,8 @@ class Worker:
             self.cache_engine.copy(req.blocks_to_copy)
         if not req.seq_group_metadata_list:
             return []
-        output = self.model_runner.execute_model(
-            req.seq_group_metadata_list, self.cache_engine)
-        return [output]
+        return self.model_runner.execute_model(req.seq_group_metadata_list,
+                                               self.cache_engine)
 
     def check_health(self) -> None:
         return  # in-process worker is alive by construction
