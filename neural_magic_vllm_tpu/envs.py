@@ -15,6 +15,9 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # Attention backend override: "pallas" | "jnp" | None (auto)
     "NMV_TPU_ATTENTION_BACKEND":
     lambda: os.getenv("NMV_TPU_ATTENTION_BACKEND", None),
+    # Quantized-GEMM backend override: "pallas" | "ref" | None (auto)
+    "NMV_TPU_QUANT_BACKEND":
+    lambda: os.getenv("NMV_TPU_QUANT_BACKEND", None),
     # XLA persistent compilation cache directory.
     "NMV_TPU_XLA_CACHE_PATH":
     lambda: os.getenv("NMV_TPU_XLA_CACHE_PATH",

@@ -10,7 +10,7 @@ reference's per-shard weight_loader narrowing.
 Weights are stored [in_features, out_features] so the forward is x @ W —
 contraction on the leading axis feeds the MXU without a transpose.
 """
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +21,12 @@ from jax.sharding import PartitionSpec as P
 class LinearMethod:
     """Strategy interface (reference LinearMethodBase, linear.py:69)."""
 
+    # HF checkpoint tensor suffixes this method consumes for one linear
+    # (e.g. GPTQ: qweight/qzeros/scales/g_idx), and which of those the
+    # loader should transpose to in-first orientation.
+    hf_param_names: Tuple[str, ...] = ("weight", "bias")
+    hf_transpose: Tuple[str, ...] = ("weight", )
+
     def create_params(self, rng: np.random.Generator, in_features: int,
                       out_features: int, use_bias: bool) -> Dict[str, Any]:
         """Host-side (numpy) random init; dtype cast happens at device_put."""
@@ -30,8 +36,9 @@ class LinearMethod:
                     use_bias: bool) -> Dict[str, P]:
         raise NotImplementedError
 
-    def load_weight(self, hf_weight: np.ndarray, dtype) -> Dict[str, Any]:
-        raise NotImplementedError
+    def convert_hf(self, raw: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """Raw HF tensors (post-transpose) -> canonical device params."""
+        return raw
 
     def apply(self, params: Dict[str, Any], x: jax.Array) -> jax.Array:
         raise NotImplementedError

@@ -36,6 +36,29 @@ def stack_layer_params(layers: List[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
+# Param names whose dtype is part of the quantized format and must survive
+# the model-dtype cast (packed ints, scales, fp8/int8 weights keep their
+# storage dtype by the float16/32/64-only cast rule below).
+_CAST_DTYPES = ("float16", "float32", "float64")
+_KEEP_DTYPE_NAMES = frozenset(
+    {"qweight", "scales", "zeros", "input_perm", "weight_scale",
+     "input_scale"})
+
+
+def cast_params_to(params, dtype):
+    """Cast fp params to the model dtype, leaving quantized storage alone."""
+
+    def cast(path, x):
+        key = getattr(path[-1], "key", None) if path else None
+        if key in _KEEP_DTYPE_NAMES:
+            return jnp.asarray(x)
+        if str(np.asarray(x).dtype) in _CAST_DTYPES:
+            return jnp.asarray(x, dtype=dtype)
+        return jnp.asarray(x)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 @register_model("LlamaForCausalLM", "LLaMAForCausalLM",
                 "MistralForCausalLM")
 class LlamaForCausalLM:
@@ -120,8 +143,7 @@ class LlamaForCausalLM:
                 (H, self.vocab_size)) * 0.02).astype(np.float32)
         else:
             params["lm_head"] = params["embed"].T.copy()
-        return jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x, dtype=self.dtype), params)
+        return cast_params_to(params, self.dtype)
 
     def _layer_specs(self) -> Dict[str, Any]:
         lm = self.linear_method
@@ -184,17 +206,31 @@ class LlamaForCausalLM:
             elif sub == "post_attention_layernorm":
                 layer["post_norm"] = w
             elif sub in self._HF_LINEARS:
+                lm = self.linear_method
+                if kind not in lm.hf_param_names:
+                    return False
                 tgt = layer.setdefault(self._HF_LINEARS[sub], {})
-                tgt["weight" if kind == "weight" else "bias"] = \
-                    w.T.copy() if kind == "weight" else w
+                tgt[kind] = w.T.copy() \
+                    if (kind in lm.hf_transpose and w.ndim == 2) else w
             else:
                 return False
         else:
             return False
         return True
 
+    # Linear sub-param keys within a layer dict (converted via the linear
+    # method's convert_hf at finalize time; quantized methods unpack/repack
+    # their checkpoint format here).
+    _LINEAR_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
+
     def _finalize_layers(self, layers: List[Dict]) -> None:
-        """Post-load hook (MoE models stack expert tensors here)."""
+        """Post-load hook: convert each linear's raw HF tensors to device
+        params (MoE models additionally stack expert tensors here)."""
+        lm = self.linear_method
+        for layer in layers:
+            for key in self._LINEAR_KEYS:
+                if key in layer and isinstance(layer[key], dict):
+                    layer[key] = lm.convert_hf(layer[key])
 
     def load_params(self, model_dir: str) -> Dict[str, Any]:
         from neural_magic_vllm_tpu.models.weight_utils import \
@@ -207,8 +243,7 @@ class LlamaForCausalLM:
             params["lm_head"] = params["embed"].T.copy()
         self._finalize_layers(layers)
         params["layers"] = stack_layer_params(layers)
-        return jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x, dtype=self.dtype), params)
+        return cast_params_to(params, self.dtype)
 
     # --- forward -----------------------------------------------------------------
     def embed_tokens(self, params, token_ids: jax.Array) -> jax.Array:

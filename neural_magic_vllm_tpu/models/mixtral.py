@@ -84,6 +84,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
         return False
 
     def _finalize_layers(self, layers) -> None:
+        super()._finalize_layers(layers)  # attention linears (quant seam)
         for layer in layers:
             raw = layer.pop("_raw_experts", None)
             if raw is None:

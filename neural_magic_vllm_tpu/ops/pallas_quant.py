@@ -1,0 +1,223 @@
+"""Pallas fused dequant-GEMM: WxA16 grouped-quantized matmul on the MXU.
+
+The TPU-native analogue of the reference's Marlin kernel
+(csrc/quantization/gptq_marlin/gptq_marlin.cu): the packed int4/int8 weight
+is streamed from HBM at its quantized width (0.5 / 1 byte per weight),
+unpacked and dequantized on the VPU inside VMEM, and fed to the MXU —
+the dense bf16 weight never exists in HBM. Marlin's 16x16 tensor-core tile
+layout is replaced by the K-tile-local strided packing of ops/quant.py,
+chosen so unpacking slot i of the int32 word yields the i-th contiguous
+row-stripe of the K-tile: reconstruction is a lane-preserving concatenate,
+no cross-lane shuffles.
+
+Grid: (M/TM, N/TN, K/KT) with K innermost; a VMEM f32 accumulator carries
+partial sums across K steps (the Pallas reduction-dim pattern, standing in
+for Marlin's split-K workspace machinery).
+"""
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from neural_magic_vllm_tpu.utils import cdiv, round_up
+
+
+def _make_kernel_fast(bits: int, k_tile: int, groups_per_tile: int,
+                      n_k: int, has_zeros: bool):
+    """Fast path (requires gs % stripe == 0, i.e. every packed slot falls in
+    ONE quantization group): per-slot dots on the RAW unpacked ints (exact in
+    bf16 since q < 2^bits), then one post-dot scale per group and the
+    zero-point folded out algebraically:
+        s * (x @ (q - z)) = s * (x @ q) - s * z * rowsum(x)
+    This keeps per-weight VPU work to unpack+convert (~3 ops) and moves the
+    scale/zero math to [M, TN]-sized tensors."""
+    pf = 32 // bits
+    mask = (1 << bits) - 1
+    sym_zero = float(1 << (bits - 1))
+    stripe = k_tile // pf
+    slots_per_group = pf // groups_per_tile  # >= 1 by fast-path precondition
+
+    def kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref):
+        k_step = pl.program_id(2)
+
+        @pl.when(k_step == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        qw = qw_ref[:]  # [stripe, TN] int32
+        xf = x_ref[:]
+        for g in range(groups_per_tile):
+            dot_acc = None
+            rs_acc = None
+            for i in range(g * slots_per_group, (g + 1) * slots_per_group):
+                q = ((qw >> (bits * i)) & mask).astype(jnp.float32).astype(
+                    jnp.bfloat16)  # exact: q < 2^bits
+                x_i = xf[:, i * stripe:(i + 1) * stripe]
+                d = jnp.dot(x_i, q, preferred_element_type=jnp.float32)
+                rs = jnp.sum(x_i.astype(jnp.float32), axis=1, keepdims=True)
+                dot_acc = d if dot_acc is None else dot_acc + d
+                rs_acc = rs if rs_acc is None else rs_acc + rs
+            s_row = s_ref[0, g:g + 1, :]  # [1, TN] f32
+            if has_zeros:
+                z_row = z_ref[0, g:g + 1, :]
+                acc_ref[:] += (dot_acc - rs_acc * z_row) * s_row
+            else:
+                acc_ref[:] += (dot_acc - rs_acc * sym_zero) * s_row
+
+        @pl.when(k_step == n_k - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    return kernel
+
+
+def _make_kernel(bits: int, k_tile: int, groups_per_tile: int,
+                 n_k: int, has_zeros: bool):
+    pf = 32 // bits
+    mask = (1 << bits) - 1
+    sym_zero = float(1 << (bits - 1))
+
+    def kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref):
+        k_step = pl.program_id(2)
+
+        @pl.when(k_step == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        qw = qw_ref[:].astype(jnp.uint32)  # [KT//pf, TN]
+        # (mosaic can't cast uint32->f32 directly; values are < 2^bits so
+        # a bitcast-free int32 hop is exact)
+        slots = [((qw >> (bits * i)) & mask).astype(jnp.int32).astype(
+            jnp.float32) for i in range(pf)]
+        q = jnp.concatenate(slots, axis=0)  # [KT, TN], rows in order
+        tn = q.shape[1]
+        # s_ref/z_ref blocks are [1, pad8(G_t), TN]; valid rows = G_t.
+        s = s_ref[0, :groups_per_tile, :].astype(jnp.float32)
+        if has_zeros:
+            z = z_ref[0, :groups_per_tile, :].astype(jnp.float32)
+        else:
+            z = sym_zero
+        if groups_per_tile == 1:
+            w = (q - z) * s
+        else:
+            q3 = q.reshape(groups_per_tile, k_tile // groups_per_tile, tn)
+            if has_zeros:
+                z = z.reshape(groups_per_tile, 1, tn)
+            w = ((q3 - z) * s.reshape(groups_per_tile, 1, tn)).reshape(
+                k_tile, tn)
+        acc_ref[:] += jnp.dot(x_ref[:], w.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+
+        @pl.when(k_step == n_k - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    return kernel
+
+
+def _tile_groups(arr: jax.Array, n_k: int, k_tile: int, gs: int,
+                 K: int) -> jax.Array:
+    """[G, N] per-group values -> [n_k, pad8(G_t), N] per-K-tile blocks
+    (sublane-aligned for BlockSpec)."""
+    G, N = arr.shape
+    if gs <= k_tile:
+        gpt = k_tile // gs
+        tiled = arr.reshape(n_k, gpt, N)
+    else:
+        gpt = 1
+        idx = (jnp.arange(n_k) * k_tile) // gs
+        tiled = arr[idx][:, None, :]
+    pad = max(8, gpt) - gpt
+    if pad:
+        tiled = jnp.pad(tiled, ((0, 0), (0, pad), (0, 0)))
+    return tiled
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "k_tile", "group_size",
+                                             "tile_n"))
+def quant_matmul_pallas(x: jax.Array, qweight: jax.Array, scales: jax.Array,
+                        zeros: Optional[jax.Array], *, bits: int,
+                        k_tile: int, group_size: int,
+                        bias: Optional[jax.Array] = None,
+                        tile_n: int = 256) -> jax.Array:
+    """x [M, K] (bf16/f32) @ packed weight -> [M, N] in x.dtype.
+    qweight [K//pf, N] int32 (pack_int_tiled layout), scales [G, N],
+    zeros optional [G, N]."""
+    orig_shape = x.shape
+    x2 = x.reshape(-1, orig_shape[-1])
+    M, K = x2.shape
+    N = qweight.shape[1]
+    G = scales.shape[0]
+    gs = K if group_size in (-1, None) else group_size
+    n_k = K // k_tile
+    assert n_k * k_tile == K, (K, k_tile)
+
+    x2 = x2.astype(jnp.bfloat16)
+    tile_m = min(256, round_up(M, 16))
+    m_pad = round_up(M, tile_m)
+    if m_pad != M:
+        x2 = jnp.pad(x2, ((0, m_pad - M), (0, 0)))
+    if N % tile_n == 0:
+        tn = tile_n
+    elif N % 128 == 0:
+        tn = 128
+    elif N <= 512:
+        tn = N  # full-dimension blocks are always legal
+    else:
+        # odd N: the XLA reference path handles it (weights are static, so
+        # real models should be padded at pack time instead)
+        from neural_magic_vllm_tpu.ops.quant import quant_matmul_ref
+        out = quant_matmul_ref(x2[:M], qweight, scales, zeros, bits, k_tile,
+                               group_size, bias=bias)
+        return out.astype(x.dtype).reshape(orig_shape[:-1] + (N, ))
+
+    gpt = k_tile // gs if gs <= k_tile else 1
+    s_tiled = _tile_groups(scales.astype(jnp.float32), n_k, k_tile, gs, K)
+    gpt_pad = s_tiled.shape[1]
+    s_spec = pl.BlockSpec((1, gpt_pad, tn), lambda m, n, k: (k, 0, n),
+                          memory_space=pltpu.VMEM)
+
+    pf = 32 // bits
+    has_zeros = zeros is not None
+    stripe = k_tile // pf
+    fast = gs >= k_tile or (k_tile % gs == 0 and gs % stripe == 0)
+    make = _make_kernel_fast if fast else _make_kernel
+    kernel = make(bits, k_tile, gpt, n_k, has_zeros)
+    if has_zeros:
+        z_tiled = _tile_groups(zeros.astype(jnp.float32), n_k, k_tile, gs,
+                               K)
+    else:
+        z_tiled = jnp.zeros_like(s_tiled)  # unused dummy block
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = pl.pallas_call(
+        kernel,
+        grid=(m_pad // tile_m, N // tn, n_k),
+        in_specs=[
+            pl.BlockSpec((tile_m, k_tile), lambda m, n, k: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_tile // pf, tn), lambda m, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            s_spec,
+            s_spec,
+        ],
+        out_specs=pl.BlockSpec((tile_m, tn), lambda m, n, k: (m, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile_m, tn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * N * K,
+            bytes_accessed=(m_pad * K * 2 + K * N * bits // 8 +
+                            m_pad * N * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, qweight, s_tiled, z_tiled)
+
+    out = out[:M]
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.reshape(orig_shape[:-1] + (N, ))

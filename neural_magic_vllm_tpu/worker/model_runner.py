@@ -75,7 +75,12 @@ class TPUModelRunner:
 
         arch = getattr(model_config.hf_config, "architectures",
                        ["LlamaForCausalLM"])
-        self.model = get_model_class(arch)(model_config, parallel_config)
+        from neural_magic_vllm_tpu.quantization import create_quant_config
+        self.quant_config = create_quant_config(model_config)
+        if self.quant_config is not None:
+            logger.info("Quantization: %s", self.quant_config.get_name())
+        self.model = get_model_class(arch)(model_config, parallel_config,
+                                           self.quant_config)
         self.params = None
         self._salt = int(np.random.default_rng(model_config.seed).integers(
             0, 2**31))
@@ -96,11 +101,9 @@ class TPUModelRunner:
     def _shard_params(self, params):
         if self.mesh is None:
             return jax.device_put(params)
-        from jax.sharding import NamedSharding
-        specs = self.model.param_specs()
-        shardings = jax.tree_util.tree_map(
-            lambda s: NamedSharding(self.mesh, s), specs,
-            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+        from neural_magic_vllm_tpu.parallel import build_shardings
+        shardings = build_shardings(self.mesh, params,
+                                    self.model.param_specs())
         return jax.device_put(params, shardings)
 
     def kv_sharding(self):

@@ -1,0 +1,162 @@
+"""Quantized-kernel tests vs naive golden math (the model of the reference's
+tests/kernels/test_marlin_gemm.py / test_int8_quant.py: every fused op is
+checked against dequantize-then-matmul)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neural_magic_vllm_tpu.ops.quant import (fp8_scaled_mm, int8_scaled_mm,
+                                             pack_int_tiled,
+                                             quant_matmul_ref,
+                                             scaled_fp8_quant,
+                                             scaled_int8_quant,
+                                             select_k_tile,
+                                             unpack_int_tiled)
+from neural_magic_vllm_tpu.ops.pallas_quant import quant_matmul_pallas
+from neural_magic_vllm_tpu.quantization.awq import unpack_awq
+from neural_magic_vllm_tpu.quantization.gptq import (unpack_gptq_qweight,
+                                                     unpack_gptq_qzeros)
+
+
+@pytest.mark.parametrize("bits,k_tile,K,N", [(4, 512, 1024, 256),
+                                             (4, 64, 128, 256),
+                                             (8, 256, 512, 128)])
+def test_pack_roundtrip(bits, k_tile, K, N):
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 2**bits, (K, N)).astype(np.uint32)
+    packed = pack_int_tiled(q, bits, k_tile)
+    assert packed.shape == (K // (32 // bits), N)
+    assert (unpack_int_tiled(packed, bits, k_tile, K) == q).all()
+
+
+@pytest.mark.parametrize("bits,gs,K,N,M,zeros", [
+    (4, 128, 1024, 512, 8, True),
+    (4, -1, 512, 256, 32, False),
+    (8, 64, 512, 256, 5, True),
+    (4, 32, 256, 128, 17, False),
+])
+def test_quant_matmul_vs_golden(bits, gs, K, N, M, zeros):
+    rng = np.random.default_rng(1)
+    kt = select_k_tile(K, gs, bits)
+    gse = K if gs == -1 else gs
+    G = K // gse
+    q = rng.integers(0, 2**bits, (K, N)).astype(np.uint32)
+    packed = jnp.asarray(pack_int_tiled(q, bits, kt))
+    scales = (rng.uniform(0.5, 1.5, (G, N)) * 0.01).astype(np.float32)
+    z = rng.integers(0, 2**bits, (G, N)).astype(np.float32) if zeros \
+        else np.full((G, N), float(1 << (bits - 1)), np.float32)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = ((q.reshape(G, gse, N) - z.reshape(G, 1, N)) *
+         scales.reshape(G, 1, N)).reshape(K, N)
+    import ml_dtypes
+    gold = (x.astype(ml_dtypes.bfloat16).astype(np.float64) @
+            w.astype(ml_dtypes.bfloat16).astype(np.float64))
+    norm = np.abs(gold).max()
+    xj = jnp.asarray(x, jnp.bfloat16)
+    zj = jnp.asarray(z) if zeros else None
+    ref = quant_matmul_ref(xj, packed, jnp.asarray(scales), zj, bits, kt, gs)
+    pal = quant_matmul_pallas(xj, packed, jnp.asarray(scales), zj, bits=bits,
+                              k_tile=kt, group_size=gs)
+    for out in (ref, pal):
+        rel = np.abs(np.asarray(out, np.float64) - gold).max() / norm
+        assert rel < 0.02, rel
+
+
+def test_gptq_unpack():
+    """GPTQ word format: pf values LSB-first along K; qzeros stored -1."""
+    rng = np.random.default_rng(2)
+    K, N, bits = 64, 8, 4
+    q = rng.integers(0, 16, (K, N)).astype(np.uint32)
+    words = np.zeros((K // 8, N), np.uint32)
+    for i in range(8):
+        words |= q[i::8] << (4 * i)
+    out = unpack_gptq_qweight(words.astype(np.int32), bits)
+    assert (out == q).all()
+
+    G = 4
+    z = rng.integers(1, 16, (G, N)).astype(np.uint32)  # avoid 0-1 wrap
+    zwords = np.zeros((G, N // 8), np.uint32)
+    for i in range(8):
+        zwords |= (z[:, i::8] - 1) << (4 * i)
+    assert (unpack_gptq_qzeros(zwords.astype(np.int32), bits) == z).all()
+
+
+def test_awq_unpack():
+    """AWQ interleave order (0,2,4,6,1,3,5,7) along N."""
+    rng = np.random.default_rng(3)
+    K, N = 4, 16
+    q = rng.integers(0, 16, (K, N)).astype(np.uint32)
+    order = (0, 2, 4, 6, 1, 3, 5, 7)
+    words = np.zeros((K, N // 8), np.uint32)
+    for slot, col in enumerate(order):
+        words |= q[:, col::8] << (4 * slot)
+    assert (unpack_awq(words.astype(np.int32), 4) == q).all()
+
+
+def test_gptq_act_order_matches_dense():
+    """desc_act checkpoints: permuted rows + input_perm == original matmul."""
+    from neural_magic_vllm_tpu.quantization.gptq import GPTQLinearMethod
+    rng = np.random.default_rng(4)
+    K, N, gs = 256, 128, 64
+    G = K // gs
+    q = rng.integers(0, 16, (K, N)).astype(np.uint32)
+    # act-order reorders ROWS: each group still has exactly gs members
+    g_idx = rng.permutation(np.arange(K) // gs).astype(np.int32)
+    scales = (rng.uniform(0.5, 1.5, (G, N)) * 0.02).astype(np.float32)
+    # dense golden respecting per-row group assignment
+    w = (q.astype(np.float32) - 8.0) * scales[g_idx]
+    words = np.zeros((K // 8, N), np.uint32)
+    for i in range(8):
+        words |= q[i::8] << (4 * i)
+    method = GPTQLinearMethod(bits=4, group_size=gs, sym=True)
+    params = method.convert_hf({"qweight": words.astype(np.int32),
+                                "scales": scales, "g_idx": g_idx})
+    assert "input_perm" in params
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    x = rng.standard_normal((9, K)).astype(np.float32)
+    out = method.apply(params, jnp.asarray(x, jnp.float32))
+    gold = x @ w
+    rel = np.abs(np.asarray(out, np.float64) - gold).max() / \
+        np.abs(gold).max()
+    assert rel < 0.02, rel
+
+
+def test_fp8_quant_and_mm():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((16, 256)), jnp.bfloat16)
+    w = rng.standard_normal((256, 128)).astype(np.float32) * 0.05
+    import ml_dtypes
+    amax = np.abs(w).max()
+    w_scale = amax / 448.0
+    wq = np.clip(w / w_scale, -448, 448).astype(ml_dtypes.float8_e4m3fn)
+    out = fp8_scaled_mm(x, jnp.asarray(wq), jnp.float32(w_scale))
+    gold = np.asarray(x, np.float32) @ (wq.astype(np.float32) * w_scale)
+    rel = np.abs(np.asarray(out, np.float64) - gold).max() / \
+        np.abs(gold).max()
+    assert rel < 0.03, rel
+
+    xq, s = scaled_fp8_quant(jnp.asarray(x, jnp.float32))
+    back = np.asarray(xq, np.float32) * float(s)
+    xf = np.asarray(x, np.float32)
+    # e4m3: 3 mantissa bits -> elementwise rel error <= 2^-4
+    assert (np.abs(back - xf) <= np.abs(xf) * 0.0625 + 2 * float(s)).all()
+
+
+def test_int8_quant_and_mm():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((8, 128)), jnp.float32)
+    w = rng.standard_normal((128, 64)).astype(np.float32) * 0.1
+    w_scale = np.abs(w).max(axis=0) / 127.0  # per-channel
+    wq = np.clip(np.round(w / w_scale), -128, 127).astype(np.int8)
+    out = int8_scaled_mm(x, jnp.asarray(wq), jnp.asarray(w_scale),
+                         out_dtype=jnp.float32)
+    gold = np.asarray(x) @ (wq.astype(np.float32) * w_scale)
+    rel = np.abs(np.asarray(out, np.float64) - gold).max() / \
+        np.abs(gold).max()
+    assert rel < 0.02, rel
+
+    xq, s = scaled_int8_quant(x)
+    back = np.asarray(xq, np.float32) * float(s)
+    assert np.abs(back - np.asarray(x)).max() <= float(s) * 0.51

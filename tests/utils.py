@@ -118,3 +118,93 @@ def hf_forward_logits(model_dir: str, token_ids):
         input_ids = torch.tensor([token_ids], dtype=torch.long)
         logits = model(input_ids).logits
     return logits.float().numpy()
+
+
+def quantize_llama_checkpoint_gptq(src_dir: str, quant_dir: str,
+                                   dense_dir: str, *, bits: int = 4,
+                                   group_size: int = 32,
+                                   asym: bool = False) -> None:
+    """Quantize a dense Llama checkpoint's linear weights to GPTQ format
+    (qweight/qzeros/scales words), writing BOTH the quantized checkpoint and
+    its exactly-dequantized dense twin — greedy decode through the engine
+    must match between the two."""
+    import shutil
+    from safetensors.numpy import load_file, save_file
+
+    pf = 32 // bits
+    sym_zero = 1 << (bits - 1)
+    os.makedirs(quant_dir, exist_ok=True)
+    os.makedirs(dense_dir, exist_ok=True)
+
+    st_files = [f for f in os.listdir(src_dir) if f.endswith(".safetensors")]
+    assert len(st_files) == 1, st_files
+    tensors = load_file(os.path.join(src_dir, st_files[0]))
+
+    linear_suffixes = ("q_proj.weight", "k_proj.weight", "v_proj.weight",
+                       "o_proj.weight", "gate_proj.weight", "up_proj.weight",
+                       "down_proj.weight")
+    rng = np.random.default_rng(7)
+    quant_out, dense_out = {}, {}
+    for name, w in tensors.items():
+        if not name.endswith(linear_suffixes):
+            quant_out[name] = w
+            dense_out[name] = w
+            continue
+        wt = np.asarray(w, np.float32).T  # [K, N]
+        K, N = wt.shape
+        gs = K if group_size in (-1, None) else group_size
+        G = K // gs
+        wg = wt.reshape(G, gs, N)
+        if asym:
+            wmin, wmax = wg.min(axis=1), wg.max(axis=1)  # [G, N]
+            scales = np.maximum((wmax - wmin) / (2**bits - 1), 1e-8)
+            zeros = np.clip(np.round(-wmin / scales), 0, 2**bits - 1)
+        else:
+            amax = np.abs(wg).max(axis=1)
+            scales = np.maximum(amax / (sym_zero - 1), 1e-8)
+            zeros = np.full((G, N), float(sym_zero), np.float32)
+        q = np.clip(np.round(wg / scales[:, None, :]) + zeros[:, None, :],
+                    0, 2**bits - 1).astype(np.uint32).reshape(K, N)
+        wdq = ((q.reshape(G, gs, N) - zeros[:, None, :]) *
+               scales[:, None, :]).reshape(K, N)
+
+        qweight = np.zeros((K // pf, N), np.uint32)
+        for i in range(pf):
+            qweight |= q[i::pf] << (bits * i)
+        qzeros = np.zeros((G, N // pf), np.uint32)
+        zi = zeros.astype(np.uint32)
+        mask = (1 << bits) - 1
+        for i in range(pf):
+            qzeros |= ((zi[:, i::pf] - 1) & mask) << (bits * i)
+
+        base = name[:-len(".weight")]
+        quant_out[base + ".qweight"] = qweight.view(np.int32)
+        quant_out[base + ".qzeros"] = qzeros.view(np.int32)
+        quant_out[base + ".scales"] = scales.astype(np.float16)
+        quant_out[base + ".g_idx"] = (np.arange(K) // gs).astype(np.int32)
+        dense_out[name] = wdq.T.astype(w.dtype)
+
+    # safetensors serializes the raw buffer: force C order (F-ordered
+    # arrays — e.g. numpy reductions over transposed views — silently
+    # round-trip transposed otherwise).
+    quant_out = {k: np.ascontiguousarray(v) for k, v in quant_out.items()}
+    dense_out = {k: np.ascontiguousarray(v) for k, v in dense_out.items()}
+    save_file(quant_out, os.path.join(quant_dir, "model.safetensors"))
+    save_file(dense_out, os.path.join(dense_dir, "model.safetensors"))
+    for d in (quant_dir, dense_dir):
+        for f in os.listdir(src_dir):
+            if f.endswith(".json") and "index" not in f:
+                shutil.copy(os.path.join(src_dir, f), os.path.join(d, f))
+    # add quantization_config to the quant checkpoint's config.json
+    cfg_path = os.path.join(quant_dir, "config.json")
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    cfg["quantization_config"] = {
+        "quant_method": "gptq",
+        "bits": bits,
+        "group_size": group_size,
+        "desc_act": False,
+        "sym": not asym,
+    }
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
