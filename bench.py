@@ -1,11 +1,19 @@
-"""Benchmark: TinyLlama-1.1B-architecture bf16 greedy decode on one chip
-(BASELINE.json config 1), through the full engine (scheduler + runner +
-detokenizer-off), measuring steady-state decode tokens/s.
+"""Benchmark: Llama-3-8B-architecture W4A16 (GPTQ, group 128) greedy decode
+on one chip — BASELINE.json config 2 ("Llama-3-8B GPTQ/Marlin W4A16
+weight-only, continuous batching, 1 chip"), through the full engine
+(scheduler + bucketed runner + fused multi-step decode + Pallas fused
+dequant-GEMM), measuring steady-state decode tokens/s.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline = fraction of the bandwidth speed-of-light for this chip
-(decode is weight-bandwidth-bound: params_bytes / HBM_BW per token per
-batch-row; v5e-lite ~819 GB/s).
+vs_baseline = fraction of the weight-streaming speed-of-light for the
+QUANTIZED model on this chip: every decode step must read all packed weights
+once from HBM (batch rows amortize); SOL steps/s = HBM_BW / step_bytes.
+(The reference publishes no absolute tokens/s — BASELINE.md — so SOL is the
+recorded denominator, matching the north star "decode at speed-of-light
+dequant-GEMM".)
+
+Env overrides: BENCH_MODEL=tinyllama switches to the round-0 TinyLlama bf16
+config for apples-to-apples history.
 """
 import json
 import os
@@ -16,14 +24,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
-PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", "128"))
-DECODE_STEPS = int(os.environ.get("BENCH_DECODE_STEPS", "128"))
+MODEL = os.environ.get("BENCH_MODEL", "llama3-8b-w4a16")
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", "64"))
+DECODE_STEPS = int(os.environ.get("BENCH_DECODE_STEPS", "96"))
 HBM_BW_GBS = float(os.environ.get("BENCH_HBM_BW_GBS", "819"))
-SCHED_STEPS = int(os.environ.get("BENCH_SCHEDULER_STEPS", "16"))
+SCHED_STEPS = int(os.environ.get("BENCH_SCHEDULER_STEPS", "8"))
 
 
-def main():
+def build_engine():
     from transformers import LlamaConfig
 
     from neural_magic_vllm_tpu.config import (CacheConfig, DeviceConfig,
@@ -31,36 +40,63 @@ def main():
                                               ModelConfig, ParallelConfig,
                                               SchedulerConfig)
     from neural_magic_vllm_tpu.engine.llm_engine import LLMEngine
-    from neural_magic_vllm_tpu.sampling_params import SamplingParams
 
-    # TinyLlama-1.1B architecture.
-    hf_cfg = LlamaConfig(vocab_size=32000, hidden_size=2048,
-                         intermediate_size=5632, num_hidden_layers=22,
-                         num_attention_heads=32, num_key_value_heads=4,
-                         max_position_embeddings=2048,
-                         torch_dtype="bfloat16")
+    if MODEL == "tinyllama":
+        hf_cfg = LlamaConfig(vocab_size=32000, hidden_size=2048,
+                             intermediate_size=5632, num_hidden_layers=22,
+                             num_attention_heads=32, num_key_value_heads=4,
+                             max_position_embeddings=2048,
+                             torch_dtype="bfloat16")
+        quant = None
+        metric = f"decode_tokens_per_s_tinyllama1.1b_bf16_bs{BATCH}"
+        # bf16: 2 bytes/weight
+        wbytes = 2 * (32000 * 2048 * 2 + 22 * (2048 *
+                                               (2048 + 2 * 256 + 2048) +
+                                               3 * 2048 * 5632))
+    else:
+        # Llama-3-8B architecture
+        hf_cfg = LlamaConfig(vocab_size=128256, hidden_size=4096,
+                             intermediate_size=14336, num_hidden_layers=32,
+                             num_attention_heads=32, num_key_value_heads=8,
+                             max_position_embeddings=8192,
+                             torch_dtype="bfloat16")
+        quant = "gptq"
+        metric = f"decode_tokens_per_s_llama3-8b_w4a16_bs{BATCH}"
+        # packed int4 linears (0.5 B/weight) + bf16 embed & lm_head
+        per_layer = 4096 * (4096 + 2 * 1024 + 4096) + 3 * 4096 * 14336
+        wbytes = int(32 * per_layer * 0.5) + 2 * (128256 * 4096 * 2)
     hf_cfg.architectures = ["LlamaForCausalLM"]
-    model_config = ModelConfig(model="tinyllama-1.1b-bench",
-                               dtype="bfloat16", max_model_len=1024,
-                               hf_config=hf_cfg, skip_tokenizer_init=True)
+
+    model_config = ModelConfig(model=f"{MODEL}-bench", dtype="bfloat16",
+                               max_model_len=1024, hf_config=hf_cfg,
+                               quantization=quant, skip_tokenizer_init=True)
     engine_config = EngineConfig(
         model_config=model_config,
-        cache_config=CacheConfig(block_size=16, hbm_utilization=0.9),
+        cache_config=CacheConfig(block_size=16, hbm_utilization=0.9,
+                                 num_gpu_blocks_override=BATCH *
+                                 (PROMPT_LEN + DECODE_STEPS + 64) // 16),
         parallel_config=ParallelConfig(),
-        scheduler_config=SchedulerConfig(max_num_seqs=max(BATCH, 8),
-                                         max_model_len=1024,
-                                         max_num_batched_tokens=1024,
-                                         num_scheduler_steps=SCHED_STEPS),
+        scheduler_config=SchedulerConfig(
+            max_num_seqs=max(BATCH, 8), max_model_len=1024,
+            max_num_batched_tokens=1024,
+            num_scheduler_steps=SCHED_STEPS),
         device_config=DeviceConfig(),
         load_config=LoadConfig(load_format="dummy"),
     )
-    engine = LLMEngine(engine_config, log_stats=False)
+    return LLMEngine(engine_config, log_stats=False), metric, wbytes
+
+
+def main():
+    from neural_magic_vllm_tpu.sampling_params import SamplingParams
+
+    engine, metric, wbytes = build_engine()
+    vocab = engine.model_config.get_vocab_size()
 
     rng = np.random.default_rng(0)
-    sp = SamplingParams(temperature=0.0, max_tokens=DECODE_STEPS + 8,
+    sp = SamplingParams(temperature=0.0, max_tokens=DECODE_STEPS + 16,
                         ignore_eos=True, detokenize=False)
     for i in range(BATCH):
-        ids = rng.integers(1, 32000, size=PROMPT_LEN).tolist()
+        ids = rng.integers(1, vocab, size=PROMPT_LEN).tolist()
         engine.add_request(str(i), prompt_token_ids=ids, sampling_params=sp)
 
     # Prefill + first decode steps include compilation; run until all
@@ -78,16 +114,11 @@ def main():
     dt = time.perf_counter() - t0
     tok_per_s = BATCH * steps / dt
 
-    # Speed of light: every decode step must stream all weights once
-    # (batch amortizes); ignores KV reads (small at this context).
-    params_bytes = 2 * (
-        32000 * 2048 * 2  # embed + lm_head
-        + 22 * (2048 * (2048 + 2 * 256 + 2048) +  # q,k,v,o (kv=4 heads*64)
-                3 * 2048 * 5632))
-    sol_steps_per_s = HBM_BW_GBS * 1e9 / params_bytes
-    sol_tok_per_s = sol_steps_per_s * BATCH
+    # Speed of light: every decode step streams all weights once (batch
+    # amortizes); ignores KV reads (small at this context).
+    sol_tok_per_s = HBM_BW_GBS * 1e9 / wbytes * BATCH
     print(json.dumps({
-        "metric": f"decode_tokens_per_s_tinyllama1.1b_bf16_bs{BATCH}",
+        "metric": metric,
         "value": round(tok_per_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tok_per_s / sol_tok_per_s, 4),

@@ -78,30 +78,27 @@ class EngineArgs:
     otlp_traces_endpoint: Optional[str] = None
     disable_log_stats: bool = False
 
-    @staticmethod
-    def add_cli_args(parser: argparse.ArgumentParser
+    @classmethod
+    def add_cli_args(cls, parser: argparse.ArgumentParser
                      ) -> argparse.ArgumentParser:
-        for f in dataclasses.fields(EngineArgs):
+        for f in dataclasses.fields(cls):
             name = "--" + f.name.replace("_", "-")
-            if f.type in ("bool", bool):
+            # Field types may be classes (int) or strings ("Optional[int]")
+            # depending on annotation evaluation; normalize to a name.
+            t = f.type
+            if isinstance(t, str):
+                tname = t
+            elif isinstance(t, type):
+                tname = t.__name__
+            else:  # typing constructs: str() keeps the [arg]
+                tname = str(t)
+            tname = tname.replace("typing.", "").replace(
+                "Optional[", "").rstrip("]")
+            if tname == "bool":
                 parser.add_argument(name, action="store_true",
                                     default=f.default)
             else:
-                tp = {"int": int, "float": float}.get(
-                    str(f.type).replace("typing.Optional[", "").rstrip("]"),
-                    str)
-                if f.name in ("max_model_len", "max_num_batched_tokens",
-                              "num_gpu_blocks_override",
-                              "num_speculative_tokens",
-                              "ngram_prompt_lookup_max",
-                              "ngram_prompt_lookup_min",
-                              "speculative_disable_by_batch_size",
-                              "max_cpu_loras"):
-                    tp = int
-                if f.name in ("swap_space", "gpu_memory_utilization",
-                              "hbm_utilization", "scheduler_delay_factor",
-                              "rope_theta"):
-                    tp = float
+                tp = {"int": int, "float": float, "str": str}.get(tname, str)
                 parser.add_argument(name, type=tp, default=f.default)
         return parser
 

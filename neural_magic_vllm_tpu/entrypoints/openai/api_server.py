@@ -1,0 +1,185 @@
+"""OpenAI-compatible API server (reference
+vllm/entrypoints/openai/api_server.py) on aiohttp (FastAPI is not available
+in this environment; the route surface and wire format are identical):
+
+  GET  /health            GET  /version           GET  /v1/models
+  GET  /metrics (Prometheus)
+  POST /tokenize          POST /detokenize
+  POST /v1/completions    POST /v1/chat/completions
+
+Run: python -m neural_magic_vllm_tpu.entrypoints.openai.api_server \
+         --model <dir> [--host 0.0.0.0] [--port 8000] ...
+"""
+import argparse
+import asyncio
+import inspect
+import json
+from typing import AsyncIterator, Optional
+
+from aiohttp import web
+
+from neural_magic_vllm_tpu.engine.arg_utils import AsyncEngineArgs
+from neural_magic_vllm_tpu.engine.async_llm_engine import AsyncLLMEngine
+from neural_magic_vllm_tpu.entrypoints.openai.protocol import (
+    ChatCompletionRequest, CompletionRequest, DetokenizeRequest,
+    DetokenizeResponse, ErrorResponse, TokenizeRequest, TokenizeResponse)
+from neural_magic_vllm_tpu.entrypoints.openai.serving_chat import \
+    OpenAIServingChat
+from neural_magic_vllm_tpu.entrypoints.openai.serving_completion import \
+    OpenAIServingCompletion
+from neural_magic_vllm_tpu.logger import init_logger
+from neural_magic_vllm_tpu.version import __version__
+
+logger = init_logger(__name__)
+
+
+def _json_response(model, status: int = 200) -> web.Response:
+    return web.Response(text=model.model_dump_json(),
+                        content_type="application/json", status=status)
+
+
+def _error(resp: ErrorResponse) -> web.Response:
+    body = json.dumps({"error": resp.model_dump()})
+    return web.Response(text=body, content_type="application/json",
+                        status=resp.code)
+
+
+async def _maybe_stream(request: web.Request, result) -> web.StreamResponse:
+    """Result is an ErrorResponse, a pydantic response, or an async
+    generator of SSE strings."""
+    if isinstance(result, ErrorResponse):
+        return _error(result)
+    if inspect.isasyncgen(result):
+        response = web.StreamResponse(
+            status=200,
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache",
+                     "Connection": "keep-alive"})
+        await response.prepare(request)
+        try:
+            async for chunk in result:
+                await response.write(chunk.encode())
+        except ConnectionResetError:
+            pass
+        await response.write_eof()
+        return response
+    return _json_response(result)
+
+
+def build_app(engine: AsyncLLMEngine, served_model_names,
+              chat_template: Optional[str] = None) -> web.Application:
+    completion = OpenAIServingCompletion(engine, served_model_names)
+    chat = OpenAIServingChat(engine, served_model_names, chat_template)
+    app = web.Application()
+
+    async def health(request: web.Request) -> web.Response:
+        await engine.check_health()
+        return web.Response(status=200)
+
+    async def version(request: web.Request) -> web.Response:
+        return web.json_response({"version": __version__})
+
+    async def models(request: web.Request) -> web.Response:
+        return _json_response(await completion.show_available_models())
+
+    async def metrics(request: web.Request) -> web.Response:
+        import prometheus_client
+        data = prometheus_client.generate_latest()
+        return web.Response(body=data,
+                            content_type="text/plain")
+
+    async def tokenize(request: web.Request) -> web.Response:
+        req = TokenizeRequest(**await request.json())
+        tok = engine.tokenizer
+        if tok is None:
+            return _error(completion.create_error_response(
+                "no tokenizer loaded"))
+        ids = tok.encode(req.prompt,
+                         add_special_tokens=req.add_special_tokens)
+        return _json_response(TokenizeResponse(
+            tokens=ids, count=len(ids),
+            max_model_len=completion.max_model_len))
+
+    async def detokenize(request: web.Request) -> web.Response:
+        req = DetokenizeRequest(**await request.json())
+        tok = engine.tokenizer
+        if tok is None:
+            return _error(completion.create_error_response(
+                "no tokenizer loaded"))
+        return _json_response(DetokenizeResponse(
+            prompt=tok.decode(req.tokens)))
+
+    async def completions(request: web.Request) -> web.StreamResponse:
+        try:
+            req = CompletionRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return _error(completion.create_error_response(str(e)))
+        result = await completion.create_completion(req)
+        return await _maybe_stream(request, result)
+
+    async def chat_completions(request: web.Request) -> web.StreamResponse:
+        try:
+            req = ChatCompletionRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return _error(chat.create_error_response(str(e)))
+        result = await chat.create_chat_completion(req)
+        return await _maybe_stream(request, result)
+
+    app.router.add_get("/health", health)
+    app.router.add_get("/version", version)
+    app.router.add_get("/v1/models", models)
+    app.router.add_get("/metrics", metrics)
+    app.router.add_post("/tokenize", tokenize)
+    app.router.add_post("/detokenize", detokenize)
+    app.router.add_post("/v1/completions", completions)
+    app.router.add_post("/v1/chat/completions", chat_completions)
+    return app
+
+
+def make_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="neural-magic-vllm-tpu OpenAI-compatible server")
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--chat-template", type=str, default=None)
+    parser.add_argument("--api-key", type=str, default=None)
+    AsyncEngineArgs.add_cli_args(parser)
+    return parser
+
+
+async def run_server(args) -> None:
+    engine_args = AsyncEngineArgs.from_cli_args(args)
+    engine = AsyncLLMEngine.from_engine_args(engine_args)
+    served = engine_args.served_model_name
+    if served is None:
+        served = [engine_args.model]
+    elif isinstance(served, str):
+        served = [served]
+    app = build_app(engine, served, args.chat_template)
+
+    if args.api_key:
+        @web.middleware
+        async def auth(request, handler):
+            if request.path.startswith("/v1"):
+                if request.headers.get("Authorization") != \
+                        f"Bearer {args.api_key}":
+                    return web.Response(status=401)
+            return await handler(request)
+        app.middlewares.append(auth)
+
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, args.host, args.port)
+    await site.start()
+    logger.info("OpenAI server listening on %s:%d", args.host, args.port)
+    while True:
+        await asyncio.sleep(3600)
+
+
+def main() -> None:
+    args = make_arg_parser().parse_args()
+    asyncio.run(run_server(args))
+
+
+if __name__ == "__main__":
+    main()

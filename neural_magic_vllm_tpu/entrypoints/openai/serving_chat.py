@@ -1,0 +1,136 @@
+"""/v1/chat/completions handler (reference
+vllm/entrypoints/openai/serving_chat.py)."""
+from typing import AsyncIterator, List, Optional
+
+from neural_magic_vllm_tpu.engine.async_llm_engine import AsyncLLMEngine
+from neural_magic_vllm_tpu.entrypoints.openai.protocol import (
+    ChatCompletionRequest, ChatCompletionResponse,
+    ChatCompletionResponseChoice, ChatCompletionStreamChoice,
+    ChatCompletionStreamResponse, ChatMessage, DeltaMessage, ErrorResponse,
+    UsageInfo, random_uuid)
+from neural_magic_vllm_tpu.entrypoints.openai.serving_engine import \
+    OpenAIServing
+from neural_magic_vllm_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+_FALLBACK_TEMPLATE_NOTE = (
+    "tokenizer has no chat template; using a generic role-tagged template")
+
+
+class OpenAIServingChat(OpenAIServing):
+
+    def __init__(self, engine, served_model_names,
+                 chat_template: Optional[str] = None) -> None:
+        super().__init__(engine, served_model_names)
+        self.chat_template = chat_template
+        if chat_template is not None and self.tokenizer is not None:
+            self.tokenizer.chat_template = chat_template
+
+    def _apply_chat_template(self, request: ChatCompletionRequest) -> str:
+        messages = request.messages
+        tok = self.tokenizer
+        template = request.chat_template or \
+            getattr(tok, "chat_template", None)
+        if tok is not None and template is not None:
+            return tok.apply_chat_template(
+                messages, tokenize=False,
+                add_generation_prompt=request.add_generation_prompt,
+                chat_template=request.chat_template)
+        # offline fallback (tiny test tokenizers have no template)
+        logger.debug(_FALLBACK_TEMPLATE_NOTE)
+        parts = []
+        for m in messages:
+            parts.append(f"<|{m.get('role', 'user')}|>\n"
+                         f"{m.get('content') or ''}")
+        if request.add_generation_prompt:
+            parts.append("<|assistant|>\n")
+        return "\n".join(parts)
+
+    async def create_chat_completion(self, request: ChatCompletionRequest):
+        error = self._check_model(request.model)
+        if error is not None:
+            return error
+        try:
+            prompt = self._apply_chat_template(request)
+            logits_processors = self._build_guided_processors(request)
+            logprobs = request.top_logprobs if request.logprobs else None
+            sampling_params = request.to_sampling_params(
+                logprobs, logits_processors=logits_processors)
+        except ValueError as e:
+            return self.create_error_response(str(e))
+
+        n_tokens = len(self.tokenizer.encode(prompt)) if self.tokenizer \
+            else 0
+        error = self._validate_prompt_len(n_tokens, request.max_tokens)
+        if error is not None:
+            return error
+
+        request_id = f"chatcmpl-{random_uuid()}"
+        generator = self.engine.generate(prompt=prompt,
+                                         sampling_params=sampling_params,
+                                         request_id=request_id)
+        if request.stream:
+            return await self._stream(request, request_id, generator)
+        return await self._full(request, request_id, generator)
+
+    async def _full(self, request, request_id, generator):
+        final = None
+        async for output in generator:
+            final = output
+        assert final is not None
+        choices = []
+        num_gen = 0
+        for comp in final.outputs:
+            num_gen += len(comp.token_ids)
+            logprobs = None
+            if request.logprobs:
+                logprobs = self._make_logprobs(comp.token_ids,
+                                               comp.logprobs,
+                                               request.top_logprobs)
+            choices.append(
+                ChatCompletionResponseChoice(
+                    index=comp.index,
+                    message=ChatMessage(role="assistant", content=comp.text),
+                    logprobs=logprobs,
+                    finish_reason=comp.finish_reason,
+                    stop_reason=comp.stop_reason))
+        num_prompt = len(final.prompt_token_ids)
+        return ChatCompletionResponse(
+            id=request_id, model=request.model, choices=choices,
+            usage=UsageInfo(prompt_tokens=num_prompt,
+                            completion_tokens=num_gen,
+                            total_tokens=num_prompt + num_gen))
+
+    async def _stream(self, request, request_id, generator
+                      ) -> AsyncIterator[str]:
+        async def gen():
+            first = ChatCompletionStreamResponse(
+                id=request_id, model=request.model,
+                choices=[
+                    ChatCompletionStreamChoice(
+                        index=i, delta=DeltaMessage(role="assistant",
+                                                    content=""))
+                    for i in range(max(request.n, 1))
+                ])
+            yield f"data: {first.model_dump_json()}\n\n"
+            sent_len = [0] * max(request.n, 1)
+            async for output in generator:
+                for comp in output.outputs:
+                    delta = comp.text[sent_len[comp.index]:]
+                    sent_len[comp.index] = len(comp.text)
+                    if not delta and comp.finish_reason is None:
+                        continue
+                    chunk = ChatCompletionStreamResponse(
+                        id=request_id, model=request.model,
+                        choices=[
+                            ChatCompletionStreamChoice(
+                                index=comp.index,
+                                delta=DeltaMessage(content=delta),
+                                finish_reason=comp.finish_reason,
+                                stop_reason=comp.stop_reason)
+                        ])
+                    yield f"data: {chunk.model_dump_json()}\n\n"
+            yield "data: [DONE]\n\n"
+
+        return gen()

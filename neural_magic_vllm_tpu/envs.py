@@ -22,9 +22,11 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "NMV_TPU_XLA_CACHE_PATH":
     lambda: os.getenv("NMV_TPU_XLA_CACHE_PATH",
                       os.path.expanduser("~/.cache/nmv_tpu/xla_cache")),
-    # Engine iteration watchdog (seconds) for the async engine.
+    # Engine iteration watchdog (seconds) for the async engine. Generous
+    # default: a first-hit XLA bucket compile on TPU can take minutes
+    # (unlike the reference's 60s CUDA default, async_llm_engine.py:588).
     "NMV_TPU_ENGINE_ITERATION_TIMEOUT_S":
-    lambda: int(os.getenv("NMV_TPU_ENGINE_ITERATION_TIMEOUT_S", "60")),
+    lambda: int(os.getenv("NMV_TPU_ENGINE_ITERATION_TIMEOUT_S", "300")),
     # Test hook: artificial preemption (reference scheduler.py:21-24).
     "NMV_TPU_TEST_ENABLE_ARTIFICIAL_PREEMPT":
     lambda: bool(int(os.getenv("NMV_TPU_TEST_ENABLE_ARTIFICIAL_PREEMPT", "0"))),

@@ -1,0 +1,106 @@
+"""Guided decoding (reference vllm/model_executor/guided_decoding/):
+regex/JSON-schema/choice-constrained generation as SamplingParams
+logits_processors — engine-agnostic host-side masking, exactly like the
+reference's outlines backend, but with a self-contained FSM (no outlines
+dependency in this environment)."""
+import json
+import math
+import re
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from neural_magic_vllm_tpu.guided_decoding.fsm import RegexFSM
+from neural_magic_vllm_tpu.guided_decoding.json_schema import schema_to_regex
+
+_FSM_CACHE: Dict[tuple, RegexFSM] = {}
+
+
+def _vocab_strings(tokenizer) -> List[Optional[str]]:
+    cached = getattr(tokenizer, "_nmv_vocab_strings", None)
+    if cached is not None:
+        return cached
+    size = getattr(tokenizer, "vocab_size", None) or len(
+        tokenizer.get_vocab())
+    vocab = tokenizer.get_vocab()
+    max_id = max(vocab.values()) + 1
+    strings: List[Optional[str]] = [None] * max(size, max_id)
+    special = set(getattr(tokenizer, "all_special_ids", []) or [])
+    for tid in range(len(strings)):
+        if tid in special:
+            continue
+        try:
+            text = tokenizer.decode([tid])
+        except Exception:  # noqa: BLE001
+            continue
+        if text and "�" not in text:
+            strings[tid] = text
+    tokenizer._nmv_vocab_strings = strings
+    return strings
+
+
+class FSMLogitsProcessor:
+    """Per-request stateful mask (reference RegexLogitsProcessor,
+    outlines_logits_processors.py:67). Called as (generated_ids, logits) ->
+    logits with disallowed tokens set to -inf; EOS is allowed once the FSM
+    is in an accepting state."""
+
+    def __init__(self, fsm: RegexFSM, eos_token_id: Optional[int]) -> None:
+        self.fsm = fsm
+        self.eos_token_id = eos_token_id
+        self._state: Optional[int] = fsm.start
+        self._seen = 0
+
+    def __call__(self, generated_ids: List[int],
+                 logits: np.ndarray) -> np.ndarray:
+        # advance by tokens generated since last call
+        for tid in generated_ids[self._seen:]:
+            if self._state is not None and tid != self.eos_token_id:
+                self._state = self.fsm.allowed_tokens(self._state).get(tid)
+        self._seen = len(generated_ids)
+        if self._state is None:
+            # walked off the automaton (shouldn't happen): only EOS
+            mask = np.full_like(logits, -math.inf)
+            if self.eos_token_id is not None:
+                mask[self.eos_token_id] = logits[self.eos_token_id]
+            return mask
+        allowed = self.fsm.allowed_tokens(self._state)
+        mask = np.full_like(logits, -math.inf)
+        idx = np.fromiter(allowed.keys(), dtype=np.int64,
+                          count=len(allowed))
+        if idx.size:
+            mask[idx] = logits[idx]
+        if self.eos_token_id is not None and \
+                self.fsm.is_accepting(self._state):
+            mask[self.eos_token_id] = logits[self.eos_token_id]
+        return mask
+
+
+def _get_fsm(pattern: str, tokenizer) -> RegexFSM:
+    key = (pattern, id(tokenizer))
+    fsm = _FSM_CACHE.get(key)
+    if fsm is None:
+        fsm = RegexFSM(pattern, _vocab_strings(tokenizer))
+        _FSM_CACHE[key] = fsm
+    return fsm
+
+
+def get_guided_decoding_logits_processors(request, tokenizer
+                                          ) -> Optional[list]:
+    """Build processors from a request carrying guided_json / guided_regex /
+    guided_choice (reference guided_decoding/__init__.py:13)."""
+    pattern = None
+    if getattr(request, "guided_json", None):
+        pattern = schema_to_regex(request.guided_json)
+    elif getattr(request, "guided_regex", None):
+        pattern = request.guided_regex
+    elif getattr(request, "guided_choice", None):
+        pattern = "(" + "|".join(
+            re.escape(c) for c in request.guided_choice) + ")"
+    if pattern is None:
+        return None
+    if tokenizer is None:
+        raise ValueError("guided decoding requires a tokenizer")
+    fsm = _get_fsm(pattern, tokenizer)
+    eos = getattr(tokenizer, "eos_token_id", None)
+    return [FSMLogitsProcessor(fsm, eos)]

@@ -63,15 +63,20 @@ class WNA16LinearMethod(LinearMethod):
 
     def create_params(self, rng, in_features, out_features, use_bias):
         """Random quantized init (dummy load format, for profiling and
-        throughput benches without checkpoint downloads)."""
+        throughput benches without checkpoint downloads). Packed words are
+        drawn directly — uniform bits ARE uniform int4/int8 levels — so an
+        8B-scale init stays fast."""
         G = self._groups(in_features)
-        q = rng.integers(0, 2**self.bits,
-                         (in_features, out_features)).astype(np.uint32)
+        qweight = rng.integers(0, 2**32,
+                               (in_features // self.pack_factor,
+                                out_features),
+                               dtype=np.uint64).astype(np.uint32).view(
+                                   np.int32)
         # scale ~ uniform weight init std / half-range
         scale = (1.0 / np.sqrt(in_features)) / (1 << (self.bits - 1))
         scales = (scale * rng.uniform(0.7, 1.3, (G, out_features))).astype(
             np.float32)
-        params = self.pack(q, scales, None)
+        params = {"qweight": qweight, "scales": scales}
         if use_bias:
             params["bias"] = np.zeros((out_features, ), np.float32)
         return params

@@ -1,0 +1,173 @@
+"""OpenAI-compatible server e2e (reference tests/entrypoints/
+test_openai_server.py strategy, scaled to the tiny offline checkpoint):
+the full aiohttp app over a real AsyncLLMEngine, exercised with an aiohttp
+test client — completions, chat, streaming SSE, tokenize/detokenize,
+models, health, guided choice."""
+import asyncio
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+MODEL_NAME = "tiny-llama"
+
+
+@pytest.fixture(scope="module")
+def app_and_engine(tiny_llama_dir):
+    """The sync LLMEngine is built once (expensive); each test wraps it in a
+    fresh AsyncLLMEngine + app so the background loop binds to that test's
+    event loop (asyncio.run creates a new loop per test)."""
+    from neural_magic_vllm_tpu.engine.arg_utils import EngineArgs
+    from neural_magic_vllm_tpu.engine.llm_engine import LLMEngine
+
+    engine_args = EngineArgs(
+        model=tiny_llama_dir, dtype="float32", max_model_len=128,
+        block_size=16, num_gpu_blocks_override=64, max_num_seqs=8,
+        enforce_eager=True, disable_log_stats=True)
+    return LLMEngine.from_engine_args(engine_args)
+
+
+def run(sync_engine, coro_fn):
+    from neural_magic_vllm_tpu.engine.async_llm_engine import AsyncLLMEngine
+    from neural_magic_vllm_tpu.entrypoints.openai.api_server import build_app
+
+    async def runner():
+        engine = AsyncLLMEngine(sync_engine)
+        app = build_app(engine, [MODEL_NAME])
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        try:
+            return await coro_fn(client)
+        finally:
+            await client.close()
+            if engine._background_loop is not None:
+                engine._background_loop.cancel()
+
+    return asyncio.run(runner())
+
+
+def test_health_version_models(app_and_engine):
+    engine = app_and_engine
+
+    async def go(client):
+        assert (await client.get("/health")).status == 200
+        v = await (await client.get("/version")).json()
+        assert "version" in v
+        models = await (await client.get("/v1/models")).json()
+        assert models["data"][0]["id"] == MODEL_NAME
+        return True
+
+    assert run(engine, go)
+
+
+def test_tokenize_detokenize(app_and_engine):
+    engine = app_and_engine
+
+    async def go(client):
+        r = await client.post("/tokenize", json={"prompt": "hello"})
+        assert r.status == 200
+        toks = await r.json()
+        assert toks["count"] == len(toks["tokens"]) > 0
+        r2 = await client.post("/detokenize", json={"tokens":
+                                                    toks["tokens"]})
+        body = await r2.json()
+        assert body["prompt"] == "hello"
+        return True
+
+    assert run(engine, go)
+
+
+def test_completion(app_and_engine):
+    engine = app_and_engine
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "model": MODEL_NAME, "prompt": "abc", "max_tokens": 4,
+            "temperature": 0.0, "ignore_eos": True})
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        assert body["object"] == "text_completion"
+        assert len(body["choices"]) == 1
+        assert body["usage"]["completion_tokens"] == 4
+        return True
+
+    assert run(engine, go)
+
+
+def test_completion_streaming(app_and_engine):
+    engine = app_and_engine
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "model": MODEL_NAME, "prompt": "abc", "max_tokens": 4,
+            "temperature": 0.0, "ignore_eos": True, "stream": True})
+        assert r.status == 200
+        chunks = []
+        raw = await r.text()
+        for line in raw.splitlines():
+            if line.startswith("data: "):
+                chunks.append(line[len("data: "):])
+        assert chunks[-1] == "[DONE]"
+        assert len(chunks) >= 2  # at least one delta + DONE
+        parsed = json.loads(chunks[0])
+        assert parsed["object"] == "text_completion"
+        return True
+
+    assert run(engine, go)
+
+
+def test_chat_completion(app_and_engine):
+    engine = app_and_engine
+
+    async def go(client):
+        r = await client.post("/v1/chat/completions", json={
+            "model": MODEL_NAME,
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4, "temperature": 0.0, "ignore_eos": True})
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        assert body["object"] == "chat.completion"
+        assert body["choices"][0]["message"]["role"] == "assistant"
+        return True
+
+    assert run(engine, go)
+
+
+def test_bad_model_404(app_and_engine):
+    engine = app_and_engine
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "model": "nope", "prompt": "x", "max_tokens": 2})
+        assert r.status == 404
+        return True
+
+    assert run(engine, go)
+
+
+def test_over_long_prompt_rejected(app_and_engine):
+    engine = app_and_engine
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "model": MODEL_NAME, "prompt": "a" * 4000, "max_tokens": 2})
+        assert r.status == 400
+        return True
+
+    assert run(engine, go)
+
+
+def test_guided_choice(app_and_engine):
+    engine = app_and_engine
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "model": MODEL_NAME, "prompt": "pick", "max_tokens": 8,
+            "temperature": 0.0, "guided_choice": ["yes", "no"]})
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        assert body["choices"][0]["text"] in ("yes", "no")
+        return True
+
+    assert run(engine, go)
