@@ -330,6 +330,17 @@ class SchedulerConfig:
                 return b
         return self.decode_buckets()[-1]
 
+    def pad_table_width(self, n: int, max_width: int) -> int:
+        """Bucketed block-table width (pow2 >= 4, capped at the model-max).
+        Attention reads the KV cache through the table, so a narrow table
+        bounds per-step KV traffic by the batch's ACTUAL max context instead
+        of max_model_len — the static-shape analogue of the reference's
+        dynamic seq_lens."""
+        b = 4
+        while b < n:
+            b *= 2
+        return min(b, max_width)
+
 
 class DeviceConfig:
     """Target platform (reference vllm/config.py:855)."""

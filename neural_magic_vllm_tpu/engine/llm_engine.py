@@ -229,6 +229,10 @@ class LLMEngine:
                 seq_group = scheduled.seq_group
                 if seq_group.is_finished():
                     continue
+                if step_i > 0 and not group_output.samples:
+                    # variable-length fused steps (spec decode): this seq
+                    # accepted fewer tokens than the longest in the batch
+                    continue
                 seq_group.update_num_computed_tokens(
                     scheduled.token_chunk_size if step_i == 0 else 1)
                 self.output_processor.process_outputs(seq_group,

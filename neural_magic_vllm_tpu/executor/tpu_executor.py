@@ -44,7 +44,8 @@ class TPUExecutor(ExecutorAsyncBase):
         self.driver_worker = Worker(model_config, cache_config,
                                     scheduler_config, parallel_config,
                                     device_config, load_config,
-                                    mesh=self.mesh)
+                                    mesh=self.mesh,
+                                    speculative_config=speculative_config)
         self.driver_worker.init_device()
         self.driver_worker.load_model()
 

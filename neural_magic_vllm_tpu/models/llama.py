@@ -122,28 +122,36 @@ class LlamaForCausalLM:
         }
 
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
-        """Random init (DummyModelLoader analogue, loader.py:309). Built
-        host-side with numpy — per-tensor jax.random dispatches through a
-        device tunnel are pathologically slow for large models."""
-        H = self.hidden_size
+        """Random init (DummyModelLoader analogue, loader.py:309).
+
+        Built to be fast at 8B+ scale over a device tunnel: ONE layer is
+        generated host-side (numpy) and tiled on device to all L layers
+        (dummy weights need realistic magnitudes, not per-layer variety),
+        and the large embed/lm_head matrices are generated on device."""
+        H, V = self.hidden_size, self.vocab_size
         seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1]) \
             if hasattr(rng, "dtype") and rng.dtype.kind == "V" else \
             int(np.asarray(rng).ravel()[-1])
         nprng = np.random.default_rng(seed)
-        layers = [self._init_layer(nprng) for _ in range(self.num_layers)]
+        layer = cast_params_to(self._init_layer(nprng), self.dtype)
+        layers = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None],
+                                       (self.num_layers, ) + x.shape).copy()
+            if self.num_layers > 1 else x[None], layer)
+        k_e, k_l = jax.random.split(jax.random.PRNGKey(seed))
+        embed = (jax.random.normal(k_e, (V, H), dtype=jnp.float32) *
+                 0.02).astype(self.dtype)
         params = {
-            "embed":
-            (nprng.standard_normal(
-                (self.vocab_size, H)) * 0.02).astype(np.float32),
-            "layers": stack_layer_params(layers),
-            "final_norm": np.ones((H, ), np.float32),
+            "embed": embed,
+            "layers": layers,
+            "final_norm": jnp.ones((H, ), self.dtype),
         }
         if not self.tie_embeddings:
-            params["lm_head"] = (nprng.standard_normal(
-                (H, self.vocab_size)) * 0.02).astype(np.float32)
+            params["lm_head"] = (jax.random.normal(
+                k_l, (H, V), dtype=jnp.float32) * 0.02).astype(self.dtype)
         else:
-            params["lm_head"] = params["embed"].T.copy()
-        return cast_params_to(params, self.dtype)
+            params["lm_head"] = embed.T
+        return params
 
     def _layer_specs(self) -> Dict[str, Any]:
         lm = self.linear_method

@@ -38,7 +38,7 @@ def prefill_attention_ref(
     q: jax.Array,  # [S, num_q_heads, head_dim]
     k: jax.Array,  # [S, num_kv_heads, head_dim] (current chunk)
     v: jax.Array,  # [S, num_kv_heads, head_dim]
-    k_cache: jax.Array,  # [kvh, num_blocks, block_size, hd]
+    k_cache: jax.Array,  # [num_blocks, kvh, block_size, hd]
     v_cache: jax.Array,
     block_table: jax.Array,  # [max_blocks] int32
     context_len: jax.Array,  # scalar int32: cached tokens before this chunk
@@ -51,14 +51,16 @@ def prefill_attention_ref(
     context_len + i; causal within the chunk, full attention to the cached
     context (masked to j < context_len)."""
     S, nqh, hd = q.shape
-    kvh = k_cache.shape[0]
+    kvh = k_cache.shape[1]
     group = nqh // kvh
     bs = k_cache.shape[2]
     max_ctx = block_table.shape[0] * bs
 
-    # Gather context pages: [kvh, max_blocks, bs, hd] -> [kvh, max_ctx, hd]
-    ctx_k = k_cache[:, block_table].reshape(kvh, max_ctx, hd)
-    ctx_v = v_cache[:, block_table].reshape(kvh, max_ctx, hd)
+    # Gather context pages: [max_blocks, kvh, bs, hd] -> [kvh, max_ctx, hd]
+    ctx_k = k_cache[block_table].transpose(1, 0, 2, 3).reshape(
+        kvh, max_ctx, hd)
+    ctx_v = v_cache[block_table].transpose(1, 0, 2, 3).reshape(
+        kvh, max_ctx, hd)
 
     qg = q.reshape(S, kvh, group, hd).astype(jnp.float32)
     # context scores: [S, kvh, group, max_ctx]
@@ -96,7 +98,7 @@ def prefill_attention_ref(
 
 def decode_attention_ref(
     q: jax.Array,  # [B, num_q_heads, head_dim]
-    k_cache: jax.Array,  # [kvh, num_blocks, bs, hd]
+    k_cache: jax.Array,  # [num_blocks, kvh, bs, hd]
     v_cache: jax.Array,
     block_tables: jax.Array,  # [B, max_blocks] int32
     context_lens: jax.Array,  # [B] int32: total tokens incl. current
@@ -109,13 +111,13 @@ def decode_attention_ref(
     already be written to the cache (write-then-attend, like the reference
     decode path)."""
     B, nqh, hd = q.shape
-    kvh, _, bs, _ = k_cache.shape
+    _, kvh, bs, _ = k_cache.shape
     group = nqh // kvh
     max_ctx = block_tables.shape[1] * bs
 
     def one(qb, bt, ctx_len):
-        keys = k_cache[:, bt].reshape(kvh, max_ctx, hd)
-        vals = v_cache[:, bt].reshape(kvh, max_ctx, hd)
+        keys = k_cache[bt].transpose(1, 0, 2, 3).reshape(kvh, max_ctx, hd)
+        vals = v_cache[bt].transpose(1, 0, 2, 3).reshape(kvh, max_ctx, hd)
         qg = qb.reshape(kvh, group, hd).astype(jnp.float32)
         scores = jnp.einsum("kgh,kch->kgc", qg,
                             keys.astype(jnp.float32)) * scale

@@ -4,10 +4,11 @@ TPU-native replacements for the reference's cache kernels
 (csrc/cache_kernels.cu: reshape_and_cache, copy_blocks, swap_blocks):
 
 - layout: per-layer K and V arrays of shape
-  ``[num_kv_heads, num_blocks, block_size, head_dim]`` (the layout the
-  reference's own TPU port chose, vllm/worker/tpu_worker.py:157-173, because
-  the decode kernel walks pages per kv-head). The kv-head axis is the one
-  sharded over the "model" mesh axis.
+  ``[num_blocks, num_kv_heads, block_size, head_dim]``. Page-major (vs the
+  reference TPU port's head-major, vllm/worker/tpu_worker.py:157-173)
+  because the Pallas decode kernel partitions work by SEQUENCE: one page =
+  one contiguous DMA covering all kv heads. The kv-head axis is still the
+  one sharded over the "model" mesh axis.
 - writes are XLA scatters with ``mode="drop"`` so padded slots (-1) are
   discarded in-graph (the reference TPU port used index_copy with a padded
   slot convention, tpu_model_runner.py:24).
@@ -23,11 +24,11 @@ KVCache = Tuple[jax.Array, jax.Array]  # (k_cache, v_cache)
 
 def kv_cache_shape(num_blocks: int, block_size: int, num_kv_heads: int,
                    head_dim: int) -> Tuple[int, int, int, int]:
-    return (num_kv_heads, num_blocks, block_size, head_dim)
+    return (num_blocks, num_kv_heads, block_size, head_dim)
 
 
 def write_kv(
-    k_cache: jax.Array,  # [kvh, nb, bs, hd]
+    k_cache: jax.Array,  # [nb, kvh, bs, hd]
     v_cache: jax.Array,
     key: jax.Array,  # [T, kvh, hd]
     value: jax.Array,
@@ -35,18 +36,17 @@ def write_kv(
 ) -> KVCache:
     """Scatter new K/V into their slots. Donor-buffer friendly: caller
     donates k_cache/v_cache so XLA updates in place."""
-    kvh, nb, bs, hd = k_cache.shape
-    k_flat = k_cache.reshape(kvh, nb * bs, hd)
-    v_flat = v_cache.reshape(kvh, nb * bs, hd)
+    nb, kvh, bs, hd = k_cache.shape
     # Negative indices WRAP in jax scatters; remap padding to an
     # out-of-range index that mode="drop" actually drops.
     slots = jnp.where(slot_mapping < 0, nb * bs, slot_mapping)
-    # [T, kvh, hd] -> [kvh, T, hd]
-    key_t = jnp.swapaxes(key, 0, 1).astype(k_cache.dtype)
-    value_t = jnp.swapaxes(value, 0, 1).astype(v_cache.dtype)
-    k_flat = k_flat.at[:, slots, :].set(key_t, mode="drop")
-    v_flat = v_flat.at[:, slots, :].set(value_t, mode="drop")
-    return k_flat.reshape(k_cache.shape), v_flat.reshape(v_cache.shape)
+    blocks = slots // bs
+    offs = slots % bs
+    k_cache = k_cache.at[blocks, :, offs, :].set(
+        key.astype(k_cache.dtype), mode="drop")
+    v_cache = v_cache.at[blocks, :, offs, :].set(
+        value.astype(v_cache.dtype), mode="drop")
+    return k_cache, v_cache
 
 
 # Copy-on-write block copies and swap transfers operate on the

@@ -1,13 +1,188 @@
-"""Pallas TPU attention kernels (prefill flash attention + paged decode).
+"""Pallas TPU attention kernels.
 
-Implements the same contracts as ops/attention.py's jnp reference. Until the
-hand-written kernels land (tracked for this round), these delegate to the
-XLA-compiled reference implementations, which are already static-shape and
-fuse well; the Pallas versions exist to cut HBM traffic via VMEM-resident
-softmax accumulation.
+Decode: a block-table-driven paged-attention kernel (the TPU-native
+equivalent of csrc/attention/attention_kernels.cu paged_attention_v1/v2 and
+the reference TPU port's torch.ops.xla.paged_attention, pallas.py:199).
+Design:
+- grid (batch,): one program per sequence; TPU megacore splits the batch.
+- the KV cache stays in HBM; each program DMAs only ITS sequence's pages
+  (PAGES_PER_CHUNK at a time, double-buffered) into VMEM — per-step KV
+  traffic is bounded by the batch's actual context, not max_model_len.
+- online-softmax (flash) accumulation in fp32 carries; GQA queries are
+  grouped per kv-head and never materialize repeated KV.
+- fp8 KV dequant fuses into the same pass (the reference TPU backend could
+  not do FP8 KV at all, pallas.py:109-110).
+
+Prefill currently delegates to the XLA reference implementation (fuses
+well); the decode path is where block-table gathers dominated.
 """
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from neural_magic_vllm_tpu.ops.attention import (decode_attention_ref,
                                                  prefill_attention_ref)
 
 prefill_attention = prefill_attention_ref
-decode_attention = decode_attention_ref
+
+PAGES_PER_CHUNK = 4
+
+
+def _decode_kernel(tables_ref, ctx_ref, q_ref, k_hbm, v_hbm, o_ref,
+                   k_buf, v_buf, sems, *, kvh: int, group: int, bs: int,
+                   hd: int, n_chunks: int, ppc: int, kv_scale: float,
+                   logit_cap: Optional[float]):
+    b = pl.program_id(0)
+    ctx = ctx_ref[b]
+    n_pages_needed = (ctx + bs - 1) // bs
+    needed_chunks = (n_pages_needed + ppc - 1) // ppc
+
+    def start_chunk(c, slot):
+        for p in range(ppc):  # ppc is small and static
+            page = tables_ref[b, c * ppc + p]
+            # page-major layout: one page = one contiguous [kvh, bs, hd] DMA
+            pltpu.make_async_copy(k_hbm.at[page], k_buf.at[slot, p],
+                                  sems.at[slot, p, 0]).start()
+            pltpu.make_async_copy(v_hbm.at[page], v_buf.at[slot, p],
+                                  sems.at[slot, p, 1]).start()
+
+    def wait_chunk(slot):
+        for p in range(ppc):
+            pltpu.make_async_copy(k_hbm.at[0], k_buf.at[slot, p],
+                                  sems.at[slot, p, 0]).wait()
+            pltpu.make_async_copy(v_hbm.at[0], v_buf.at[slot, p],
+                                  sems.at[slot, p, 1]).wait()
+
+    start_chunk(0, 0)
+    q = q_ref[0].astype(jnp.float32)  # [nqh, hd]
+
+    T = ppc * bs
+    m0 = jnp.full((kvh, group, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((kvh, group, 1), jnp.float32)
+    acc0 = jnp.zeros((kvh, group, hd), jnp.float32)
+
+    def body(c, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < needed_chunks)
+        def _():
+            start_chunk(c + 1, jax.lax.rem(c + 1, 2))
+
+        wait_chunk(slot)
+        # [1, ppc, kvh, bs, hd]; per-head slices below avoid a transpose
+        # relayout (merging leading dims is free).
+        kc = k_buf[pl.ds(slot, 1)].reshape(ppc, kvh, bs, hd)
+        vc = v_buf[pl.ds(slot, 1)].reshape(ppc, kvh, bs, hd)
+        pos = c * T + jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        valid = pos < ctx  # [1, T]
+
+        new_m_list, new_l_list, new_acc_list = [], [], []
+        for h in range(kvh):
+            k_h = kc[:, h].reshape(T, hd).astype(jnp.float32)
+            v_h = vc[:, h].reshape(T, hd).astype(jnp.float32)
+            if kv_scale != 1.0:
+                k_h = k_h * kv_scale
+                v_h = v_h * kv_scale
+            q_h = q[h * group:(h + 1) * group]  # static slice
+            s = jax.lax.dot_general(
+                q_h, k_h, (((1, ), (1, )), ((), ())),
+                preferred_element_type=jnp.float32)  # [group, T]
+            if logit_cap is not None and logit_cap > 0:
+                s = jnp.tanh(s / logit_cap) * logit_cap
+            s = jnp.where(valid, s, -jnp.inf)
+            chunk_m = jnp.max(s, axis=-1, keepdims=True)
+            m_h = m[h]
+            new_m = jnp.maximum(m_h, chunk_m)
+            # guard -inf - -inf when a chunk is fully masked
+            safe_m = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
+            p_ = jnp.exp(jnp.where(jnp.isfinite(s), s - safe_m, -jnp.inf))
+            alpha = jnp.where(jnp.isfinite(m_h), jnp.exp(m_h - safe_m), 0.0)
+            new_l = l[h] * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p_, v_h, (((1, ), (0, )), ((), ())),
+                preferred_element_type=jnp.float32)
+            new_acc = acc[h] * alpha + pv
+            new_m_list.append(new_m)
+            new_l_list.append(new_l)
+            new_acc_list.append(new_acc)
+        return (jnp.stack(new_m_list), jnp.stack(new_l_list),
+                jnp.stack(new_acc_list))
+
+    m, l, acc = jax.lax.fori_loop(0, needed_chunks, body, (m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-30)  # [kvh, group, hd]
+    o_ref[0] = out.reshape(kvh * group, hd).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "kv_scale",
+                                             "logit_cap"))
+def _decode_attention_pallas(q, k_cache, v_cache, block_tables,
+                             context_lens, *, scale: float,
+                             kv_scale: float = 1.0,
+                             logit_cap: Optional[float] = None):
+    B, nqh, hd = q.shape
+    nb, kvh, bs, _ = k_cache.shape
+    group = nqh // kvh
+    W = block_tables.shape[1]
+    ppc = PAGES_PER_CHUNK
+    if W % ppc != 0:
+        pad = ppc - W % ppc
+        block_tables = jnp.pad(block_tables, ((0, 0), (0, pad)))
+        W += pad
+    n_chunks = W // ppc
+
+    q_scaled = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    kernel = functools.partial(
+        _decode_kernel, kvh=kvh, group=group, bs=bs, hd=hd,
+        n_chunks=n_chunks, ppc=ppc, kv_scale=kv_scale, logit_cap=logit_cap)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, ),
+        in_specs=[
+            pl.BlockSpec((1, nqh, hd), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # k_cache stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, nqh, hd), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, ppc, kvh, bs, hd), k_cache.dtype),
+            pltpu.VMEM((2, ppc, kvh, bs, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, ppc, 2)),
+        ],
+    )
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nqh, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", )),
+        interpret=interpret,
+    )(block_tables, context_lens, q_scaled, k_cache, v_cache)
+    return out
+
+
+def decode_attention(q, k_cache, v_cache, block_tables, context_lens, *,
+                     scale: float, sliding_window: Optional[int] = None,
+                     logit_cap: Optional[float] = None,
+                     kv_scale: float = 1.0):
+    """Paged decode attention; falls back to the XLA reference for cases
+    the kernel does not cover (sliding window, odd head sizes)."""
+    nb, kvh, bs, hd = k_cache.shape
+    nqh = q.shape[1]
+    if (sliding_window is not None or hd % 128 != 0 or nqh % kvh != 0
+            or bs % 8 != 0):
+        return decode_attention_ref(q, k_cache, v_cache, block_tables,
+                                    context_lens, scale=scale,
+                                    sliding_window=sliding_window,
+                                    logit_cap=logit_cap)
+    return _decode_attention_pallas(q, k_cache, v_cache, block_tables,
+                                    context_lens, scale=scale,
+                                    kv_scale=kv_scale, logit_cap=logit_cap)

@@ -2,7 +2,7 @@
 
 Analogue of the reference CacheEngine (vllm/worker/cache_engine.py:15),
 re-designed for the scan-based model: ONE pair of layer-stacked arrays
-  k_stack, v_stack: [num_layers, num_kv_heads, num_blocks, block_size, hd]
+  k_stack, v_stack: [num_layers, num_blocks, num_kv_heads, block_size, hd]
 instead of the reference's per-layer tensor list — one allocation, one
 donation per step, and swap/copy touch all layers in a single gather/scatter.
 A host-side numpy pool backs CPU swap space.
@@ -48,30 +48,30 @@ def kv_cache_bytes_per_block(block_size: int, num_kv_heads: int,
 @functools.partial(jax.jit, donate_argnums=(0, ), static_argnums=(3, ))
 def _scatter_pages(cache: jax.Array, pages: jax.Array, dst: jax.Array,
                    _tag: int) -> jax.Array:
-    # cache [L, kvh, nb, bs, hd]; pages [n, L, kvh, bs, hd]; dst [n]
+    # cache [L, nb, kvh, bs, hd]; pages [n, L, kvh, bs, hd]; dst [n]
     # (-1 remapped to the OOB index nb, dropped — negative indices wrap)
-    dst = jnp.where(dst < 0, cache.shape[2], dst)
-    pages = jnp.transpose(pages, (1, 2, 0, 3, 4))  # [L, kvh, n, bs, hd]
-    return cache.at[:, :, dst].set(pages, mode="drop")
+    dst = jnp.where(dst < 0, cache.shape[1], dst)
+    pages = jnp.transpose(pages, (1, 0, 2, 3, 4))  # [L, n, kvh, bs, hd]
+    return cache.at[:, dst].set(pages, mode="drop")
 
 
 @functools.partial(jax.jit, static_argnums=(2, ))
 def _gather_pages(cache: jax.Array, src: jax.Array, _tag: int) -> jax.Array:
     src = jnp.maximum(src, 0)
-    pages = cache[:, :, src]  # [L, kvh, n, bs, hd]
-    return jnp.transpose(pages, (2, 0, 1, 3, 4))  # [n, L, kvh, bs, hd]
+    pages = cache[:, src]  # [L, n, kvh, bs, hd]
+    return jnp.transpose(pages, (1, 0, 2, 3, 4))  # [n, L, kvh, bs, hd]
 
 
 @functools.partial(jax.jit, donate_argnums=(0, ), static_argnums=(2, ))
 def _copy_pages(kv: KVCache, src_dst: jax.Array, _tag: int) -> KVCache:
     """Batched CoW copies on both stacks (reference copy_blocks)."""
     k, v = kv
-    nb = k.shape[2]
+    nb = k.shape[1]
     src = src_dst[:, 0]
     dst = jnp.where(src < 0, nb, src_dst[:, 1])
     src = jnp.maximum(src, 0)
-    k = k.at[:, :, dst].set(k[:, :, src], mode="drop")
-    v = v.at[:, :, dst].set(v[:, :, src], mode="drop")
+    k = k.at[:, dst].set(k[:, src], mode="drop")
+    v = v.at[:, dst].set(v[:, src], mode="drop")
     return k, v
 
 
@@ -85,7 +85,7 @@ class CacheEngine:
         self.num_device_blocks = num_device_blocks
         self.num_cpu_blocks = num_cpu_blocks
         self.kv_dtype = jnp.dtype(kv_dtype)
-        shape = (num_layers, num_kv_heads, num_device_blocks, block_size,
+        shape = (num_layers, num_device_blocks, num_kv_heads, block_size,
                  head_dim)
         if sharding is not None:
             k = jax.device_put(jnp.zeros(shape, dtype=self.kv_dtype),

@@ -59,7 +59,7 @@ class TPUModelRunner:
 
     def __init__(self, model_config, cache_config, scheduler_config,
                  parallel_config, device_config, load_config,
-                 mesh=None) -> None:
+                 mesh=None, speculative_config=None) -> None:
         self.model_config = model_config
         self.cache_config = cache_config
         self.scheduler_config = scheduler_config
@@ -67,6 +67,15 @@ class TPUModelRunner:
         self.device_config = device_config
         self.load_config = load_config
         self.mesh = mesh
+        self.speculative_config = speculative_config
+        self._spec_proposer = None
+        if speculative_config is not None and speculative_config.enabled \
+                and speculative_config.ngram_prompt_lookup_max > 0:
+            from neural_magic_vllm_tpu.spec_decode import NGramProposer
+            self._spec_proposer = NGramProposer(
+                speculative_config.ngram_prompt_lookup_max,
+                speculative_config.ngram_prompt_lookup_min or 1,
+                speculative_config.num_speculative_tokens)
 
         self.block_size = cache_config.block_size
         self.max_blocks_per_seq = cdiv(model_config.max_model_len,
@@ -107,11 +116,11 @@ class TPUModelRunner:
         return jax.device_put(params, shardings)
 
     def kv_sharding(self):
-        """KV stacks [L, kvh, nb, bs, hd]: kv-head axis over "model"."""
+        """KV stacks [L, nb, kvh, bs, hd]: kv-head axis over "model"."""
         if self.mesh is None:
             return None
         from jax.sharding import NamedSharding, PartitionSpec as P
-        return NamedSharding(self.mesh, P(None, "model", None, None, None))
+        return NamedSharding(self.mesh, P(None, None, "model", None, None))
 
     # --- step executables -----------------------------------------------------
     def _get_fn(self, kind: str, num_logprobs: int):
@@ -231,6 +240,12 @@ class TPUModelRunner:
             kv = cache_engine.kv_caches
             kv = self._run_dummy_decode(kv, b)
             cache_engine.kv_caches = kv
+        K = self.scheduler_config.num_scheduler_steps
+        if K > 1:  # the fused multi-step executable used in steady state
+            for b in decode_buckets:
+                kv = cache_engine.kv_caches
+                kv = self._run_dummy_decode_multi(kv, b, K)
+                cache_engine.kv_caches = kv
         logger.info("Warmup done in %.1fs (%d prefill + %d decode buckets)",
                     time.time() - t0, len(prefill_buckets),
                     len(decode_buckets))
@@ -257,6 +272,15 @@ class TPUModelRunner:
                        jnp.zeros((s, ), jnp.int32),
                        jnp.zeros((s, ), jnp.int32), meta,
                        jnp.int32(0), self._dummy_samp(1))
+        return new_kv
+
+    def _run_dummy_decode_multi(self, kv_caches, b: int, K: int):
+        fn = self._get_fn("decode_multi", (K, 0))
+        new_kv, _ = fn(self.params, kv_caches,
+                       jnp.zeros((b, ), jnp.int32),
+                       jnp.zeros((b, ), jnp.int32),
+                       jnp.zeros((b, self.max_blocks_per_seq), jnp.int32),
+                       jnp.zeros((b, ), jnp.bool_), self._dummy_samp(b))
         return new_kv
 
     def _run_dummy_decode(self, kv_caches, b: int):
@@ -300,11 +324,25 @@ class TPUModelRunner:
         return -1
 
     # --- input preparation -------------------------------------------------------
-    def _block_table_row(self, table: List[int]) -> np.ndarray:
-        row = np.zeros((self.max_blocks_per_seq, ), np.int32)
-        n = min(len(table), self.max_blocks_per_seq)
+    def _block_table_row(self, table: List[int],
+                         width: Optional[int] = None) -> np.ndarray:
+        width = width if width is not None else self.max_blocks_per_seq
+        row = np.zeros((width, ), np.int32)
+        n = min(len(table), width)
         row[:n] = table[:n]
         return row
+
+    def _table_width(self, tables: List[List[int]]) -> int:
+        # On TPU the Pallas decode kernel reads only the pages covered by
+        # each row's context_len, so a single static (max) width avoids
+        # per-width recompiles of the whole step graph. The XLA reference
+        # path gathers the ENTIRE table width, so off-TPU (CPU tests) a
+        # bucketed width bounds the gather instead.
+        if jax.default_backend() in ("tpu", "axon"):
+            return self.max_blocks_per_seq
+        need = max((len(t) for t in tables), default=1)
+        return self.scheduler_config.pad_table_width(
+            need, self.max_blocks_per_seq)
 
     def _seq_key(self, sgm: SequenceGroupMetadata,
                  seq_id: int) -> np.ndarray:
@@ -378,12 +416,20 @@ class TPUModelRunner:
         decodes = [(i, m) for i, m in enumerate(seq_group_metadata_list)
                    if not m.is_prompt]
 
+        all_single_decode = (not prefills and decodes and all(
+            len(m.seq_data) == 1 for _, m in decodes) and not any(
+                _needs_host_sampling(m.sampling_params)
+                for _, m in decodes))
+
+        if self._spec_proposer is not None and all_single_decode:
+            sc = self.speculative_config
+            disable_bs = sc.speculative_disable_by_batch_size
+            if disable_bs is None or len(decodes) < disable_bs:
+                return self._execute_decode_spec([m for _, m in decodes],
+                                                 cache_engine)
+
         K = self.scheduler_config.num_scheduler_steps
-        if (K > 1 and not prefills and decodes
-                and all(len(m.seq_data) == 1 for _, m in decodes)
-                and not any(
-                    _needs_host_sampling(m.sampling_params)
-                    for _, m in decodes)):
+        if K > 1 and all_single_decode:
             return self._execute_decode_multi([m for _, m in decodes],
                                               cache_engine, K)
 
@@ -435,10 +481,14 @@ class TPUModelRunner:
             slots[j] = table[p // self.block_size] * self.block_size + \
                 p % self.block_size
 
+        # Table width: prefill attention only READS the cached context
+        # through the table (writes go via slot_mapping).
+        width = self.scheduler_config.pad_table_width(
+            max(1, cdiv(start, self.block_size)), self.max_blocks_per_seq)
         meta = AttentionMetadata(
             slot_mapping=jnp.asarray(slots),
             block_tables=jnp.asarray(
-                self._block_table_row(table)[None, :]),
+                self._block_table_row(table, width)[None, :]),
             context_lens=jnp.asarray([start], np.int32))
 
         num_logprobs = sp.logprobs or 0
@@ -505,13 +555,16 @@ class TPUModelRunner:
         tokens = np.zeros((b_pad, ), np.int32)
         positions = np.zeros((b_pad, ), np.int32)
         valid = np.zeros((b_pad, ), np.bool_)
-        tables = np.zeros((b_pad, self.max_blocks_per_seq), np.int32)
+        width = self._table_width(
+            [sgm.block_tables[sid] for sgm, sid in rows])
+        tables = np.zeros((b_pad, width), np.int32)
         for i, (sgm, seq_id) in enumerate(rows):
             data = sgm.seq_data[seq_id]
             tokens[i] = data.get_last_token_id()
             positions[i] = data.get_len() - 1
             valid[i] = True
-            tables[i] = self._block_table_row(sgm.block_tables[seq_id])
+            tables[i] = self._block_table_row(sgm.block_tables[seq_id],
+                                              width)
 
         any_logprobs = any((sgm.sampling_params.logprobs or 0) > 0
                            for sgm, _ in rows)
@@ -540,6 +593,108 @@ class TPUModelRunner:
             outputs.append(SamplerOutput(outputs=group_outputs))
         return outputs
 
+    # --- speculative decode ---------------------------------------------------
+    def _execute_decode_spec(self, sgms: List[SequenceGroupMetadata],
+                             cache_engine: CacheEngine
+                             ) -> List[SamplerOutput]:
+        """NGram speculative decoding (reference SpecDecodeWorker +
+        NGramWorker, spec_decode_worker.py:73 / ngram_worker.py:13),
+        TPU-reshaped: verification is ONE batched forward where each
+        sequence contributes S = k+1 rows sharing its block table with
+        incremental context_lens — exactly the decode executable's shape
+        contract, so no batch-expansion machinery is needed. Rejection
+        sampling runs host-side on the returned logits."""
+        k = self.speculative_config.num_speculative_tokens
+        S = k + 1
+        rows = [(sgm, next(iter(sgm.seq_data))) for sgm in sgms]
+        B = len(rows)
+        flat = B * S
+        # the flat verification batch can exceed max_num_seqs (the decode
+        # bucket cap): extend the lattice in 16-row steps
+        from neural_magic_vllm_tpu.utils import round_up
+        if flat > self.scheduler_config.max_num_seqs:
+            b_pad = round_up(flat, 16)
+        else:
+            b_pad = self.scheduler_config.pad_decode_batch(flat)
+
+        tokens = np.zeros((b_pad, ), np.int32)
+        positions = np.zeros((b_pad, ), np.int32)
+        slots = np.full((b_pad, ), -1, np.int32)
+        ctx_lens = np.ones((b_pad, ), np.int32)
+        width = self._table_width(
+            [sgm.block_tables[sid] for sgm, sid in rows])
+        tables = np.zeros((b_pad, width), np.int32)
+        proposals: List[List[int]] = []
+        for i, (sgm, seq_id) in enumerate(rows):
+            data = sgm.seq_data[seq_id]
+            all_ids = data.get_token_ids()
+            prop = self._spec_proposer.propose(all_ids) or []
+            proposals.append(prop)
+            p0 = data.get_len() - 1
+            table = sgm.block_tables[seq_id]
+            row_tokens = [data.get_last_token_id()] + list(prop)
+            for j, tok in enumerate(row_tokens):
+                r = i * S + j
+                pos = p0 + j
+                tokens[r] = tok
+                positions[r] = pos
+                slots[r] = table[pos // self.block_size] * self.block_size \
+                    + pos % self.block_size
+                ctx_lens[r] = pos + 1
+                tables[r] = self._block_table_row(table, width)
+            # rows j > len(prop) stay padded (slot -1, dropped)
+
+        meta = AttentionMetadata(slot_mapping=jnp.asarray(slots),
+                                 block_tables=jnp.asarray(tables),
+                                 context_lens=jnp.asarray(ctx_lens))
+        fn = self._get_fn("decode_logits", 0)
+        new_kv, logits = fn(self.params, cache_engine.kv_caches,
+                            jnp.asarray(tokens), jnp.asarray(positions),
+                            meta)
+        cache_engine.kv_caches = new_kv
+        logits_np = np.asarray(logits[:flat], np.float32)
+
+        from neural_magic_vllm_tpu.spec_decode import (
+            rejection_sample_greedy, rejection_sample_onehot)
+        accepted: List[List[int]] = []
+        chosen_lp: List[List[float]] = []
+        for i, (sgm, seq_id) in enumerate(rows):
+            sp = sgm.sampling_params
+            prop = proposals[i]
+            lg = logits_np[i * S:i * S + len(prop) + 1]
+            if sp.temperature < _SAMPLING_EPS:
+                toks = rejection_sample_greedy(lg, prop)
+            else:
+                seed_key = self._seq_key(sgm, seq_id)
+                data = sgm.seq_data[seq_id]
+                rng = np.random.default_rng(
+                    [int(seed_key[0]), int(seed_key[1]), data.get_len()])
+                toks = rejection_sample_onehot(lg, prop, sp.temperature, rng)
+            accepted.append(toks)
+            lps = []
+            for j, tok in enumerate(toks):
+                row = lg[j]
+                m_ = row.max()
+                lps.append(float(row[tok] - m_ -
+                                 np.log(np.exp(row - m_).sum())))
+            chosen_lp.append(lps)
+
+        max_len = max(len(a) for a in accepted)
+        outputs: List[SamplerOutput] = []
+        for step in range(max_len):
+            group_outputs = []
+            for i, (sgm, seq_id) in enumerate(rows):
+                if step < len(accepted[i]):
+                    tok = accepted[i][step]
+                    lp = {tok: Logprob(chosen_lp[i][step])}
+                    group_outputs.append(CompletionSequenceGroupOutput(
+                        samples=[SequenceOutput(seq_id, tok, lp)]))
+                else:
+                    group_outputs.append(
+                        CompletionSequenceGroupOutput(samples=[]))
+            outputs.append(SamplerOutput(outputs=group_outputs))
+        return outputs
+
     # --- decode -----------------------------------------------------------------
     def _execute_decode(self, sgms: List[SequenceGroupMetadata],
                         cache_engine: CacheEngine
@@ -555,7 +710,9 @@ class TPUModelRunner:
         positions = np.zeros((b_pad, ), np.int32)
         slots = np.full((b_pad, ), -1, np.int32)
         ctx_lens = np.ones((b_pad, ), np.int32)
-        tables = np.zeros((b_pad, self.max_blocks_per_seq), np.int32)
+        width = self._table_width(
+            [sgm.block_tables[sid] for sgm, sid in rows])
+        tables = np.zeros((b_pad, width), np.int32)
         for i, (sgm, seq_id) in enumerate(rows):
             data = sgm.seq_data[seq_id]
             seq_len = data.get_len()
@@ -565,7 +722,7 @@ class TPUModelRunner:
             slots[i] = table[(seq_len - 1) // self.block_size] * \
                 self.block_size + (seq_len - 1) % self.block_size
             ctx_lens[i] = seq_len
-            tables[i] = self._block_table_row(table)
+            tables[i] = self._block_table_row(table, width)
 
         meta = AttentionMetadata(slot_mapping=jnp.asarray(slots),
                                  block_tables=jnp.asarray(tables),

@@ -22,7 +22,7 @@ class Worker:
 
     def __init__(self, model_config, cache_config, scheduler_config,
                  parallel_config, device_config, load_config,
-                 mesh=None) -> None:
+                 mesh=None, speculative_config=None) -> None:
         self.model_config = model_config
         self.cache_config = cache_config
         self.scheduler_config = scheduler_config
@@ -30,9 +30,10 @@ class Worker:
         self.device_config = device_config
         self.load_config = load_config
         self.mesh = mesh
-        self.model_runner = TPUModelRunner(model_config, cache_config,
-                                           scheduler_config, parallel_config,
-                                           device_config, load_config, mesh)
+        self.model_runner = TPUModelRunner(
+            model_config, cache_config, scheduler_config, parallel_config,
+            device_config, load_config, mesh,
+            speculative_config=speculative_config)
         self.cache_engine: Optional[CacheEngine] = None
 
     # --- init ------------------------------------------------------------------

@@ -32,8 +32,8 @@ def dense_attention(q, k, v, *, scale, causal_offset=0):
 
 def make_cache(num_blocks, bs, kvh, hd, seed=0):
     rng = np.random.default_rng(seed)
-    k_cache = rng.normal(size=(kvh, num_blocks, bs, hd)).astype(np.float32)
-    v_cache = rng.normal(size=(kvh, num_blocks, bs, hd)).astype(np.float32)
+    k_cache = rng.normal(size=(num_blocks, kvh, bs, hd)).astype(np.float32)
+    v_cache = rng.normal(size=(num_blocks, kvh, bs, hd)).astype(np.float32)
     return jnp.asarray(k_cache), jnp.asarray(v_cache)
 
 
@@ -122,6 +122,6 @@ def test_write_kv_drops_padded_slots():
     k2, v2 = write_kv(k_cache, v_cache, key, val, slots)
     k2 = np.asarray(k2).copy()
     # only slot 5 (block 1, offset 1) changed
-    assert np.allclose(k2[:, 1, 1], 1.0)
-    k2[:, 1, 1] = before[:, 1, 1]
+    assert np.allclose(k2[1, :, 1], 1.0)
+    k2[1, :, 1] = before[1, :, 1]
     assert np.allclose(k2, before)

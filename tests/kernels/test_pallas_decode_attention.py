@@ -1,0 +1,93 @@
+"""Pallas paged decode attention vs the jnp reference (the reference's
+tests/kernels/test_attention.py strategy: kernel vs naive python
+attention)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neural_magic_vllm_tpu.ops.attention import decode_attention_ref
+from neural_magic_vllm_tpu.ops.pallas_attention import decode_attention
+
+
+def _setup(B, nqh, kvh, hd, bs, nb, W, rng, ragged=True, dtype=jnp.float32):
+    q = jnp.asarray(rng.standard_normal((B, nqh, hd)), dtype)
+    k_cache = jnp.asarray(rng.standard_normal((nb, kvh, bs, hd)) * 0.3,
+                          dtype)
+    v_cache = jnp.asarray(rng.standard_normal((nb, kvh, bs, hd)) * 0.3,
+                          dtype)
+    # distinct pages per sequence so wrong indexing shows up
+    tables = rng.permutation(nb)[:B * W].reshape(B, W).astype(np.int32)
+    if ragged:
+        ctx = rng.integers(1, W * bs, (B, )).astype(np.int32)
+    else:
+        ctx = np.full((B, ), W * bs, np.int32)
+    return q, k_cache, v_cache, jnp.asarray(tables), jnp.asarray(ctx)
+
+
+@pytest.mark.parametrize("B,nqh,kvh,hd,bs,W", [
+    (4, 8, 2, 128, 16, 8),    # GQA
+    (2, 8, 8, 128, 16, 4),    # MHA
+    (3, 16, 4, 128, 16, 5),   # W not multiple of chunk
+    (1, 4, 1, 128, 32, 4),    # single kv head, bigger block
+])
+def test_pallas_decode_matches_ref(B, nqh, kvh, hd, bs, W):
+    rng = np.random.default_rng(0)
+    nb = max(B * W + 2, 32)
+    q, k, v, tables, ctx = _setup(B, nqh, kvh, hd, bs, nb, W, rng)
+    scale = hd**-0.5
+    ref = decode_attention_ref(q, k, v, tables, ctx, scale=scale)
+    out = decode_attention(q, k, v, tables, ctx, scale=scale)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_decode_logit_cap():
+    rng = np.random.default_rng(1)
+    B, nqh, kvh, hd, bs, W = 2, 8, 2, 128, 16, 4
+    nb = 32
+    q, k, v, tables, ctx = _setup(B, nqh, kvh, hd, bs, nb, W, rng)
+    scale = hd**-0.5
+    ref = decode_attention_ref(q, k, v, tables, ctx, scale=scale,
+                               logit_cap=30.0)
+    out = decode_attention(q, k, v, tables, ctx, scale=scale,
+                           logit_cap=30.0)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_decode_fp8_kv():
+    """fp8 KV cache with scale: kernel dequantizes in-pass."""
+    rng = np.random.default_rng(2)
+    B, nqh, kvh, hd, bs, W = 2, 8, 2, 128, 16, 4
+    nb = 32
+    q, k, v, tables, ctx = _setup(B, nqh, kvh, hd, bs, nb, W, rng)
+    kv_scale = 0.02
+    k8 = (k.astype(jnp.float32) / kv_scale).astype(jnp.float8_e4m3fn)
+    v8 = (v.astype(jnp.float32) / kv_scale).astype(jnp.float8_e4m3fn)
+    scale = hd**-0.5
+    # golden: dequantized fp8 values through the jnp reference
+    k_dq = (k8.astype(jnp.float32) * kv_scale)
+    v_dq = (v8.astype(jnp.float32) * kv_scale)
+    ref = decode_attention_ref(q, k_dq, v_dq, tables, ctx, scale=scale)
+    out = decode_attention(q, k8, v8, tables, ctx, scale=scale,
+                           kv_scale=kv_scale)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_sliding_window_falls_back():
+    rng = np.random.default_rng(3)
+    B, nqh, kvh, hd, bs, W = 2, 8, 2, 128, 16, 4
+    q, k, v, tables, ctx = _setup(B, nqh, kvh, hd, bs, 32, W, rng)
+    ref = decode_attention_ref(q, k, v, tables, ctx, scale=0.1,
+                               sliding_window=20)
+    out = decode_attention(q, k, v, tables, ctx, scale=0.1,
+                           sliding_window=20)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), rtol=1e-5,
+                               atol=1e-5)
