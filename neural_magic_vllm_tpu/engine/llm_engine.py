@@ -328,5 +328,15 @@ class LLMEngine:
                     span.set_attribute(SpanAttributes.LLM_LATENCY_E2E,
                                        m.finished_time - m.arrival_time)
 
+    # --- LoRA management (reference llm_engine add_lora/remove_lora) ---------
+    def add_lora(self, lora_request) -> bool:
+        return self.model_executor.add_lora(lora_request)
+
+    def remove_lora(self, lora_id: int) -> bool:
+        return self.model_executor.remove_lora(lora_id)
+
+    def list_loras(self):
+        return self.model_executor.list_loras()
+
     def check_health(self) -> None:
         self.model_executor.check_health()

@@ -77,6 +77,7 @@ class LLM:
                                         List[SamplingParams]]] = None,
         prompt_token_ids: Optional[List[List[int]]] = None,
         use_tqdm: bool = True,
+        lora_request=None,
     ) -> List[RequestOutput]:
         if prompts is None and prompt_token_ids is None:
             raise ValueError("Either prompts or prompt_token_ids must be "
@@ -99,7 +100,8 @@ class LLM:
                 prompt=prompts[i] if prompts is not None else None,
                 sampling_params=sampling_params[i],
                 prompt_token_ids=(prompt_token_ids[i]
-                                  if prompt_token_ids is not None else None))
+                                  if prompt_token_ids is not None else None),
+                lora_request=lora_request)
         return self._run_engine(use_tqdm)
 
     def _run_engine(self, use_tqdm: bool) -> List[RequestOutput]:

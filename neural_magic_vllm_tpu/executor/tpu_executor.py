@@ -45,7 +45,8 @@ class TPUExecutor(ExecutorAsyncBase):
                                     scheduler_config, parallel_config,
                                     device_config, load_config,
                                     mesh=self.mesh,
-                                    speculative_config=speculative_config)
+                                    speculative_config=speculative_config,
+                                    lora_config=lora_config)
         self.driver_worker.init_device()
         self.driver_worker.load_model()
 
@@ -64,6 +65,15 @@ class TPUExecutor(ExecutorAsyncBase):
             self, req: ExecuteModelRequest) -> List[SamplerOutput]:
         return await asyncio.get_event_loop().run_in_executor(
             None, self.execute_model, req)
+
+    def add_lora(self, lora_request) -> bool:
+        return self.driver_worker.add_lora(lora_request)
+
+    def remove_lora(self, lora_id: int) -> bool:
+        return self.driver_worker.remove_lora(lora_id)
+
+    def list_loras(self):
+        return self.driver_worker.list_loras()
 
     def check_health(self) -> None:
         self.driver_worker.check_health()

@@ -1,0 +1,144 @@
+"""Per-worker LoRA slot manager (reference vllm/lora/worker_manager.py:83 +
+LRUCacheLoRAModelManager, lora/models.py:760).
+
+Owns the layer-stacked device tensors
+    A[key]: [L, S, in, r_max]   B[key]: [L, S, r_max, out]
+(L leading so the model's lax.scan slices one layer per step; S = 1 null
+slot + max_loras). Activating an adapter writes its matrices into a slot
+with an in-place jitted update; eviction is LRU over inactive slots.
+"""
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_magic_vllm_tpu.logger import init_logger
+from neural_magic_vllm_tpu.lora.models import LoRAModel
+from neural_magic_vllm_tpu.lora.request import LoRARequest
+
+logger = init_logger(__name__)
+
+_TARGET_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+@functools.partial(jax.jit, donate_argnums=(0, ))
+def _set_slot(stack: jax.Array, slot: jax.Array,
+              value: jax.Array) -> jax.Array:
+    return stack.at[:, slot].set(value)
+
+
+class WorkerLoRAManager:
+
+    def __init__(self, lora_config, model, dtype=jnp.bfloat16) -> None:
+        self.max_loras = lora_config.max_loras
+        self.max_rank = lora_config.max_lora_rank
+        self.num_slots = lora_config.max_loras + 1  # slot 0 = null
+        self.model = model
+        self.dtype = dtype
+        self._slot_of: Dict[int, int] = {}  # lora_int_id -> slot
+        self._lru: List[int] = []  # lora ids, most recent last
+        self._registered: Dict[int, LoRARequest] = {}
+
+        L = model.num_layers
+        r = self.max_rank
+        dims = self._linear_dims()
+        self.a_stacks = {
+            k: jnp.zeros((L, self.num_slots, dims[k][0], r), dtype)
+            for k in _TARGET_KEYS
+        }
+        self.b_stacks = {
+            k: jnp.zeros((L, self.num_slots, r, dims[k][1]), dtype)
+            for k in _TARGET_KEYS
+        }
+        self.scaling = jnp.zeros((self.num_slots, ), jnp.float32)
+
+    def _linear_dims(self) -> Dict[str, tuple]:
+        m = self.model
+        H, I = m.hidden_size, m.intermediate_size
+        nh, kvh, hd = m.num_heads, m.num_kv_heads, m.head_dim
+        return {
+            "q": (H, nh * hd), "k": (H, kvh * hd), "v": (H, kvh * hd),
+            "o": (nh * hd, H), "gate": (H, I), "up": (H, I), "down": (I, H),
+        }
+
+    # --- management API (reference add_lora/remove_lora/list_loras) -----------
+    def add_lora(self, req: LoRARequest) -> bool:
+        if req.lora_int_id in self._registered:
+            return False
+        self._registered[req.lora_int_id] = req
+        return True
+
+    def remove_lora(self, lora_id: int) -> bool:
+        self._registered.pop(lora_id, None)
+        slot = self._slot_of.pop(lora_id, None)
+        if lora_id in self._lru:
+            self._lru.remove(lora_id)
+        return slot is not None
+
+    def list_loras(self) -> List[int]:
+        return list(self._registered)
+
+    # --- activation -------------------------------------------------------------
+    def slots_for(self, reqs: List[Optional[LoRARequest]]) -> List[int]:
+        """Ensure every request's adapter is resident; returns slot per
+        request (0 for None)."""
+        needed = {r.lora_int_id: r for r in reqs if r is not None}
+        if len(needed) > self.max_loras:
+            raise ValueError(
+                f"{len(needed)} distinct LoRAs in one batch > max_loras="
+                f"{self.max_loras}")
+        for lora_id, req in needed.items():
+            self._activate(req)
+        out = []
+        for r in reqs:
+            if r is None:
+                out.append(0)
+            else:
+                self._lru.remove(r.lora_int_id)
+                self._lru.append(r.lora_int_id)
+                out.append(self._slot_of[r.lora_int_id])
+        return out
+
+    def _activate(self, req: LoRARequest) -> None:
+        lora_id = req.lora_int_id
+        if lora_id in self._slot_of:
+            return
+        self.add_lora(req)
+        used = set(self._slot_of.values())
+        free = [s for s in range(1, self.num_slots) if s not in used]
+        if free:
+            slot = free[0]
+        else:
+            victim = self._lru.pop(0)
+            slot = self._slot_of.pop(victim)
+        model_lora = LoRAModel.from_local_checkpoint(
+            req.lora_local_path, self.model.num_layers, self.max_rank)
+        self._load_into_slot(slot, model_lora)
+        self._slot_of[lora_id] = slot
+        self._lru.append(lora_id)
+        logger.info("Activated LoRA %s (id=%d) in slot %d", req.lora_name,
+                    lora_id, slot)
+
+    def _load_into_slot(self, slot: int, lora: LoRAModel) -> None:
+        dims = self._linear_dims()
+        L = self.model.num_layers
+        r = self.max_rank
+        sl = jnp.int32(slot)
+        for k in _TARGET_KEYS:
+            a_np = np.zeros((L, dims[k][0], r), np.float32)
+            b_np = np.zeros((L, r, dims[k][1]), np.float32)
+            for layer in range(L):
+                a_np[layer], b_np[layer] = lora.padded(
+                    k, layer, dims[k][0], dims[k][1], r)
+            self.a_stacks[k] = _set_slot(self.a_stacks[k], sl,
+                                         jnp.asarray(a_np, self.dtype))
+            self.b_stacks[k] = _set_slot(self.b_stacks[k], sl,
+                                         jnp.asarray(b_np, self.dtype))
+        self.scaling = self.scaling.at[slot].set(lora.scaling)
+
+    def lora_params(self) -> Dict:
+        """The pytree handed to the model forward (scan slices layer axis)."""
+        return {"a": self.a_stacks, "b": self.b_stacks,
+                "scaling": self.scaling}

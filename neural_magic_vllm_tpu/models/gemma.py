@@ -17,9 +17,9 @@ class GemmaForCausalLM(LlamaForCausalLM):
         super().__init__(model_config, parallel_config, quant_config)
         self.tie_embeddings = True
 
-    def _mlp(self, lp, x):
-        lm = self.linear_method
-        gate = lm.apply(lp["gate"], x)
-        up = lm.apply(lp["up"], x)
-        return lm.apply(lp["down"],
-                        gelu_and_mul(gate, up, approximate="tanh"))
+    def _mlp(self, lp, x, lora_ctx=None):
+        gate = self._linear(lp, "gate", x, lora_ctx)
+        up = self._linear(lp, "up", x, lora_ctx)
+        return self._linear(lp, "down",
+                            gelu_and_mul(gate, up, approximate="tanh"),
+                            lora_ctx)

@@ -260,32 +260,43 @@ class LlamaForCausalLM:
             x = x * jnp.asarray(self.hidden_size**0.5, x.dtype)
         return x
 
-    def _mlp(self, lp, x):
-        lm = self.linear_method
-        gate = lm.apply(lp["gate"], x)
-        up = lm.apply(lp["up"], x)
-        return lm.apply(lp["down"], silu_and_mul(gate, up))
+    def _linear(self, lp, name: str, x, lora_ctx=None):
+        """One named linear through the quant seam, plus the per-request
+        LoRA delta when adapters are active (reference lora/layers.py
+        WithLoRA wrappers; TPU batched-slot math in lora/layers.py)."""
+        out = self.linear_method.apply(lp[name], x)
+        if lora_ctx is not None:
+            from neural_magic_vllm_tpu.lora.layers import apply_lora
+            lora_l, lora_idx, scaling = lora_ctx
+            out = out + apply_lora(x, lora_l["a"][name], lora_l["b"][name],
+                                   scaling, lora_idx)
+        return out
+
+    def _mlp(self, lp, x, lora_ctx=None):
+        gate = self._linear(lp, "gate", x, lora_ctx)
+        up = self._linear(lp, "up", x, lora_ctx)
+        return self._linear(lp, "down", silu_and_mul(gate, up), lora_ctx)
 
     def _layer(self, lp, res, rope_cos, rope_sin, k_cache, v_cache, meta,
-               is_prefill: bool):
-        lm = self.linear_method
+               is_prefill: bool, lora_ctx=None):
         off = self.norm_weight_offset
         T = res.shape[0]
         normed = rms_norm(res, lp["input_norm"], self.rms_eps, off)
-        q = lm.apply(lp["q"], normed).reshape(T, self.num_heads,
-                                              self.head_dim)
-        k = lm.apply(lp["k"], normed).reshape(T, self.num_kv_heads,
-                                              self.head_dim)
-        v = lm.apply(lp["v"], normed).reshape(T, self.num_kv_heads,
-                                              self.head_dim)
+        q = self._linear(lp, "q", normed,
+                         lora_ctx).reshape(T, self.num_heads, self.head_dim)
+        k = self._linear(lp, "k", normed, lora_ctx).reshape(
+            T, self.num_kv_heads, self.head_dim)
+        v = self._linear(lp, "v", normed, lora_ctx).reshape(
+            T, self.num_kv_heads, self.head_dim)
         q, k = self.rope.apply(rope_cos, rope_sin, q, k)
         attn_out, new_cache = self.attn(q, k, v, (k_cache, v_cache), meta,
                                         is_prefill=is_prefill)
-        attn_out = lm.apply(
-            lp["o"], attn_out.reshape(T, self.num_heads * self.head_dim))
+        attn_out = self._linear(
+            lp, "o", attn_out.reshape(T, self.num_heads * self.head_dim),
+            lora_ctx)
         res = res + attn_out
         normed2 = rms_norm(res, lp["post_norm"], self.rms_eps, off)
-        res = res + self._mlp(lp, normed2)
+        res = res + self._mlp(lp, normed2, lora_ctx)
         return res, new_cache
 
     def forward(
@@ -293,23 +304,35 @@ class LlamaForCausalLM:
         params: Dict[str, Any],
         token_ids: jax.Array,  # [T]
         positions: jax.Array,  # [T]
-        kv_caches: KVCache,  # (k_stack [L,kvh,nb,bs,hd], v_stack)
+        kv_caches: KVCache,  # (k_stack [L,nb,kvh,bs,hd], v_stack)
         meta: AttentionMetadata,
         *,
         is_prefill: bool,
+        lora=None,  # {"a": {name: [L,S,in,r]}, "b": ..., "scaling": [S]}
+        lora_idx=None,  # [T] int32 slot per token (0 = none)
     ) -> Tuple[jax.Array, KVCache]:
         k_stack, v_stack = kv_caches
         x = self.embed_tokens(params, token_ids)
         rope_cos, rope_sin = self.rope.precompute(positions)
 
-        def body(res, xs):
-            lp, k_c, v_c = xs
+        if lora is None:
+            xs = (params["layers"], k_stack, v_stack)
+        else:
+            xs = (params["layers"], k_stack, v_stack, lora["a"], lora["b"])
+
+        def body(res, xs_):
+            if lora is None:
+                lp, k_c, v_c = xs_
+                lora_ctx = None
+            else:
+                lp, k_c, v_c, la, lb = xs_
+                lora_ctx = ({"a": la, "b": lb}, lora_idx, lora["scaling"])
             res, (new_k, new_v) = self._layer(lp, res, rope_cos, rope_sin,
-                                              k_c, v_c, meta, is_prefill)
+                                              k_c, v_c, meta, is_prefill,
+                                              lora_ctx)
             return res, (new_k, new_v)
 
-        res, (new_k, new_v) = jax.lax.scan(
-            body, x, (params["layers"], k_stack, v_stack))
+        res, (new_k, new_v) = jax.lax.scan(body, x, xs)
         final = rms_norm(res, params["final_norm"], self.rms_eps,
                          self.norm_weight_offset)
         return final, (new_k, new_v)

@@ -56,7 +56,8 @@ class MixtralForCausalLM(LlamaForCausalLM):
         }
         return specs
 
-    def _mlp(self, lp, x):
+    def _mlp(self, lp, x, lora_ctx=None):
+        # (experts are not LoRA targets, matching the reference)
         router_logits = jnp.dot(x, lp["router"],
                                 preferred_element_type=jnp.float32)
         weights, ids = topk_softmax(router_logits, self.top_k)

@@ -59,7 +59,8 @@ class TPUModelRunner:
 
     def __init__(self, model_config, cache_config, scheduler_config,
                  parallel_config, device_config, load_config,
-                 mesh=None, speculative_config=None) -> None:
+                 mesh=None, speculative_config=None,
+                 lora_config=None) -> None:
         self.model_config = model_config
         self.cache_config = cache_config
         self.scheduler_config = scheduler_config
@@ -68,6 +69,8 @@ class TPUModelRunner:
         self.load_config = load_config
         self.mesh = mesh
         self.speculative_config = speculative_config
+        self.lora_config = lora_config
+        self.lora_manager = None
         self._spec_proposer = None
         if speculative_config is not None and speculative_config.enabled \
                 and speculative_config.ngram_prompt_lookup_max > 0:
@@ -105,6 +108,12 @@ class TPUModelRunner:
         else:
             params = self.model.load_params(self.model_config.model)
         self.params = self._shard_params(params)
+        if self.lora_config is not None:
+            from neural_magic_vllm_tpu.lora.worker_manager import \
+                WorkerLoRAManager
+            self.lora_manager = WorkerLoRAManager(
+                self.lora_config, self.model,
+                dtype=jnp.dtype(self.model_config.dtype))
         logger.info("Model loaded in %.2fs", time.time() - t0)
 
     def _shard_params(self, params):
@@ -132,10 +141,12 @@ class TPUModelRunner:
         if kind == "prefill_sample":
 
             def fn(params, kv_caches, tokens, positions, meta, sample_idx,
-                   samp):
+                   samp, lora, lora_idx):
                 hidden, new_caches = model.forward(params, tokens, positions,
                                                    kv_caches, meta,
-                                                   is_prefill=True)
+                                                   is_prefill=True,
+                                                   lora=lora,
+                                                   lora_idx=lora_idx)
                 last = jax.lax.dynamic_slice_in_dim(hidden, sample_idx, 1, 0)
                 logits = model.compute_logits(params, last)
                 pos = jax.lax.dynamic_slice_in_dim(positions, sample_idx, 1,
@@ -149,10 +160,13 @@ class TPUModelRunner:
         elif kind == "prefill_logits":
             # full-chunk logits (prompt logprobs / host sampling)
 
-            def fn(params, kv_caches, tokens, positions, meta):
+            def fn(params, kv_caches, tokens, positions, meta, lora,
+                   lora_idx):
                 hidden, new_caches = model.forward(params, tokens, positions,
                                                    kv_caches, meta,
-                                                   is_prefill=True)
+                                                   is_prefill=True,
+                                                   lora=lora,
+                                                   lora_idx=lora_idx)
                 logits = model.compute_logits(params, hidden)
                 return new_caches, logits
 
@@ -160,10 +174,13 @@ class TPUModelRunner:
 
         elif kind == "decode_sample":
 
-            def fn(params, kv_caches, tokens, positions, meta, samp):
+            def fn(params, kv_caches, tokens, positions, meta, samp, lora,
+                   lora_idx):
                 hidden, new_caches = model.forward(params, tokens, positions,
                                                    kv_caches, meta,
-                                                   is_prefill=False)
+                                                   is_prefill=False,
+                                                   lora=lora,
+                                                   lora_idx=lora_idx)
                 logits = model.compute_logits(params, hidden)
                 out = sample(logits, _fold_position(samp, positions),
                              max_logprobs=num_logprobs)
@@ -180,7 +197,7 @@ class TPUModelRunner:
             bs = self.block_size
 
             def fn(params, kv_caches, tokens, positions, tables, valid,
-                   samp):
+                   samp, lora, lora_idx):
 
                 def body(carry, _):
                     kv, toks, pos = carry
@@ -191,7 +208,9 @@ class TPUModelRunner:
                                              block_tables=tables,
                                              context_lens=pos + 1)
                     hidden, newkv = model.forward(params, toks, pos, kv,
-                                                  meta, is_prefill=False)
+                                                  meta, is_prefill=False,
+                                                  lora=lora,
+                                                  lora_idx=lora_idx)
                     logits = model.compute_logits(params, hidden)
                     out = sample(logits, _fold_position(samp, pos),
                                  max_logprobs=nlp)
@@ -206,10 +225,13 @@ class TPUModelRunner:
 
         elif kind == "decode_logits":
 
-            def fn(params, kv_caches, tokens, positions, meta):
+            def fn(params, kv_caches, tokens, positions, meta, lora,
+                   lora_idx):
                 hidden, new_caches = model.forward(params, tokens, positions,
                                                    kv_caches, meta,
-                                                   is_prefill=False)
+                                                   is_prefill=False,
+                                                   lora=lora,
+                                                   lora_idx=lora_idx)
                 logits = model.compute_logits(params, hidden)
                 return new_caches, logits
 
@@ -268,19 +290,22 @@ class TPUModelRunner:
             block_tables=jnp.zeros((1, self.max_blocks_per_seq), jnp.int32),
             context_lens=jnp.zeros((1, ), jnp.int32))
         fn = self._get_fn("prefill_sample", 0)
+        lora, lidx = self._lora_args(None, s)
         new_kv, _ = fn(self.params, kv_caches,
                        jnp.zeros((s, ), jnp.int32),
                        jnp.zeros((s, ), jnp.int32), meta,
-                       jnp.int32(0), self._dummy_samp(1))
+                       jnp.int32(0), self._dummy_samp(1), lora, lidx)
         return new_kv
 
     def _run_dummy_decode_multi(self, kv_caches, b: int, K: int):
         fn = self._get_fn("decode_multi", (K, 0))
+        lora, lidx = self._lora_args(None, b)
         new_kv, _ = fn(self.params, kv_caches,
                        jnp.zeros((b, ), jnp.int32),
                        jnp.zeros((b, ), jnp.int32),
                        jnp.zeros((b, self.max_blocks_per_seq), jnp.int32),
-                       jnp.zeros((b, ), jnp.bool_), self._dummy_samp(b))
+                       jnp.zeros((b, ), jnp.bool_), self._dummy_samp(b),
+                       lora, lidx)
         return new_kv
 
     def _run_dummy_decode(self, kv_caches, b: int):
@@ -289,10 +314,11 @@ class TPUModelRunner:
             block_tables=jnp.zeros((b, self.max_blocks_per_seq), jnp.int32),
             context_lens=jnp.ones((b, ), jnp.int32))
         fn = self._get_fn("decode_sample", 0)
+        lora, lidx = self._lora_args(None, b)
         new_kv, _ = fn(self.params, kv_caches,
                        jnp.zeros((b, ), jnp.int32),
                        jnp.zeros((b, ), jnp.int32), meta,
-                       self._dummy_samp(b))
+                       self._dummy_samp(b), lora, lidx)
         return new_kv
 
     # --- memory profiling -------------------------------------------------------
@@ -331,6 +357,20 @@ class TPUModelRunner:
         n = min(len(table), width)
         row[:n] = table[:n]
         return row
+
+    def _lora_args(self, lora_requests: Optional[List], n: int):
+        """(lora pytree, [n] slot indices) for the step executables; when
+        LoRA serving is enabled the stacks are ALWAYS passed (constant jit
+        treedef) with slot 0 = null adapter for unadapted rows."""
+        if self.lora_manager is None:
+            return None, None
+        if lora_requests is None:
+            idx = np.zeros((n, ), np.int32)
+        else:
+            slots = self.lora_manager.slots_for(lora_requests)
+            idx = np.zeros((n, ), np.int32)
+            idx[:len(slots)] = slots
+        return self.lora_manager.lora_params(), jnp.asarray(idx)
 
     def _table_width(self, tables: List[List[int]]) -> int:
         # On TPU the Pallas decode kernel reads only the pages covered by
@@ -499,11 +539,12 @@ class TPUModelRunner:
         host = (_needs_host_sampling(sp) or want_prompt_lp
                 or sp.best_of > 1)
 
+        lora, lidx = self._lora_args([sgm.lora_request], s_pad)
         if host:
             fn = self._get_fn("prefill_logits", 0)
             new_kv, logits = fn(self.params, cache_engine.kv_caches,
                                 jnp.asarray(tokens), jnp.asarray(positions),
-                                meta)
+                                meta, lora, lidx)
             cache_engine.kv_caches = new_kv
             logits_np = np.asarray(logits[:S], np.float32)
             prompt_lp = None
@@ -530,7 +571,7 @@ class TPUModelRunner:
         samp = self._samp_tensors([(sgm, seq_id)])
         new_kv, out = fn(self.params, cache_engine.kv_caches,
                          jnp.asarray(tokens), jnp.asarray(positions), meta,
-                         jnp.int32(S - 1), samp)
+                         jnp.int32(S - 1), samp, lora, lidx)
         cache_engine.kv_caches = new_kv
         if not sgm.do_sample:
             return CompletionSequenceGroupOutput(samples=[])
@@ -572,9 +613,12 @@ class TPUModelRunner:
         fn = self._get_fn("decode_multi", (K, nlp))
         pad_rows = rows + [rows[-1]] * (b_pad - B)
         samp = self._samp_tensors(pad_rows)
+        lora, lidx = self._lora_args([sgm.lora_request for sgm, _ in rows],
+                                     b_pad)
         new_kv, ys = fn(self.params, cache_engine.kv_caches,
                         jnp.asarray(tokens), jnp.asarray(positions),
-                        jnp.asarray(tables), jnp.asarray(valid), samp)
+                        jnp.asarray(tables), jnp.asarray(valid), samp,
+                        lora, lidx)
         cache_engine.kv_caches = new_kv
         tid, chosen, tv, ti = jax.device_get(ys)  # each [K, b_pad, ...]
 
@@ -648,9 +692,12 @@ class TPUModelRunner:
                                  block_tables=jnp.asarray(tables),
                                  context_lens=jnp.asarray(ctx_lens))
         fn = self._get_fn("decode_logits", 0)
+        spec_reqs = [sgm.lora_request for sgm, _ in rows
+                     for _ in range(S)]
+        lora, lidx = self._lora_args(spec_reqs, b_pad)
         new_kv, logits = fn(self.params, cache_engine.kv_caches,
                             jnp.asarray(tokens), jnp.asarray(positions),
-                            meta)
+                            meta, lora, lidx)
         cache_engine.kv_caches = new_kv
         logits_np = np.asarray(logits[:flat], np.float32)
 
@@ -733,11 +780,13 @@ class TPUModelRunner:
         any_logprobs = any((sgm.sampling_params.logprobs or 0) > 0
                            for sgm, _ in rows)
 
+        lora, lidx = self._lora_args([sgm.lora_request for sgm, _ in rows],
+                                     b_pad)
         if host:
             fn = self._get_fn("decode_logits", 0)
             new_kv, logits = fn(self.params, cache_engine.kv_caches,
                                 jnp.asarray(tokens), jnp.asarray(positions),
-                                meta)
+                                meta, lora, lidx)
             cache_engine.kv_caches = new_kv
             logits_np = np.asarray(logits[:B], np.float32)
             results = []
@@ -756,7 +805,7 @@ class TPUModelRunner:
             samp = self._samp_tensors(pad_rows)
             new_kv, out = fn(self.params, cache_engine.kv_caches,
                              jnp.asarray(tokens), jnp.asarray(positions),
-                             meta, samp)
+                             meta, samp, lora, lidx)
             cache_engine.kv_caches = new_kv
             tid, chosen, tv, ti = jax.device_get(out)
             results = []

@@ -22,7 +22,8 @@ class Worker:
 
     def __init__(self, model_config, cache_config, scheduler_config,
                  parallel_config, device_config, load_config,
-                 mesh=None, speculative_config=None) -> None:
+                 mesh=None, speculative_config=None,
+                 lora_config=None) -> None:
         self.model_config = model_config
         self.cache_config = cache_config
         self.scheduler_config = scheduler_config
@@ -33,7 +34,7 @@ class Worker:
         self.model_runner = TPUModelRunner(
             model_config, cache_config, scheduler_config, parallel_config,
             device_config, load_config, mesh,
-            speculative_config=speculative_config)
+            speculative_config=speculative_config, lora_config=lora_config)
         self.cache_engine: Optional[CacheEngine] = None
 
     # --- init ------------------------------------------------------------------
@@ -130,6 +131,18 @@ class Worker:
             return []
         return self.model_runner.execute_model(req.seq_group_metadata_list,
                                                self.cache_engine)
+
+    def add_lora(self, lora_request) -> bool:
+        mgr = self.model_runner.lora_manager
+        return mgr.add_lora(lora_request) if mgr else False
+
+    def remove_lora(self, lora_id: int) -> bool:
+        mgr = self.model_runner.lora_manager
+        return mgr.remove_lora(lora_id) if mgr else False
+
+    def list_loras(self):
+        mgr = self.model_runner.lora_manager
+        return mgr.list_loras() if mgr else []
 
     def check_health(self) -> None:
         return  # in-process worker is alive by construction
