@@ -126,6 +126,12 @@ class ModelConfig:
 
     def get_head_size(self) -> int:
         cfg = self.hf_text_config
+        # DeepSeek-V2 MLA: qk head = nope + rope parts; v is padded to the
+        # same size in the paged cache (reference config.py:41 FlashMLA
+        # handling; models/deepseek_v2.py decompression)
+        if hasattr(cfg, "qk_nope_head_dim") and hasattr(
+                cfg, "qk_rope_head_dim"):
+            return cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
         if hasattr(cfg, "head_dim") and cfg.head_dim is not None:
             return cfg.head_dim
         return cfg.hidden_size // cfg.num_attention_heads

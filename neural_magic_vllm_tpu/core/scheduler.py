@@ -775,6 +775,8 @@ class Scheduler:
                     token_chunk_size=token_chunk_size,
                     lora_request=seq_group.lora_request,
                     computed_block_nums=common_computed_block_nums,
+                    pooling_params=getattr(seq_group, "pooling_params",
+                                           None),
                 ))
 
         # Prefix blocks just scheduled are computed once this batch runs.

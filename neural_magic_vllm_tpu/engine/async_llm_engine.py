@@ -275,6 +275,35 @@ class AsyncLLMEngine:
             self._abort(request_id)
             raise
 
+    async def encode(
+        self,
+        prompt: Optional[str],
+        pooling_params,
+        request_id: str,
+        prompt_token_ids: Optional[List[int]] = None,
+        lora_request=None,
+    ):
+        """Embedding request stream (reference encode,
+        async_llm_engine.py)."""
+        if self.errored:
+            raise AsyncEngineDeadError(
+                "Background loop is dead.") from self._errored_with
+        stream = await self.add_request(
+            request_id,
+            prompt=prompt,
+            sampling_params=None,
+            pooling_params=pooling_params,
+            prompt_token_ids=prompt_token_ids,
+            arrival_time=time.time(),
+            lora_request=lora_request,
+        )
+        try:
+            async for request_output in stream:
+                yield request_output
+        except (Exception, asyncio.CancelledError):
+            self._abort(request_id)
+            raise
+
     async def abort(self, request_id: str) -> None:
         if not self.is_running:
             raise AsyncEngineDeadError("Background loop is not running.")

@@ -15,9 +15,12 @@ from neural_magic_vllm_tpu.engine.output_processor import \
     SingleStepOutputProcessor
 from neural_magic_vllm_tpu.engine.stop_checker import StopChecker
 from neural_magic_vllm_tpu.logger import init_logger
-from neural_magic_vllm_tpu.outputs import RequestOutput
+from neural_magic_vllm_tpu.outputs import (EmbeddingOutput,
+                                           EmbeddingRequestOutput,
+                                           RequestOutput)
 from neural_magic_vllm_tpu.sampling_params import SamplingParams
-from neural_magic_vllm_tpu.sequence import (ExecuteModelRequest, Sequence,
+from neural_magic_vllm_tpu.sequence import (EmbeddingSequenceGroupOutput,
+                                            ExecuteModelRequest, Sequence,
                                             SequenceGroup, SequenceStatus)
 from neural_magic_vllm_tpu.transformers_utils.detokenizer import Detokenizer
 from neural_magic_vllm_tpu.transformers_utils.tokenizer import get_tokenizer
@@ -142,28 +145,35 @@ class LLMEngine:
         arrival_time: Optional[float] = None,
         lora_request=None,
         trace_headers: Optional[Dict[str, str]] = None,
+        pooling_params=None,
     ) -> None:
-        if sampling_params is None:
+        if pooling_params is not None:
+            sampling_params = None
+        elif sampling_params is None:
             sampling_params = SamplingParams()
-        if sampling_params.use_beam_search:
+        if sampling_params is not None and sampling_params.use_beam_search:
             raise NotImplementedError(
                 "Beam search is not supported yet on the TPU engine.")
         if arrival_time is None:
             arrival_time = time.time()
         prompt_token_ids = self.encode_request(
-            prompt, prompt_token_ids, sampling_params.truncate_prompt_tokens)
+            prompt, prompt_token_ids,
+            sampling_params.truncate_prompt_tokens
+            if sampling_params else None)
         if len(prompt_token_ids) >= self.model_config.max_model_len:
             raise ValueError(
                 f"Prompt length ({len(prompt_token_ids)}) is at or over the "
                 f"model's max length ({self.model_config.max_model_len}).")
 
-        if sampling_params.logprobs is not None and \
+        if sampling_params is not None and \
+                sampling_params.logprobs is not None and \
                 sampling_params.logprobs > self.model_config.max_logprobs:
             raise ValueError(
                 f"logprobs={sampling_params.logprobs} > max_logprobs="
                 f"{self.model_config.max_logprobs}")
 
-        sampling_params = sampling_params.clone()
+        if sampling_params is not None:
+            sampling_params = sampling_params.clone()
         eos = self._get_eos_token_id()
         if self.tokenizer is not None and hasattr(
                 self.tokenizer, "eos_token_id"):
@@ -179,7 +189,8 @@ class LLMEngine:
                                   sampling_params=sampling_params,
                                   arrival_time=arrival_time,
                                   lora_request=lora_request,
-                                  trace_headers=trace_headers)
+                                  trace_headers=trace_headers,
+                                  pooling_params=pooling_params)
         self.scheduler.add_seq_group(seq_group)
 
     def abort_request(self, request_id: Union[str, Iterable[str]]) -> None:
@@ -229,6 +240,14 @@ class LLMEngine:
                 seq_group = scheduled.seq_group
                 if seq_group.is_finished():
                     continue
+                if isinstance(group_output, EmbeddingSequenceGroupOutput):
+                    seq_group.update_num_computed_tokens(
+                        scheduled.token_chunk_size)
+                    if group_output.embeddings is not None:
+                        seq_group.embeddings = group_output.embeddings
+                        for seq in seq_group.get_seqs():
+                            seq.status = SequenceStatus.FINISHED_STOPPED
+                    continue
                 if step_i > 0 and not group_output.samples:
                     # variable-length fused steps (spec decode): this seq
                     # accepted fewer tokens than the longest in the batch
@@ -243,8 +262,16 @@ class LLMEngine:
         self.scheduler.free_finished_seq_groups()
 
         for scheduled in scheduler_outputs.scheduled_seq_groups:
-            request_outputs.append(
-                RequestOutput.from_seq_group(scheduled.seq_group))
+            sg = scheduled.seq_group
+            if getattr(sg, "pooling_params", None) is not None:
+                request_outputs.append(
+                    EmbeddingRequestOutput(
+                        request_id=sg.request_id,
+                        outputs=EmbeddingOutput(sg.embeddings or []),
+                        prompt_token_ids=sg.prompt_token_ids,
+                        finished=sg.is_finished()))
+            else:
+                request_outputs.append(RequestOutput.from_seq_group(sg))
         for seq_group in scheduler_outputs.ignored_seq_groups:
             request_outputs.append(RequestOutput.from_seq_group(seq_group))
 
@@ -281,7 +308,8 @@ class LLMEngine:
             elif not sg.is_prefill():
                 time_per_output_tokens.append(now - m.last_token_time)
         for ro in request_outputs:
-            if ro.finished and ro.metrics and ro.metrics.finished_time:
+            if ro.finished and getattr(ro, "metrics", None) and \
+                    ro.metrics.finished_time:
                 time_e2e.append(ro.metrics.finished_time -
                                 ro.metrics.arrival_time)
         free_blocks = self.scheduler.block_manager.get_num_free_gpu_blocks()
@@ -303,7 +331,7 @@ class LLMEngine:
     def _emit_traces(self, request_outputs: List[RequestOutput]) -> None:
         from neural_magic_vllm_tpu.tracing import SpanAttributes
         for ro in request_outputs:
-            if not ro.finished or ro.metrics is None:
+            if not ro.finished or getattr(ro, "metrics", None) is None:
                 continue
             m = ro.metrics
             with self.tracer.start_as_current_span(

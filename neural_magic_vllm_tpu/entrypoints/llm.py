@@ -104,6 +104,35 @@ class LLM:
                 lora_request=lora_request)
         return self._run_engine(use_tqdm)
 
+    def encode(
+        self,
+        prompts=None,
+        pooling_params=None,
+        prompt_token_ids=None,
+        use_tqdm: bool = True,
+        lora_request=None,
+    ):
+        """Batched embedding inference (reference LLM.encode,
+        entrypoints/llm.py)."""
+        from neural_magic_vllm_tpu.pooling_params import PoolingParams
+        if prompts is None and prompt_token_ids is None:
+            raise ValueError("Either prompts or prompt_token_ids required.")
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        num_requests = len(prompts) if prompts is not None else len(
+            prompt_token_ids)
+        if pooling_params is None:
+            pooling_params = PoolingParams()
+        for i in range(num_requests):
+            self.llm_engine.add_request(
+                request_id=str(next(self.request_counter)),
+                prompt=prompts[i] if prompts is not None else None,
+                prompt_token_ids=(prompt_token_ids[i]
+                                  if prompt_token_ids is not None else None),
+                pooling_params=pooling_params,
+                lora_request=lora_request)
+        return self._run_engine(use_tqdm)
+
     def _run_engine(self, use_tqdm: bool) -> List[RequestOutput]:
         pbar = tqdm(total=self.llm_engine.get_num_unfinished_requests(),
                     desc="Processed prompts",

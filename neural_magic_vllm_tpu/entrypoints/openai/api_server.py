@@ -22,7 +22,8 @@ from neural_magic_vllm_tpu.engine.arg_utils import AsyncEngineArgs
 from neural_magic_vllm_tpu.engine.async_llm_engine import AsyncLLMEngine
 from neural_magic_vllm_tpu.entrypoints.openai.protocol import (
     ChatCompletionRequest, CompletionRequest, DetokenizeRequest,
-    DetokenizeResponse, ErrorResponse, TokenizeRequest, TokenizeResponse)
+    DetokenizeResponse, EmbeddingRequest, ErrorResponse, TokenizeRequest,
+    TokenizeResponse)
 from neural_magic_vllm_tpu.entrypoints.openai.serving_chat import \
     OpenAIServingChat
 from neural_magic_vllm_tpu.entrypoints.openai.serving_completion import \
@@ -68,8 +69,11 @@ async def _maybe_stream(request: web.Request, result) -> web.StreamResponse:
 
 def build_app(engine: AsyncLLMEngine, served_model_names,
               chat_template: Optional[str] = None) -> web.Application:
+    from neural_magic_vllm_tpu.entrypoints.openai.serving_embedding import \
+        OpenAIServingEmbedding
     completion = OpenAIServingCompletion(engine, served_model_names)
     chat = OpenAIServingChat(engine, served_model_names, chat_template)
+    embedding = OpenAIServingEmbedding(engine, served_model_names)
     app = web.Application()
 
     async def health(request: web.Request) -> web.Response:
@@ -117,6 +121,16 @@ def build_app(engine: AsyncLLMEngine, served_model_names,
         result = await completion.create_completion(req)
         return await _maybe_stream(request, result)
 
+    async def embeddings(request: web.Request) -> web.Response:
+        try:
+            req = EmbeddingRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return _error(embedding.create_error_response(str(e)))
+        result = await embedding.create_embedding(req)
+        if isinstance(result, ErrorResponse):
+            return _error(result)
+        return _json_response(result)
+
     async def chat_completions(request: web.Request) -> web.StreamResponse:
         try:
             req = ChatCompletionRequest(**await request.json())
@@ -131,6 +145,7 @@ def build_app(engine: AsyncLLMEngine, served_model_names,
     app.router.add_get("/metrics", metrics)
     app.router.add_post("/tokenize", tokenize)
     app.router.add_post("/detokenize", detokenize)
+    app.router.add_post("/v1/embeddings", embeddings)
     app.router.add_post("/v1/completions", completions)
     app.router.add_post("/v1/chat/completions", chat_completions)
     return app

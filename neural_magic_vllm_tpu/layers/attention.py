@@ -54,7 +54,10 @@ class Attention:
         meta: AttentionMetadata,
         *,
         is_prefill: bool,
+        window=None,  # traced per-layer window (gemma2 alternation);
+        # overrides the static sliding_window when given
     ) -> Tuple[jax.Array, KVCache]:
+        sliding = window if window is not None else self.sliding_window
         k_cache, v_cache = write_kv(kv_cache[0], kv_cache[1], k, v,
                                     meta.slot_mapping)
         if is_prefill:
@@ -62,12 +65,12 @@ class Attention:
                                    meta.block_tables[0],
                                    meta.context_lens[0],
                                    scale=self.scale,
-                                   sliding_window=self.sliding_window,
+                                   sliding_window=sliding,
                                    logit_cap=self.logit_cap)
         else:
             out = self._decode_fn(q, k_cache, v_cache, meta.block_tables,
                                   meta.context_lens,
                                   scale=self.scale,
-                                  sliding_window=self.sliding_window,
+                                  sliding_window=sliding,
                                   logit_cap=self.logit_cap)
         return out, (k_cache, v_cache)

@@ -90,6 +90,22 @@ class RotaryEmbedding:
                 self.mscale = float(
                     (0.1 * math.log(factor) + 1.0) * attn_factor) \
                     if factor > 1 else 1.0
+            elif rope_type in ("longrope", "su"):
+                # Phi3LongRoPE (reference rotary_embedding.py:432): per-dim
+                # rescale factors; static shapes force the long factors
+                # (worst case) whenever serving beyond the original window.
+                orig_max = int(
+                    scaling.get("original_max_position_embeddings",
+                                max_position))
+                factors = scaling["long_factor"] if max_position > orig_max \
+                    else scaling["short_factor"]
+                import numpy as _np
+                inv_freq = inv_freq / jnp.asarray(
+                    _np.asarray(factors, _np.float32))
+                if max_position > orig_max:
+                    self.mscale = math.sqrt(
+                        1.0 + math.log(max_position / orig_max) /
+                        math.log(orig_max))
             elif rope_type in ("llama3", ):
                 low_freq_factor = scaling.get("low_freq_factor", 1.0)
                 high_freq_factor = scaling.get("high_freq_factor", 4.0)

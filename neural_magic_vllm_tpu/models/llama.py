@@ -278,7 +278,7 @@ class LlamaForCausalLM:
         return self._linear(lp, "down", silu_and_mul(gate, up), lora_ctx)
 
     def _layer(self, lp, res, rope_cos, rope_sin, k_cache, v_cache, meta,
-               is_prefill: bool, lora_ctx=None):
+               is_prefill: bool, lora_ctx=None, layer_id=None):
         off = self.norm_weight_offset
         T = res.shape[0]
         normed = rms_norm(res, lp["input_norm"], self.rms_eps, off)
@@ -315,21 +315,23 @@ class LlamaForCausalLM:
         x = self.embed_tokens(params, token_ids)
         rope_cos, rope_sin = self.rope.precompute(positions)
 
+        layer_ids = jnp.arange(self.num_layers, dtype=jnp.int32)
         if lora is None:
-            xs = (params["layers"], k_stack, v_stack)
+            xs = (params["layers"], k_stack, v_stack, layer_ids)
         else:
-            xs = (params["layers"], k_stack, v_stack, lora["a"], lora["b"])
+            xs = (params["layers"], k_stack, v_stack, layer_ids, lora["a"],
+                  lora["b"])
 
         def body(res, xs_):
             if lora is None:
-                lp, k_c, v_c = xs_
+                lp, k_c, v_c, lid = xs_
                 lora_ctx = None
             else:
-                lp, k_c, v_c, la, lb = xs_
+                lp, k_c, v_c, lid, la, lb = xs_
                 lora_ctx = ({"a": la, "b": lb}, lora_idx, lora["scaling"])
             res, (new_k, new_v) = self._layer(lp, res, rope_cos, rope_sin,
                                               k_c, v_c, meta, is_prefill,
-                                              lora_ctx)
+                                              lora_ctx, layer_id=lid)
             return res, (new_k, new_v)
 
         res, (new_k, new_v) = jax.lax.scan(body, x, xs)

@@ -240,14 +240,17 @@ class SequenceGroup:
         self,
         request_id: str,
         seqs: List[Sequence],
-        sampling_params: SamplingParams,
+        sampling_params: Optional[SamplingParams],
         arrival_time: Optional[float] = None,
         lora_request: Optional[Any] = None,
         trace_headers: Optional[Dict[str, str]] = None,
+        pooling_params: Optional[Any] = None,
     ) -> None:
         self.request_id = request_id
         self.seqs_dict = {seq.seq_id: seq for seq in seqs}
         self.sampling_params = sampling_params
+        self.pooling_params = pooling_params
+        self.embeddings = None  # set for embedding requests
         self.arrival_time = arrival_time if arrival_time is not None \
             else time.time()
         self.lora_request = lora_request
@@ -255,7 +258,8 @@ class SequenceGroup:
         self.metrics = RequestMetrics(arrival_time=self.arrival_time,
                                       last_token_time=self.arrival_time)
         self.prompt_logprobs: Optional[PromptLogprobs] = None
-        self.state_generator_seed = sampling_params.seed
+        self.state_generator_seed = sampling_params.seed \
+            if sampling_params else None
 
     @property
     def prompt(self) -> Optional[str]:
@@ -272,6 +276,8 @@ class SequenceGroup:
     def get_max_num_running_seqs(self) -> int:
         """Max parallel sequences this group can ever need
         (reference vllm/sequence.py:472)."""
+        if self.sampling_params is None:  # embedding request
+            return 1
         if self.sampling_params.use_beam_search:
             return self.sampling_params.best_of
         if self.sampling_params.best_of > self.num_seqs():
@@ -354,6 +360,7 @@ class SequenceGroupMetadata:
         token_chunk_size: Optional[int] = None,
         computed_block_nums: Optional[List[int]] = None,
         lora_request: Optional[Any] = None,
+        pooling_params: Optional[Any] = None,
     ) -> None:
         self.request_id = request_id
         self.is_prompt = is_prompt
@@ -363,6 +370,7 @@ class SequenceGroupMetadata:
         self.do_sample = do_sample
         self.computed_block_nums = computed_block_nums
         self.lora_request = lora_request
+        self.pooling_params = pooling_params
         if token_chunk_size is None:
             if is_prompt:
                 token_chunk_size = next(iter(
@@ -394,6 +402,14 @@ class CompletionSequenceGroupOutput:
     (reference vllm/sequence.py:760)."""
     samples: List[SequenceOutput]
     prompt_logprobs: Optional[PromptLogprobs] = None
+
+
+@dataclass
+class EmbeddingSequenceGroupOutput:
+    """Pooled embedding for one (finished) embedding request
+    (reference vllm/sequence.py EmbeddingSequenceGroupOutput)."""
+    embeddings: List[float]
+    samples: List = None  # keeps the engine loop's interface uniform
 
 
 @dataclass

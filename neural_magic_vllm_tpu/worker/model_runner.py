@@ -25,6 +25,7 @@ from neural_magic_vllm_tpu.ops.sampling import SamplingTensors, sample
 from neural_magic_vllm_tpu.sampling_params import SamplingParams, \
     SamplingType
 from neural_magic_vllm_tpu.sequence import (CompletionSequenceGroupOutput,
+                                            EmbeddingSequenceGroupOutput,
                                             Logprob, SamplerOutput,
                                             SequenceGroupMetadata,
                                             SequenceOutput)
@@ -154,6 +155,21 @@ class TPUModelRunner:
                 out = sample(logits, _fold_position(samp, pos),
                              max_logprobs=num_logprobs)
                 return new_caches, out
+
+            jfn = jax.jit(fn, donate_argnums=(1, ))
+
+        elif kind == "prefill_hidden":
+            # raw hidden states (embedding-model pooling, reference
+            # EmbeddingModelRunner, vllm/worker/embedding_model_runner.py)
+
+            def fn(params, kv_caches, tokens, positions, meta, lora,
+                   lora_idx):
+                hidden, new_caches = model.forward(params, tokens, positions,
+                                                   kv_caches, meta,
+                                                   is_prefill=True,
+                                                   lora=lora,
+                                                   lora_idx=lora_idx)
+                return new_caches, hidden
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
@@ -491,6 +507,8 @@ class TPUModelRunner:
     def _execute_prefill(self, sgm: SequenceGroupMetadata,
                          cache_engine: CacheEngine
                          ) -> CompletionSequenceGroupOutput:
+        if getattr(sgm, "pooling_params", None) is not None:
+            return self._execute_embedding_prefill(sgm, cache_engine)
         seq_id = next(iter(sgm.seq_data))
         seq_data = sgm.seq_data[seq_id]
         sp = sgm.sampling_params
@@ -581,6 +599,48 @@ class TPUModelRunner:
                                 ti[0] if nlp else None, num_logprobs)
         return CompletionSequenceGroupOutput(
             samples=[SequenceOutput(seq_id, int(tid[0]), lp)])
+
+    def _execute_embedding_prefill(self, sgm: SequenceGroupMetadata,
+                                   cache_engine: CacheEngine
+                                   ) -> EmbeddingSequenceGroupOutput:
+        """Prefill an embedding request and pool the last token's hidden
+        state (pooling type LAST; reference layers/pooler.py)."""
+        seq_id = next(iter(sgm.seq_data))
+        seq_data = sgm.seq_data[seq_id]
+        token_ids = seq_data.get_token_ids()
+        computed = seq_data.get_num_computed_tokens()
+        chunk = sgm.token_chunk_size
+        end = computed + chunk
+        q_tokens = token_ids[computed:end]
+        S = len(q_tokens)
+        s_pad = self.scheduler_config.pad_prefill_len(S)
+        table = sgm.block_tables[seq_id]
+        tokens = np.zeros((s_pad, ), np.int32)
+        tokens[:S] = q_tokens
+        positions = np.zeros((s_pad, ), np.int32)
+        positions[:S] = np.arange(computed, end, dtype=np.int32)
+        slots = np.full((s_pad, ), -1, np.int32)
+        for j, pos in enumerate(range(computed, end)):
+            slots[j] = table[pos // self.block_size] * self.block_size + \
+                pos % self.block_size
+        width = self.scheduler_config.pad_table_width(
+            max(1, cdiv(computed, self.block_size)),
+            self.max_blocks_per_seq)
+        meta = AttentionMetadata(
+            slot_mapping=jnp.asarray(slots),
+            block_tables=jnp.asarray(self._block_table_row(table,
+                                                           width)[None, :]),
+            context_lens=jnp.asarray([computed], np.int32))
+        lora, lidx = self._lora_args([sgm.lora_request], s_pad)
+        fn = self._get_fn("prefill_hidden", 0)
+        new_kv, hidden = fn(self.params, cache_engine.kv_caches,
+                            jnp.asarray(tokens), jnp.asarray(positions),
+                            meta, lora, lidx)
+        cache_engine.kv_caches = new_kv
+        if end < seq_data.get_len():  # chunked prefill: not done yet
+            return EmbeddingSequenceGroupOutput(embeddings=None)
+        emb = np.asarray(hidden[S - 1], np.float32).tolist()
+        return EmbeddingSequenceGroupOutput(embeddings=emb)
 
     # --- fused multi-step decode --------------------------------------------
     def _execute_decode_multi(self, sgms: List[SequenceGroupMetadata],

@@ -171,3 +171,35 @@ def test_guided_choice(app_and_engine):
         return True
 
     assert run(engine, go)
+
+
+def test_embeddings_endpoint(tmp_path_factory, tiny_llama_dir):
+    """/v1/embeddings over a bare-backbone (embedding) model."""
+    import json
+    import os
+    import shutil
+
+    from neural_magic_vllm_tpu.engine.arg_utils import EngineArgs
+    from neural_magic_vllm_tpu.engine.llm_engine import LLMEngine
+    d = str(tmp_path_factory.mktemp("embsrv") / "llama-embed")
+    shutil.copytree(tiny_llama_dir, d)
+    with open(os.path.join(d, "config.json")) as f:
+        cfg = json.load(f)
+    cfg["architectures"] = ["LlamaModel"]
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    engine = LLMEngine.from_engine_args(EngineArgs(
+        model=d, dtype="float32", max_model_len=128, block_size=16,
+        num_gpu_blocks_override=64, max_num_seqs=8, enforce_eager=True,
+        disable_log_stats=True))
+
+    async def go(client):
+        r = await client.post("/v1/embeddings", json={
+            "model": MODEL_NAME, "input": ["hello", "world"]})
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        assert len(body["data"]) == 2
+        assert len(body["data"][0]["embedding"]) == 64  # hidden size
+        return True
+
+    assert run(engine, go)

@@ -1,0 +1,140 @@
+"""Per-architecture smoke + golden tests (reference tests/models/):
+tiny random checkpoints for each family, engine greedy vs HF transformers
+argmax agreement."""
+import numpy as np
+import pytest
+
+from tests.utils import create_tiny_tokenizer, hf_forward_logits
+
+PROMPTS = [[1, 17, 29, 45, 8, 100], [1, 5, 9]]
+MAX_NEW = 6
+
+
+def _save_tiny(cfg_cls, model_cls, save_dir, **cfg_kwargs):
+    import torch
+    torch.manual_seed(0)
+    cfg = cfg_cls(**cfg_kwargs)
+    model = model_cls(cfg).to(torch.float32)
+    model.save_pretrained(save_dir, safe_serialization=True)
+    create_tiny_tokenizer(save_dir, vocab_size=cfg.vocab_size)
+    return save_dir
+
+
+def _engine_greedy(model_dir, prompts=PROMPTS):
+    from neural_magic_vllm_tpu import LLM, SamplingParams
+    llm = LLM(model=model_dir, dtype="float32", max_model_len=128,
+              block_size=16, num_gpu_blocks_override=96, max_num_seqs=8,
+              enforce_eager=True, disable_log_stats=True)
+    sp = SamplingParams(temperature=0.0, max_tokens=MAX_NEW,
+                        ignore_eos=True, detokenize=False)
+    outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp,
+                        use_tqdm=False)
+    return [list(o.outputs[0].token_ids) for o in outs]
+
+
+def _check_vs_hf(model_dir, prompts, generated, tol=2e-3):
+    for prompt, gen in zip(prompts, generated):
+        seq = list(prompt)
+        for tok in gen:
+            logits = hf_forward_logits(model_dir, seq)[0, -1]
+            hf_top = int(np.argmax(logits))
+            assert tok == hf_top or \
+                abs(logits[tok] - logits[hf_top]) < tol, \
+                (model_dir, tok, hf_top,
+                 float(abs(logits[tok] - logits[hf_top])))
+            seq.append(tok)
+
+
+def test_gemma2(tmp_path):
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+    d = _save_tiny(
+        Gemma2Config, Gemma2ForCausalLM, str(tmp_path / "gemma2"),
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, sliding_window=32,
+        query_pre_attn_scalar=16, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0)
+    gen = _engine_greedy(d)
+    _check_vs_hf(d, PROMPTS, gen)
+
+
+def test_phi3(tmp_path):
+    from transformers import Phi3Config, Phi3ForCausalLM
+    d = _save_tiny(
+        Phi3Config, Phi3ForCausalLM, str(tmp_path / "phi3"),
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, pad_token_id=0, eos_token_id=2,
+        bos_token_id=1)
+    gen = _engine_greedy(d)
+    _check_vs_hf(d, PROMPTS, gen)
+
+
+def test_qwen2_moe(tmp_path):
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+    d = _save_tiny(
+        Qwen2MoeConfig, Qwen2MoeForCausalLM, str(tmp_path / "qwen2moe"),
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, shared_expert_intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=8, num_experts_per_tok=2, max_position_embeddings=256,
+        decoder_sparse_step=1, norm_topk_prob=False, mlp_only_layers=[])
+    gen = _engine_greedy(d)
+    _check_vs_hf(d, PROMPTS, gen)
+
+
+def test_deepseek_v2(tmp_path):
+    from transformers import AutoModelForCausalLM
+    try:
+        from transformers import DeepseekV2Config
+        from transformers.models.deepseek_v2.modeling_deepseek_v2 import \
+            DeepseekV2ForCausalLM
+    except ImportError:
+        pytest.skip("transformers without DeepseekV2")
+    d = _save_tiny(
+        DeepseekV2Config, DeepseekV2ForCausalLM,
+        str(tmp_path / "deepseek_v2"),
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=8, n_shared_experts=1, num_experts_per_tok=2,
+        n_group=2, topk_group=1, routed_scaling_factor=1.0,
+        first_k_dense_replace=1, kv_lora_rank=32, q_lora_rank=24,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        max_position_embeddings=256, norm_topk_prob=False)
+    gen = _engine_greedy(d)
+    _check_vs_hf(d, PROMPTS, gen)
+
+
+def test_llama_embedding(tmp_path, tiny_llama_dir):
+    """Embeddings mode: LLM.encode pooled hidden == HF last hidden state."""
+    import json
+    import os
+    import shutil
+    # re-badge the tiny llama as a bare LlamaModel checkpoint
+    d = str(tmp_path / "llama-embed")
+    shutil.copytree(tiny_llama_dir, d)
+    with open(os.path.join(d, "config.json")) as f:
+        cfg = json.load(f)
+    cfg["architectures"] = ["LlamaModel"]
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+    from neural_magic_vllm_tpu import LLM
+    llm = LLM(model=d, dtype="float32", max_model_len=128, block_size=16,
+              num_gpu_blocks_override=64, max_num_seqs=8,
+              enforce_eager=True, disable_log_stats=True)
+    outs = llm.encode(prompt_token_ids=PROMPTS, use_tqdm=False)
+    assert len(outs) == len(PROMPTS)
+
+    import torch
+    from transformers import AutoModelForCausalLM
+    hf = AutoModelForCausalLM.from_pretrained(tiny_llama_dir,
+                                              torch_dtype=torch.float32)
+    hf.eval()
+    for prompt, out in zip(PROMPTS, outs):
+        emb = np.asarray(out.outputs.embedding, np.float32)
+        with torch.no_grad():
+            hidden = hf.model(
+                torch.tensor([prompt])).last_hidden_state[0, -1].numpy()
+        np.testing.assert_allclose(emb, hidden, rtol=2e-2, atol=2e-3)
