@@ -1,0 +1,128 @@
+"""Online serving benchmark (role of reference
+benchmarks/benchmark_serving.py): drives a running OpenAI-compatible server
+with Poisson arrivals and streaming requests; reports TTFT / TPOT / ITL and
+throughput percentiles. Prompt/output lengths are sampled synthetically
+(ShareGPT-like lognormal mix) since this environment has no dataset egress;
+pass --input-len/--output-len for fixed lengths.
+
+Usage: python benchmarks/benchmark_serving.py --base-url http://localhost:8000 \
+    --model <served-name> --num-prompts 100 --request-rate 2.0
+"""
+import argparse
+import asyncio
+import json
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import aiohttp
+import numpy as np
+
+
+@dataclass
+class RequestResult:
+    success: bool = False
+    ttft_s: float = 0.0
+    latency_s: float = 0.0
+    itl_s: List[float] = field(default_factory=list)
+    output_tokens: int = 0
+
+
+async def one_request(session: aiohttp.ClientSession, url: str, model: str,
+                      prompt: str, output_len: int) -> RequestResult:
+    payload = {
+        "model": model,
+        "prompt": prompt,
+        "max_tokens": output_len,
+        "temperature": 0.0,
+        "ignore_eos": True,
+        "stream": True,
+    }
+    result = RequestResult()
+    start = time.perf_counter()
+    last = start
+    try:
+        async with session.post(url, json=payload) as resp:
+            if resp.status != 200:
+                return result
+            async for raw in resp.content:
+                line = raw.decode().strip()
+                if not line.startswith("data: ") or line.endswith("[DONE]"):
+                    continue
+                now = time.perf_counter()
+                if result.output_tokens == 0:
+                    result.ttft_s = now - start
+                else:
+                    result.itl_s.append(now - last)
+                last = now
+                result.output_tokens += 1
+        result.latency_s = time.perf_counter() - start
+        result.success = result.output_tokens > 0
+    except aiohttp.ClientError:
+        pass
+    return result
+
+
+def sample_lengths(rng, n, input_len, output_len):
+    if input_len:
+        return [(input_len, output_len)] * n
+    ins = np.clip(rng.lognormal(5.0, 0.8, n), 8, 1024).astype(int)
+    outs = np.clip(rng.lognormal(4.5, 0.7, n), 8, 512).astype(int)
+    return list(zip(ins.tolist(), outs.tolist()))
+
+
+async def run(args) -> None:
+    rng = np.random.default_rng(args.seed)
+    lengths = sample_lengths(rng, args.num_prompts, args.input_len,
+                             args.output_len)
+    prompts = [("hello " * max(in_len // 2, 1)).strip()
+               for in_len, _ in lengths]
+    url = f"{args.base_url}/v1/completions"
+
+    async with aiohttp.ClientSession(
+            timeout=aiohttp.ClientTimeout(total=6 * 3600)) as session:
+        tasks = []
+        start = time.perf_counter()
+        for i, (prompt, (_, out_len)) in enumerate(zip(prompts, lengths)):
+            tasks.append(asyncio.create_task(
+                one_request(session, url, args.model, prompt, out_len)))
+            if args.request_rate != float("inf"):
+                await asyncio.sleep(rng.exponential(1.0 /
+                                                    args.request_rate))
+        results: List[RequestResult] = await asyncio.gather(*tasks)
+        wall = time.perf_counter() - start
+
+    ok = [r for r in results if r.success]
+    if not ok:
+        print(json.dumps({"error": "no successful requests"}))
+        return
+    ttfts = np.array([r.ttft_s for r in ok])
+    itls = np.array([x for r in ok for x in r.itl_s] or [0.0])
+    lats = np.array([r.latency_s for r in ok])
+    total_out = sum(r.output_tokens for r in ok)
+    pct = lambda a, p: round(float(np.percentile(a, p)) * 1e3, 1)
+    print(json.dumps({
+        "completed": len(ok),
+        "duration_s": round(wall, 2),
+        "request_throughput_rps": round(len(ok) / wall, 3),
+        "output_token_throughput_tps": round(total_out / wall, 1),
+        "mean_ttft_ms": round(float(ttfts.mean()) * 1e3, 1),
+        "p50_ttft_ms": pct(ttfts, 50), "p99_ttft_ms": pct(ttfts, 99),
+        "mean_itl_ms": round(float(itls.mean()) * 1e3, 1),
+        "p50_itl_ms": pct(itls, 50), "p99_itl_ms": pct(itls, 99),
+        "p50_e2e_ms": pct(lats, 50), "p99_e2e_ms": pct(lats, 99),
+    }))
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--base-url", type=str,
+                        default="http://localhost:8000")
+    parser.add_argument("--model", type=str, required=True)
+    parser.add_argument("--num-prompts", type=int, default=100)
+    parser.add_argument("--request-rate", type=float, default=float("inf"))
+    parser.add_argument("--input-len", type=int, default=0,
+                        help="0 = synthetic ShareGPT-like mix")
+    parser.add_argument("--output-len", type=int, default=128)
+    parser.add_argument("--seed", type=int, default=0)
+    asyncio.run(run(parser.parse_args()))

@@ -56,8 +56,20 @@ class Attention:
         is_prefill: bool,
         window=None,  # traced per-layer window (gemma2 alternation);
         # overrides the static sliding_window when given
+        kv_scales=None,  # [2] f32 (k_scale, v_scale) for fp8 KV caches
     ) -> Tuple[jax.Array, KVCache]:
         sliding = window if window is not None else self.sliding_window
+        if kv_scales is not None:
+            # fp8 KV with per-tensor scales (reference Fp8KVCacheMethod,
+            # fp8.py:563): cache stores k/s_k and v/s_v; the dequant folds
+            # algebraically — k_scale into q (scores are bilinear), v_scale
+            # into the output — so no kernel support is needed and the
+            # CURRENT chunk is passed pre-divided for consistency.
+            k_s = kv_scales[0].astype(jnp.float32)
+            v_s = kv_scales[1].astype(jnp.float32)
+            k = (k.astype(jnp.float32) / k_s).astype(k.dtype)
+            v = (v.astype(jnp.float32) / v_s).astype(v.dtype)
+            q = (q.astype(jnp.float32) * k_s).astype(q.dtype)
         k_cache, v_cache = write_kv(kv_cache[0], kv_cache[1], k, v,
                                     meta.slot_mapping)
         if is_prefill:
@@ -73,4 +85,6 @@ class Attention:
                                   scale=self.scale,
                                   sliding_window=sliding,
                                   logit_cap=self.logit_cap)
+        if kv_scales is not None:
+            out = (out.astype(jnp.float32) * v_s).astype(out.dtype)
         return out, (k_cache, v_cache)

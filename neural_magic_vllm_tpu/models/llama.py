@@ -42,7 +42,7 @@ def stack_layer_params(layers: List[Dict[str, Any]]) -> Dict[str, Any]:
 _CAST_DTYPES = ("float16", "float32", "float64")
 _KEEP_DTYPE_NAMES = frozenset(
     {"qweight", "scales", "zeros", "input_perm", "weight_scale",
-     "input_scale"})
+     "input_scale", "kv_scales"})
 
 
 def cast_params_to(params, dtype):
@@ -156,6 +156,7 @@ class LlamaForCausalLM:
     def _layer_specs(self) -> Dict[str, Any]:
         lm = self.linear_method
         return {
+            "kv_scales": P(None),
             "input_norm": P(None),
             "post_norm": P(None),
             "q": lm.param_specs("column", self.qkv_bias),
@@ -213,6 +214,17 @@ class LlamaForCausalLM:
                 layer["input_norm"] = w
             elif sub == "post_attention_layernorm":
                 layer["post_norm"] = w
+            elif sub == "self_attn" and kind in ("kv_scale", "k_scale",
+                                                "v_scale"):
+                # FP8 KV-cache scales shipped in fp8 checkpoints
+                # (reference llama.py:493-513 kv_scale remap)
+                ks = layer.setdefault("kv_scales",
+                                      np.ones((2, ), np.float32))
+                val = float(np.asarray(w).reshape(()))
+                if kind in ("kv_scale", "k_scale"):
+                    ks[0] = val
+                if kind in ("kv_scale", "v_scale"):
+                    ks[1] = val
             elif sub in self._HF_LINEARS:
                 lm = self.linear_method
                 if kind not in lm.hf_param_names:
@@ -235,6 +247,9 @@ class LlamaForCausalLM:
         """Post-load hook: convert each linear's raw HF tensors to device
         params (MoE models additionally stack expert tensors here)."""
         lm = self.linear_method
+        if any("kv_scales" in layer for layer in layers):
+            for layer in layers:  # uniform keys for layer stacking
+                layer.setdefault("kv_scales", np.ones((2, ), np.float32))
         for layer in layers:
             for key in self._LINEAR_KEYS:
                 if key in layer and isinstance(layer[key], dict):
@@ -290,7 +305,8 @@ class LlamaForCausalLM:
             T, self.num_kv_heads, self.head_dim)
         q, k = self.rope.apply(rope_cos, rope_sin, q, k)
         attn_out, new_cache = self.attn(q, k, v, (k_cache, v_cache), meta,
-                                        is_prefill=is_prefill)
+                                        is_prefill=is_prefill,
+                                        kv_scales=lp.get("kv_scales"))
         attn_out = self._linear(
             lp, "o", attn_out.reshape(T, self.num_heads * self.head_dim),
             lora_ctx)

@@ -108,6 +108,7 @@ class TPUModelRunner:
                 jax.random.PRNGKey(self.model_config.seed))
         else:
             params = self.model.load_params(self.model_config.model)
+        params = self._maybe_inject_kv_scales(params)
         self.params = self._shard_params(params)
         if self.lora_config is not None:
             from neural_magic_vllm_tpu.lora.worker_manager import \
@@ -116,6 +117,27 @@ class TPUModelRunner:
                 self.lora_config, self.model,
                 dtype=jnp.dtype(self.model_config.dtype))
         logger.info("Model loaded in %.2fs", time.time() - t0)
+
+    def _maybe_inject_kv_scales(self, params):
+        """Per-layer FP8 KV scales from --quantization-param-path JSON
+        (reference quantization/schema.py + kv_cache_dtype plumbing)."""
+        path = getattr(self.model_config, "quantization_param_path", None)
+        if not path:
+            return params
+        import json
+        with open(path) as f:
+            schema = json.load(f)
+        factors = schema.get("kv_cache", {}).get("scaling_factor", {})
+        # schema: {tp_rank: {layer: scale}} or flat {layer: scale}
+        if factors and isinstance(next(iter(factors.values())), dict):
+            factors = factors.get("0", next(iter(factors.values())))
+        L = self.model_config.get_num_layers(self.parallel_config)
+        arr = np.ones((L, 2), np.float32)
+        for k, v in factors.items():
+            arr[int(k)] = float(v)
+        if isinstance(params.get("layers"), dict):
+            params["layers"]["kv_scales"] = jnp.asarray(arr)
+        return params
 
     def _shard_params(self, params):
         if self.mesh is None:
