@@ -177,6 +177,23 @@ class UncachedBlockAllocator(BlockAllocatorBase):
             "Invalid codepath for uncached block allocator.")
 
 
+def _make_cached_allocator(device: str, block_size: int, num_blocks: int):
+    """Prefer the native C++ prefix-caching allocator (csrc/
+    block_allocator.cc — O(log n) LRU eviction vs the Python linear scan);
+    NMV_TPU_NATIVE_ALLOCATOR=0 forces Python, =1 requires native."""
+    import os
+    mode = os.getenv("NMV_TPU_NATIVE_ALLOCATOR", "auto")
+    if mode != "0":
+        from neural_magic_vllm_tpu.core import native_allocator
+        if native_allocator.is_available():
+            return native_allocator.NativeCachedBlockAllocator(
+                device, block_size, num_blocks)
+        if mode == "1":
+            raise RuntimeError("NMV_TPU_NATIVE_ALLOCATOR=1 but the native "
+                               "allocator could not be built")
+    return CachedBlockAllocator(device, block_size, num_blocks)
+
+
 class PagedBlockSpaceManager(BlockSpaceManager):
     """The production block manager (reference BlockSpaceManagerV1)."""
 
@@ -209,10 +226,10 @@ class PagedBlockSpaceManager(BlockSpaceManager):
         self.watermark_blocks = int(watermark * num_gpu_blocks)
 
         if enable_caching:
-            self.gpu_allocator: BlockAllocatorBase = CachedBlockAllocator(
-                "tpu", block_size, num_gpu_blocks)
-            self.cpu_allocator: BlockAllocatorBase = CachedBlockAllocator(
-                "cpu", block_size, num_cpu_blocks)
+            self.gpu_allocator: BlockAllocatorBase = \
+                _make_cached_allocator("tpu", block_size, num_gpu_blocks)
+            self.cpu_allocator: BlockAllocatorBase = \
+                _make_cached_allocator("cpu", block_size, num_cpu_blocks)
         else:
             self.gpu_allocator = UncachedBlockAllocator(
                 "tpu", block_size, num_gpu_blocks)
@@ -259,7 +276,12 @@ class PagedBlockSpaceManager(BlockSpaceManager):
                 block = self.gpu_allocator.allocate(
                     seq.hash_of_block(logical_idx),
                     seq.num_hashed_tokens_of_block(logical_idx))
-                block.ref_count = seq_group.num_seqs()
+                # Cached blocks may be shared ACROSS requests: allocate()
+                # already counted this group's reference, so only add the
+                # group's extra seqs — overwriting would clobber other
+                # requests' shares (double-free on release).
+                if seq_group.num_seqs() > 1:
+                    block.ref_count += seq_group.num_seqs() - 1
             else:
                 block = self.gpu_allocator.allocate()
                 block.ref_count = seq_group.num_seqs()
