@@ -9,7 +9,15 @@ import numpy as np
 
 
 def main(args: argparse.Namespace) -> None:
+    import os
+    import sys
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    sys.path.insert(0, os.path.dirname(here))  # repo root
+    from synthetic import resolve_model
+
     from neural_magic_vllm_tpu import LLM, SamplingParams
+    args.model = resolve_model(args.model)
 
     llm = LLM(model=args.model, quantization=args.quantization,
               dtype=args.dtype, max_model_len=args.max_model_len,

@@ -13,7 +13,15 @@ import numpy as np
 
 
 def main(args: argparse.Namespace) -> None:
+    import os
+    import sys
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    sys.path.insert(0, os.path.dirname(here))  # repo root
+    from synthetic import resolve_model
+
     from neural_magic_vllm_tpu import LLM, SamplingParams
+    args.model = resolve_model(args.model)
 
     llm = LLM(model=args.model, tokenizer=args.tokenizer,
               quantization=args.quantization, dtype=args.dtype,

@@ -16,12 +16,17 @@ class AttentionMetadata(NamedTuple):
     step's static bucket.
 
     prefill: slot_mapping [S]; block_tables [1, maxb]; context_lens [1]
+    batched prefill (context-free): + seq_ids [S], q_pos [S]
     decode:  slot_mapping [B]; block_tables [B, maxb]; context_lens [B]
              (context_lens counts all tokens incl. the one being decoded)
     """
     slot_mapping: jax.Array
     block_tables: jax.Array
     context_lens: jax.Array
+    # ragged batched prefill only: segment id and in-sequence position of
+    # each flat token (None selects the single-sequence prefill path)
+    seq_ids: Optional[jax.Array] = None
+    q_pos: Optional[jax.Array] = None
 
 
 class Attention:
@@ -72,7 +77,13 @@ class Attention:
             q = (q.astype(jnp.float32) * k_s).astype(q.dtype)
         k_cache, v_cache = write_kv(kv_cache[0], kv_cache[1], k, v,
                                     meta.slot_mapping)
-        if is_prefill:
+        if is_prefill and meta.seq_ids is not None:
+            from neural_magic_vllm_tpu.ops.attention import \
+                segment_prefill_attention_ref
+            out = segment_prefill_attention_ref(
+                q, k, v, meta.seq_ids, meta.q_pos, scale=self.scale,
+                sliding_window=sliding, logit_cap=self.logit_cap)
+        elif is_prefill:
             out = self._prefill_fn(q, k, v, k_cache, v_cache,
                                    meta.block_tables[0],
                                    meta.context_lens[0],

@@ -134,6 +134,44 @@ def decode_attention_ref(
     return jax.vmap(one)(q, block_tables, context_lens)
 
 
+def segment_prefill_attention_ref(
+    q: jax.Array,  # [T, num_q_heads, head_dim] (multiple seqs, flat)
+    k: jax.Array,  # [T, num_kv_heads, head_dim]
+    v: jax.Array,
+    seq_ids: jax.Array,  # [T] int32 segment id per token (-1 = padding)
+    q_pos: jax.Array,  # [T] int32 position of each token in its sequence
+    *,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    logit_cap: Optional[float] = None,
+) -> jax.Array:
+    """Ragged batched prefill for CONTEXT-FREE prompts: several sequences
+    concatenated into one flat token axis, isolated by a segment mask
+    (same-sequence AND causal). This is how fresh prefills batch on TPU —
+    one weight pass serves every prompt, where the reference's TPU port ran
+    prefill one sequence per dispatch (tpu_model_runner.py:485-496)."""
+    T, nqh, hd = q.shape
+    kvh = k.shape[1]
+    group = nqh // kvh
+
+    qg = q.reshape(T, kvh, group, hd).astype(jnp.float32)
+    scores = jnp.einsum("ikgh,jkh->ikgj", qg,
+                        k.astype(jnp.float32)) * scale
+    scores = _soft_cap(scores, logit_cap)
+    same = (seq_ids[:, None] == seq_ids[None, :]) & (seq_ids[:, None] >= 0)
+    causal = q_pos[None, :] <= q_pos[:, None]
+    mask = same & causal
+    if sliding_window is not None:
+        mask = mask & (q_pos[:, None] - q_pos[None, :] < sliding_window)
+    scores = jnp.where(mask[:, None, None, :], scores, _NEG_INF)
+    # fully-masked (padding) rows: make softmax well-defined
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(jnp.any(mask, axis=1)[:, None, None, None], probs,
+                      0.0)
+    out = jnp.einsum("ikgj,jkh->ikgh", probs, v.astype(jnp.float32))
+    return out.reshape(T, nqh, hd).astype(q.dtype)
+
+
 def get_attention_backend(backend: Optional[str] = None):
     """Select (prefill_fn, decode_fn). "pallas" on TPU, "jnp" reference
     otherwise; override via NMV_TPU_ATTENTION_BACKEND

@@ -180,6 +180,26 @@ class TPUModelRunner:
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
+        elif kind == "prefill_batch":
+            # ragged batched prefill: several context-free prompts share ONE
+            # weight pass (segment attention); per-seq last-token sampling
+
+            def fn(params, kv_caches, tokens, positions, meta, sample_idx,
+                   samp, lora, lora_idx):
+                hidden, new_caches = model.forward(params, tokens, positions,
+                                                   kv_caches, meta,
+                                                   is_prefill=True,
+                                                   lora=lora,
+                                                   lora_idx=lora_idx)
+                sel = jnp.take(hidden, sample_idx, axis=0)  # [B, H]
+                logits = model.compute_logits(params, sel)
+                pos_sel = jnp.take(positions, sample_idx, axis=0)
+                out = sample(logits, _fold_position(samp, pos_sel),
+                             max_logprobs=num_logprobs)
+                return new_caches, out
+
+            jfn = jax.jit(fn, donate_argnums=(1, ))
+
         elif kind == "prefill_hidden":
             # raw hidden states (embedding-model pooling, reference
             # EmbeddingModelRunner, vllm/worker/embedding_model_runner.py)
@@ -306,6 +326,10 @@ class TPUModelRunner:
                 kv = cache_engine.kv_caches
                 kv = self._run_dummy_decode_multi(kv, b, K)
                 cache_engine.kv_caches = kv
+        # batched-prefill executable (largest token + batch buckets)
+        kv = cache_engine.kv_caches
+        cache_engine.kv_caches = self._run_dummy_prefill_batch(
+            kv, prefill_buckets[-1], decode_buckets[-1])
         logger.info("Warmup done in %.1fs (%d prefill + %d decode buckets)",
                     time.time() - t0, len(prefill_buckets),
                     len(decode_buckets))
@@ -333,6 +357,22 @@ class TPUModelRunner:
                        jnp.zeros((s, ), jnp.int32),
                        jnp.zeros((s, ), jnp.int32), meta,
                        jnp.int32(0), self._dummy_samp(1), lora, lidx)
+        return new_kv
+
+    def _run_dummy_prefill_batch(self, kv_caches, s: int, b: int):
+        meta = AttentionMetadata(
+            slot_mapping=jnp.full((s, ), -1, jnp.int32),
+            block_tables=jnp.zeros((1, 4), jnp.int32),
+            context_lens=jnp.zeros((1, ), jnp.int32),
+            seq_ids=jnp.zeros((s, ), jnp.int32),
+            q_pos=jnp.arange(s, dtype=jnp.int32))
+        fn = self._get_fn("prefill_batch", 0)
+        lora, lidx = self._lora_args(None, s)
+        new_kv, _ = fn(self.params, kv_caches,
+                       jnp.zeros((s, ), jnp.int32),
+                       jnp.arange(s, dtype=jnp.int32), meta,
+                       jnp.zeros((b, ), jnp.int32), self._dummy_samp(b),
+                       lora, lidx)
         return new_kv
 
     def _run_dummy_decode_multi(self, kv_caches, b: int, K: int):
@@ -396,18 +436,27 @@ class TPUModelRunner:
         row[:n] = table[:n]
         return row
 
-    def _lora_args(self, lora_requests: Optional[List], n: int):
+    def _lora_args(self, lora_requests: Optional[List], n: int,
+                   spans: Optional[List[int]] = None):
         """(lora pytree, [n] slot indices) for the step executables; when
         LoRA serving is enabled the stacks are ALWAYS passed (constant jit
-        treedef) with slot 0 = null adapter for unadapted rows."""
+        treedef) with slot 0 = null adapter for unadapted rows.
+
+        Decode calls have one row per request (spans=None); prefill calls
+        pass spans = token count per request so EVERY prompt token routes
+        through its adapter."""
         if self.lora_manager is None:
             return None, None
-        if lora_requests is None:
-            idx = np.zeros((n, ), np.int32)
-        else:
+        idx = np.zeros((n, ), np.int32)
+        if lora_requests is not None:
             slots = self.lora_manager.slots_for(lora_requests)
-            idx = np.zeros((n, ), np.int32)
-            idx[:len(slots)] = slots
+            if spans is None:
+                idx[:len(slots)] = slots
+            else:
+                cursor = 0
+                for slot, span in zip(slots, spans):
+                    idx[cursor:cursor + span] = slot
+                    cursor += span
         return self.lora_manager.lora_params(), jnp.asarray(idx)
 
     def _table_width(self, tables: List[List[int]]) -> int:
@@ -512,6 +561,13 @@ class TPUModelRunner:
                                               cache_engine, K)
 
         group_outputs: Dict[int, CompletionSequenceGroupOutput] = {}
+        batchable = [(i, m) for i, m in prefills
+                     if self._prefill_batchable(m)]
+        if len(batchable) >= 2:
+            group_outputs.update(
+                self._execute_prefill_batch(batchable, cache_engine))
+            prefills = [(i, m) for i, m in prefills
+                        if i not in group_outputs]
         for idx, sgm in prefills:
             group_outputs[idx] = self._execute_prefill(sgm, cache_engine)
         if decodes:
@@ -526,6 +582,99 @@ class TPUModelRunner:
         ])]
 
     # --- prefill ---------------------------------------------------------------
+    def _prefill_batchable(self, sgm: SequenceGroupMetadata) -> bool:
+        """Fresh full-prompt prefills with on-device sampling can share one
+        weight pass (segment attention); chunked continuations, prefix-cache
+        hits and host-sampled requests take the single-seq path."""
+        if getattr(sgm, "pooling_params", None) is not None:
+            return False
+        sp = sgm.sampling_params
+        if sp is None or _needs_host_sampling(sp) or \
+                sp.prompt_logprobs is not None or sp.best_of > 1:
+            return False
+        if not sgm.do_sample or sgm.computed_block_nums:
+            return False
+        seq_data = next(iter(sgm.seq_data.values()))
+        return seq_data.get_num_computed_tokens() == 0
+
+    def _execute_prefill_batch(self, items, cache_engine: CacheEngine
+                               ) -> Dict[int, CompletionSequenceGroupOutput]:
+        """One weight pass over several concatenated fresh prompts."""
+        B = len(items)
+        total = sum(next(iter(m.seq_data.values())).get_len()
+                    for _, m in items)
+        t_pad = self.scheduler_config.pad_prefill_len(total)
+        if t_pad < total:  # beyond the largest bucket: single-seq path
+            return {}
+        b_pad = self.scheduler_config.pad_decode_batch(B)
+
+        tokens = np.zeros((t_pad, ), np.int32)
+        positions = np.zeros((t_pad, ), np.int32)
+        slots = np.full((t_pad, ), -1, np.int32)
+        seq_ids = np.full((t_pad, ), -1, np.int32)
+        sample_idx = np.zeros((b_pad, ), np.int32)
+        rows = []
+        cursor = 0
+        for row, (idx, sgm) in enumerate(items):
+            seq_id = next(iter(sgm.seq_data))
+            data = sgm.seq_data[seq_id]
+            ids = data.get_token_ids()
+            S = len(ids)
+            table = sgm.block_tables[seq_id]
+            tokens[cursor:cursor + S] = ids
+            positions[cursor:cursor + S] = np.arange(S, dtype=np.int32)
+            for j in range(S):
+                slots[cursor + j] = table[j // self.block_size] * \
+                    self.block_size + j % self.block_size
+            seq_ids[cursor:cursor + S] = row
+            sample_idx[row] = cursor + S - 1
+            rows.append((sgm, seq_id))
+            cursor += S
+
+        meta = AttentionMetadata(
+            slot_mapping=jnp.asarray(slots),
+            block_tables=jnp.zeros((1, 4), jnp.int32),  # unused
+            context_lens=jnp.zeros((1, ), jnp.int32),
+            seq_ids=jnp.asarray(seq_ids),
+            q_pos=jnp.asarray(positions))
+
+        any_logprobs = any((sgm.sampling_params.logprobs or 0) > 0
+                           for sgm, _ in rows)
+        nlp = self.max_logprobs if any_logprobs else 0
+        fn = self._get_fn("prefill_batch", nlp)
+        pad_rows = rows + [rows[-1]] * (b_pad - B)
+        samp = self._samp_tensors(pad_rows)
+        if self.lora_manager is not None:
+            # activate adapters BEFORE snapshotting the (immutable) stacks
+            slot_of = self.lora_manager.slots_for(
+                [sgm.lora_request for sgm, _ in rows])
+            li = np.zeros((t_pad, ), np.int32)
+            cursor = 0
+            for row, (sgm, sid) in enumerate(rows):
+                S = sgm.seq_data[sid].get_len()
+                li[cursor:cursor + S] = slot_of[row]
+                cursor += S
+            lora = self.lora_manager.lora_params()
+            lidx_flat = jnp.asarray(li)
+        else:
+            lora, lidx_flat = None, None
+        new_kv, out = fn(self.params, cache_engine.kv_caches,
+                         jnp.asarray(tokens), jnp.asarray(positions), meta,
+                         jnp.asarray(sample_idx), samp, lora, lidx_flat)
+        cache_engine.kv_caches = new_kv
+        tid, chosen, tv, ti = jax.device_get(out)
+
+        outputs: Dict[int, CompletionSequenceGroupOutput] = {}
+        for row, (idx, sgm) in enumerate(items):
+            seq_id = rows[row][1]
+            num_lp = sgm.sampling_params.logprobs or 0
+            lp = self._logprob_dict(int(tid[row]), float(chosen[row]),
+                                    tv[row] if nlp else None,
+                                    ti[row] if nlp else None, num_lp)
+            outputs[idx] = CompletionSequenceGroupOutput(
+                samples=[SequenceOutput(seq_id, int(tid[row]), lp)])
+        return outputs
+
     def _execute_prefill(self, sgm: SequenceGroupMetadata,
                          cache_engine: CacheEngine
                          ) -> CompletionSequenceGroupOutput:
@@ -579,7 +728,8 @@ class TPUModelRunner:
         host = (_needs_host_sampling(sp) or want_prompt_lp
                 or sp.best_of > 1)
 
-        lora, lidx = self._lora_args([sgm.lora_request], s_pad)
+        lora, lidx = self._lora_args([sgm.lora_request], s_pad,
+                                     spans=[S])
         if host:
             fn = self._get_fn("prefill_logits", 0)
             new_kv, logits = fn(self.params, cache_engine.kv_caches,
@@ -653,7 +803,8 @@ class TPUModelRunner:
             block_tables=jnp.asarray(self._block_table_row(table,
                                                            width)[None, :]),
             context_lens=jnp.asarray([computed], np.int32))
-        lora, lidx = self._lora_args([sgm.lora_request], s_pad)
+        lora, lidx = self._lora_args([sgm.lora_request], s_pad,
+                                     spans=[S])
         fn = self._get_fn("prefill_hidden", 0)
         new_kv, hidden = fn(self.params, cache_engine.kv_caches,
                             jnp.asarray(tokens), jnp.asarray(positions),
