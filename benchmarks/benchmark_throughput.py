@@ -45,6 +45,10 @@ def main(args: argparse.Namespace) -> None:
                         max_tokens=args.output_len, ignore_eos=True,
                         detokenize=False)
 
+    for _ in range(args.warmup_rounds):  # compile all buckets untimed
+        llm.generate(prompt_token_ids=prompts[:args.max_num_seqs],
+                     sampling_params=sp, use_tqdm=False)
+
     start = time.perf_counter()
     outputs = llm.generate(prompt_token_ids=prompts, sampling_params=sp,
                            use_tqdm=not args.quiet)
@@ -80,6 +84,7 @@ if __name__ == "__main__":
     parser.add_argument("--enable-prefix-caching", action="store_true")
     parser.add_argument("--enable-chunked-prefill", action="store_true")
     parser.add_argument("--enforce-eager", action="store_true")
+    parser.add_argument("--warmup-rounds", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--quiet", action="store_true")
     main(parser.parse_args())

@@ -78,9 +78,9 @@ class Attention:
         k_cache, v_cache = write_kv(kv_cache[0], kv_cache[1], k, v,
                                     meta.slot_mapping)
         if is_prefill and meta.seq_ids is not None:
-            from neural_magic_vllm_tpu.ops.attention import \
-                segment_prefill_attention_ref
-            out = segment_prefill_attention_ref(
+            from neural_magic_vllm_tpu.ops.pallas_prefill import \
+                segment_prefill_attention
+            out = segment_prefill_attention(
                 q, k, v, meta.seq_ids, meta.q_pos, scale=self.scale,
                 sliding_window=sliding, logit_cap=self.logit_cap)
         elif is_prefill:
