@@ -151,9 +151,6 @@ class LLMEngine:
             sampling_params = None
         elif sampling_params is None:
             sampling_params = SamplingParams()
-        if sampling_params is not None and sampling_params.use_beam_search:
-            raise NotImplementedError(
-                "Beam search is not supported yet on the TPU engine.")
         if arrival_time is None:
             arrival_time = time.time()
         prompt_token_ids = self.encode_request(

@@ -39,12 +39,14 @@ class SingleStepOutputProcessor:
         for sample in samples:
             parent_child[sample.parent_seq_id].append(sample)
 
+        sp = seq_group.sampling_params
         child_seqs = []
+        dropped_parents = []
         for parent in parent_seqs:
             child_samples = parent_child[parent.seq_id]
             if not child_samples:
-                # Parent produced no sample this step (shouldn't happen in
-                # non-beam sampling); drop it.
+                # Beam search: no candidate continued this parent.
+                dropped_parents.append(parent)
                 continue
             # Fork for all but the last sample (parallel sampling n>1).
             for child_sample in child_samples[:-1]:
@@ -57,7 +59,6 @@ class SingleStepOutputProcessor:
             parent.append_token_id(last.output_token, last.logprobs)
             child_seqs.append((parent, parent))
 
-        sp = seq_group.sampling_params
         for seq, _ in child_seqs:
             if self.detokenizer and sp.detokenize:
                 new_char_count = self.detokenizer.decode_sequence_inplace(
@@ -73,8 +74,56 @@ class SingleStepOutputProcessor:
                 if not seq.is_finished():
                     self.scheduler.fork_seq(parent, seq)
 
+        for parent in dropped_parents:
+            seq_group.remove(parent.seq_id)
+            self.scheduler.free_seq(parent)
+
+        if sp.use_beam_search:
+            self._beam_select(seq_group, child_seqs, sp)
+
         for seq, parent in child_seqs:
             if seq is parent and seq.is_finished():
                 self.scheduler.free_seq(seq)
             if seq is not parent and seq.is_finished():
+                self.scheduler.free_seq(seq)
+
+    def _beam_select(self, seq_group: SequenceGroup, child_seqs,
+                     sp) -> None:
+        """Keep the best beam_width running beams + best beam_width
+        finished candidates; decide early stopping (reference
+        single_step.py beam logic + _check_beam_search_early_stopping)."""
+        bw = sp.best_of
+        lp = sp.length_penalty
+
+        def score(seq):
+            return seq.get_beam_search_score(lp)
+
+        finished = [s for s in seq_group.get_seqs() if s.is_finished()]
+        finished.sort(key=score, reverse=True)
+        for seq in finished[bw:]:  # outcompeted finished beams
+            seq_group.remove(seq.seq_id)
+
+        running = [s for s, _ in child_seqs if not s.is_finished()]
+        running.sort(key=lambda s: s.get_cumulative_logprob(), reverse=True)
+        keep, drop = running[:bw], running[bw:]
+        for seq in drop:
+            seq_group.remove(seq.seq_id)
+            self.scheduler.free_seq(seq)
+
+        kept_finished = [s for s in seq_group.get_seqs()
+                         if s.is_finished()]
+        stop_all = False
+        if len(kept_finished) >= bw and keep:
+            if sp.early_stopping is True:
+                stop_all = True
+            elif sp.early_stopping is False:
+                worst_finished = min(score(s) for s in kept_finished)
+                best_running = max(score(s) for s in keep)
+                stop_all = worst_finished >= best_running
+            # "never": run until length/eos stops every beam
+        if stop_all:
+            from neural_magic_vllm_tpu.sequence import SequenceStatus
+            for seq in keep:
+                seq.status = SequenceStatus.FINISHED_STOPPED
+                seq_group.remove(seq.seq_id)
                 self.scheduler.free_seq(seq)

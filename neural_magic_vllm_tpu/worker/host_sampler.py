@@ -143,3 +143,18 @@ def prompt_logprobs_from_logits(
             d[tid] = Logprob(float(row[tid]), rank=rank)
         out.append(d)
     return out
+
+
+def beam_candidates(logits: np.ndarray, num: int,
+                    sp: SamplingParams) -> List[Tuple[int, Dict[int,
+                                                                Logprob]]]:
+    """Top-`num` tokens by logprob for beam search (reference
+    sampler.py _beam_search_sample): returns (token, {token: Logprob})
+    per candidate."""
+    logits = logits.astype(np.float64)
+    for proc in sp.logits_processors:
+        logits = np.asarray(proc([], logits))
+    logprobs = _log_softmax(logits)
+    top = np.argsort(-logprobs)[:num]
+    return [(int(t), {int(t): Logprob(float(logprobs[t]), rank=r + 1)})
+            for r, t in enumerate(top)]

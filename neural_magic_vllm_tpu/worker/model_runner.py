@@ -745,14 +745,21 @@ class TPUModelRunner:
                 return CompletionSequenceGroupOutput(
                     samples=[], prompt_logprobs=prompt_lp)
             samples = []
-            for j in range(sp.best_of):
-                token, lp = host_sampler.sample_row(
-                    logits_np[S - 1], sp, seq_data.prompt_token_ids,
-                    seq_data.output_token_ids,
-                    eos_token_id=None,
-                    step_seed=seq_data.get_len() * (j + 1) + j,
-                    num_logprobs=num_logprobs)
-                samples.append(SequenceOutput(seq_id, token, lp))
+            if sp.use_beam_search:
+                # seed the beams with the top-best_of DISTINCT tokens
+                # (reference beam prefill, sampler.py:330-360)
+                for token, lp in host_sampler.beam_candidates(
+                        logits_np[S - 1], sp.best_of, sp):
+                    samples.append(SequenceOutput(seq_id, token, lp))
+            else:
+                for j in range(sp.best_of):
+                    token, lp = host_sampler.sample_row(
+                        logits_np[S - 1], sp, seq_data.prompt_token_ids,
+                        seq_data.output_token_ids,
+                        eos_token_id=None,
+                        step_seed=seq_data.get_len() * (j + 1) + j,
+                        num_logprobs=num_logprobs)
+                    samples.append(SequenceOutput(seq_id, token, lp))
             return CompletionSequenceGroupOutput(
                 samples=samples, prompt_logprobs=prompt_lp)
 
@@ -1053,6 +1060,16 @@ class TPUModelRunner:
         out_list: List[CompletionSequenceGroupOutput] = []
         r = 0
         for sgm in sgms:
+            sp = sgm.sampling_params
+            n_rows = len(sgm.seq_data)
+            if sp.use_beam_search and host:
+                # 2*bw combined candidates across parents (reference
+                # _beam_search_sample, sampler.py:272-423): score =
+                # parent cumulative logprob + token logprob.
+                out_list.append(self._beam_candidates_output(
+                    sgm, logits_np[r:r + n_rows]))
+                r += n_rows
+                continue
             samples = []
             for seq_id in sgm.seq_data:
                 rid, token, lp = results[r]
@@ -1061,3 +1078,25 @@ class TPUModelRunner:
                 r += 1
             out_list.append(CompletionSequenceGroupOutput(samples=samples))
         return out_list
+
+    def _beam_candidates_output(self, sgm: SequenceGroupMetadata,
+                                logits_rows: np.ndarray
+                                ) -> CompletionSequenceGroupOutput:
+        sp = sgm.sampling_params
+        bw = sp.best_of
+        parents = list(sgm.seq_data)
+        V = logits_rows.shape[1]
+        logprobs = logits_rows.astype(np.float64)
+        logprobs -= logprobs.max(axis=1, keepdims=True)
+        logprobs -= np.log(np.exp(logprobs).sum(axis=1, keepdims=True))
+        cum = np.array([sgm.seq_data[sid].cumulative_logprob
+                        for sid in parents])[:, None]
+        flat = (logprobs + cum).ravel()
+        top = np.argsort(-flat)[:2 * bw]
+        samples = []
+        for cand in top:
+            row, token = divmod(int(cand), V)
+            samples.append(SequenceOutput(
+                parents[row], token,
+                {token: Logprob(float(logprobs[row, token]))}))
+        return CompletionSequenceGroupOutput(samples=samples)
