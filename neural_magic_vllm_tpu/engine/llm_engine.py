@@ -273,9 +273,12 @@ class LLMEngine:
             request_outputs.append(RequestOutput.from_seq_group(seq_group))
 
         if self.stat_logger is not None:
-            self.stat_logger.log(
-                self._get_stats(scheduler_outputs, request_outputs,
-                                num_steps=max(1, len(outputs))))
+            stats = self._get_stats(scheduler_outputs, request_outputs,
+                                    num_steps=max(1, len(outputs)))
+            if outputs and outputs[0].spec_decode_worker_metrics is not None:
+                stats.spec_decode_metrics = \
+                    outputs[0].spec_decode_worker_metrics
+            self.stat_logger.log(stats)
         if self.tracer is not None:
             self._emit_traces(request_outputs)
         return request_outputs

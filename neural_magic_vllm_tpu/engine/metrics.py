@@ -46,6 +46,7 @@ class Stats:
     time_to_first_tokens_iter: List[float] = field(default_factory=list)
     time_per_output_tokens_iter: List[float] = field(default_factory=list)
     time_e2e_requests: List[float] = field(default_factory=list)
+    spec_decode_metrics: object = None  # SpecDecodeWorkerMetrics
 
 
 class Metrics:
@@ -158,6 +159,14 @@ class StatLogger:
                 prompt_tps, gen_tps, stats.num_running_sys,
                 stats.num_swapped_sys, stats.num_waiting_sys,
                 stats.gpu_cache_usage_sys * 100)
+            if stats.spec_decode_metrics is not None:
+                sm = stats.spec_decode_metrics
+                logger.info(
+                    "Speculative metrics: draft acceptance rate %.3f, "
+                    "system efficiency %.2f tokens/step "
+                    "(accepted %d / proposed %d)",
+                    sm.draft_acceptance_rate, sm.system_efficiency,
+                    sm.accepted_tokens, sm.num_spec_tokens)
             self.num_prompt_tokens = []
             self.num_generation_tokens = []
             self.last_local_log = now

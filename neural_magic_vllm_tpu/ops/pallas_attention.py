@@ -32,14 +32,18 @@ prefill_attention = prefill_attention_ref
 PAGES_PER_CHUNK = 4
 
 
-def _decode_kernel(tables_ref, ctx_ref, q_ref, k_hbm, v_hbm, o_ref,
-                   k_buf, v_buf, sems, *, kvh: int, group: int, bs: int,
-                   hd: int, n_chunks: int, ppc: int, kv_scale: float,
-                   logit_cap: Optional[float]):
+def _decode_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm, v_hbm,
+                   o_ref, k_buf, v_buf, sems, *, kvh: int, group: int,
+                   bs: int, hd: int, n_chunks: int, ppc: int,
+                   kv_scale: float, logit_cap: Optional[float]):
     b = pl.program_id(0)
     ctx = ctx_ref[b]
+    window = win_ref[0]
     n_pages_needed = (ctx + bs - 1) // bs
     needed_chunks = (n_pages_needed + ppc - 1) // ppc
+    # sliding window: chunks entirely before (ctx - window) are skipped
+    first_valid = jnp.maximum(ctx - window, 0)
+    first_chunk = first_valid // (ppc * bs)
 
     def start_chunk(c, slot):
         for p in range(ppc):  # ppc is small and static
@@ -57,7 +61,7 @@ def _decode_kernel(tables_ref, ctx_ref, q_ref, k_hbm, v_hbm, o_ref,
             pltpu.make_async_copy(v_hbm.at[0], v_buf.at[slot, p],
                                   sems.at[slot, p, 1]).wait()
 
-    start_chunk(0, 0)
+    start_chunk(first_chunk, 0)
     q = q_ref[0].astype(jnp.float32)  # [nqh, hd]
 
     T = ppc * bs
@@ -67,11 +71,11 @@ def _decode_kernel(tables_ref, ctx_ref, q_ref, k_hbm, v_hbm, o_ref,
 
     def body(c, carry):
         m, l, acc = carry
-        slot = jax.lax.rem(c, 2)
+        slot = jax.lax.rem(c - first_chunk, 2)
 
         @pl.when(c + 1 < needed_chunks)
         def _():
-            start_chunk(c + 1, jax.lax.rem(c + 1, 2))
+            start_chunk(c + 1, jax.lax.rem(c + 1 - first_chunk, 2))
 
         wait_chunk(slot)
         # [1, ppc, kvh, bs, hd]; per-head slices below avoid a transpose
@@ -79,7 +83,7 @@ def _decode_kernel(tables_ref, ctx_ref, q_ref, k_hbm, v_hbm, o_ref,
         kc = k_buf[pl.ds(slot, 1)].reshape(ppc, kvh, bs, hd)
         vc = v_buf[pl.ds(slot, 1)].reshape(ppc, kvh, bs, hd)
         pos = c * T + jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-        valid = pos < ctx  # [1, T]
+        valid = (pos < ctx) & (pos >= first_valid)  # [1, T]
 
         new_m_list, new_l_list, new_acc_list = [], [], []
         for h in range(kvh):
@@ -113,7 +117,8 @@ def _decode_kernel(tables_ref, ctx_ref, q_ref, k_hbm, v_hbm, o_ref,
         return (jnp.stack(new_m_list), jnp.stack(new_l_list),
                 jnp.stack(new_acc_list))
 
-    m, l, acc = jax.lax.fori_loop(0, needed_chunks, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(first_chunk, needed_chunks, body,
+                                  (m0, l0, acc0))
     out = acc / jnp.maximum(l, 1e-30)  # [kvh, group, hd]
     o_ref[0] = out.reshape(kvh * group, hd).astype(o_ref.dtype)
 
@@ -121,7 +126,7 @@ def _decode_kernel(tables_ref, ctx_ref, q_ref, k_hbm, v_hbm, o_ref,
 @functools.partial(jax.jit, static_argnames=("scale", "kv_scale",
                                              "logit_cap"))
 def _decode_attention_pallas(q, k_cache, v_cache, block_tables,
-                             context_lens, *, scale: float,
+                             context_lens, window=None, *, scale: float,
                              kv_scale: float = 1.0,
                              logit_cap: Optional[float] = None):
     B, nqh, hd = q.shape
@@ -140,8 +145,12 @@ def _decode_attention_pallas(q, k_cache, v_cache, block_tables,
         _decode_kernel, kvh=kvh, group=group, bs=bs, hd=hd,
         n_chunks=n_chunks, ppc=ppc, kv_scale=kv_scale, logit_cap=logit_cap)
 
+    if window is None:
+        window = jnp.full((1, ), 2**30, jnp.int32)
+    else:
+        window = jnp.asarray(window, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, ),
         in_specs=[
             pl.BlockSpec((1, nqh, hd), lambda b, *_: (b, 0, 0),
@@ -165,7 +174,7 @@ def _decode_attention_pallas(q, k_cache, v_cache, block_tables,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", )),
         interpret=interpret,
-    )(block_tables, context_lens, q_scaled, k_cache, v_cache)
+    )(block_tables, context_lens, window, q_scaled, k_cache, v_cache)
     return out
 
 
@@ -173,16 +182,18 @@ def decode_attention(q, k_cache, v_cache, block_tables, context_lens, *,
                      scale: float, sliding_window: Optional[int] = None,
                      logit_cap: Optional[float] = None,
                      kv_scale: float = 1.0):
-    """Paged decode attention; falls back to the XLA reference for cases
-    the kernel does not cover (sliding window, odd head sizes)."""
+    """Paged decode attention; sliding windows (static or traced
+    per-layer scalars, e.g. gemma2 alternation) ride the scalar-prefetch
+    channel. XLA reference fallback only for odd head sizes / tiny
+    blocks."""
     nb, kvh, bs, hd = k_cache.shape
     nqh = q.shape[1]
-    if (sliding_window is not None or hd % 128 != 0 or nqh % kvh != 0
-            or bs % 8 != 0):
+    if hd % 128 != 0 or nqh % kvh != 0 or bs % 8 != 0:
         return decode_attention_ref(q, k_cache, v_cache, block_tables,
                                     context_lens, scale=scale,
                                     sliding_window=sliding_window,
                                     logit_cap=logit_cap)
     return _decode_attention_pallas(q, k_cache, v_cache, block_tables,
-                                    context_lens, scale=scale,
-                                    kv_scale=kv_scale, logit_cap=logit_cap)
+                                    context_lens, window=sliding_window,
+                                    scale=scale, kv_scale=kv_scale,
+                                    logit_cap=logit_cap)

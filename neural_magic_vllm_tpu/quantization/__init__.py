@@ -15,6 +15,7 @@ from neural_magic_vllm_tpu.quantization.compressed_tensors import \
     CompressedTensorsConfig
 from neural_magic_vllm_tpu.quantization.fp8 import Fp8Config
 from neural_magic_vllm_tpu.quantization.gptq import GPTQConfig
+from neural_magic_vllm_tpu.quantization.sparsity import SparseW16A16Config
 
 QUANTIZATION_METHODS: Dict[str, Type[QuantizationConfig]] = {
     "gptq": GPTQConfig,
@@ -27,6 +28,9 @@ QUANTIZATION_METHODS: Dict[str, Type[QuantizationConfig]] = {
     "compressed-tensors": CompressedTensorsConfig,
     "compressed_tensors": CompressedTensorsConfig,
     "sparseml": CompressedTensorsConfig,
+    # NM fork --sparsity values (dense execution on TPU; sparsity.py)
+    "sparse_w16a16": SparseW16A16Config,
+    "semi_structured_sparse_w16a16": SparseW16A16Config,
 }
 
 
@@ -59,6 +63,9 @@ def create_quant_config(model_config) -> Optional[QuantizationConfig]:
     """Resolve the quantization config for a model: explicit flag wins,
     otherwise auto-detect from the checkpoint (reference
     config.py _verify_quantization + gptq_marlin auto-override)."""
+    sparsity = getattr(model_config, "sparsity", None)
+    if sparsity:
+        return SparseW16A16Config(sparsity)
     name = getattr(model_config, "quantization", None)
     hf_quant = _read_hf_quant_config(model_config)
     if name is None:

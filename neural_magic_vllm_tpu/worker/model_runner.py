@@ -76,10 +76,13 @@ class TPUModelRunner:
         if speculative_config is not None and speculative_config.enabled \
                 and speculative_config.ngram_prompt_lookup_max > 0:
             from neural_magic_vllm_tpu.spec_decode import NGramProposer
+            from neural_magic_vllm_tpu.spec_decode.metrics import \
+                SpecDecodeWorkerMetrics
             self._spec_proposer = NGramProposer(
                 speculative_config.ngram_prompt_lookup_max,
                 speculative_config.ngram_prompt_lookup_min or 1,
                 speculative_config.num_speculative_tokens)
+            self._spec_metrics = SpecDecodeWorkerMetrics()
 
         self.block_size = cache_config.block_size
         self.max_blocks_per_seq = cdiv(model_config.max_model_len,
@@ -965,6 +968,14 @@ class TPUModelRunner:
                 lps.append(float(row[tok] - m_ -
                                  np.log(np.exp(row - m_).sum())))
             chosen_lp.append(lps)
+
+        self._spec_metrics.num_steps += 1
+        for i, prop in enumerate(proposals):
+            self._spec_metrics.num_spec_tokens += len(prop)
+            # accepted drafts = emitted tokens minus the bonus/correction
+            self._spec_metrics.accepted_tokens += max(
+                len(accepted[i]) - 1, 0)
+            self._spec_metrics.emitted_tokens += len(accepted[i])
 
         max_len = max(len(a) for a in accepted)
         outputs: List[SamplerOutput] = []

@@ -80,14 +80,18 @@ def test_pallas_decode_fp8_kv():
                                rtol=3e-2, atol=3e-2)
 
 
-def test_sliding_window_falls_back():
+@pytest.mark.parametrize("window", [20, 64, 150])
+def test_sliding_window_kernel(window):
+    """Window masking + chunk skipping in the kernel vs the reference
+    (static window; gemma2's traced per-layer windows ride the same
+    scalar-prefetch channel)."""
     rng = np.random.default_rng(3)
-    B, nqh, kvh, hd, bs, W = 2, 8, 2, 128, 16, 4
-    q, k, v, tables, ctx = _setup(B, nqh, kvh, hd, bs, 32, W, rng)
+    B, nqh, kvh, hd, bs, W = 3, 8, 2, 128, 16, 10
+    q, k, v, tables, ctx = _setup(B, nqh, kvh, hd, bs, 64, W, rng)
     ref = decode_attention_ref(q, k, v, tables, ctx, scale=0.1,
-                               sliding_window=20)
+                               sliding_window=window)
     out = decode_attention(q, k, v, tables, ctx, scale=0.1,
-                           sliding_window=20)
+                           sliding_window=window)
     np.testing.assert_allclose(np.asarray(out, np.float32),
-                               np.asarray(ref, np.float32), rtol=1e-5,
-                               atol=1e-5)
+                               np.asarray(ref, np.float32), rtol=2e-2,
+                               atol=2e-2)
