@@ -112,13 +112,14 @@ class ModelConfig:
         self._verify_quantization()
 
     def _verify_quantization(self) -> None:
-        supported = [None, "fp8", "int8", "gptq", "awq", "compressed-tensors"]
-        if self.quantization is not None:
-            self.quantization = self.quantization.lower()
-        if self.quantization not in supported:
+        if self.quantization is None:
+            return
+        self.quantization = self.quantization.lower()
+        from neural_magic_vllm_tpu.quantization import QUANTIZATION_METHODS
+        if self.quantization not in QUANTIZATION_METHODS:
             raise ValueError(
                 f"Unknown quantization method: {self.quantization}. "
-                f"Supported: {supported}")
+                f"Supported: {sorted(set(QUANTIZATION_METHODS))}")
 
     # --- architecture probes ---------------------------------------------
     def get_hidden_size(self) -> int:
@@ -364,7 +365,7 @@ class LoadConfig:
     """Weight-loading configuration (reference vllm/config.py:604)."""
 
     SUPPORTED_FORMATS = ("auto", "safetensors", "pt", "dummy",
-                         "sharded_state", "npz")
+                         "sharded_state", "nmv", "npz")
 
     def __init__(self,
                  load_format: str = "auto",
@@ -416,6 +417,8 @@ class SpeculativeConfig:
     ngram_prompt_lookup_max: int = 0
     ngram_prompt_lookup_min: int = 0
     speculative_disable_by_batch_size: Optional[int] = None
+    # "rejection_sampler" (lossless) | "typical_acceptance_sampler"
+    draft_token_acceptance_method: str = "rejection_sampler" 
 
     @property
     def enabled(self) -> bool:

@@ -71,6 +71,7 @@ class EngineArgs:
     ngram_prompt_lookup_max: Optional[int] = None
     ngram_prompt_lookup_min: Optional[int] = None
     speculative_disable_by_batch_size: Optional[int] = None
+    spec_decoding_acceptance_method: str = "rejection_sampler"
     # misc
     device: str = "auto"
     served_model_name: Optional[Union[str, List[str]]] = None
@@ -175,7 +176,9 @@ class EngineArgs:
                 ngram_prompt_lookup_max=self.ngram_prompt_lookup_max or 0,
                 ngram_prompt_lookup_min=self.ngram_prompt_lookup_min or 0,
                 speculative_disable_by_batch_size=(
-                    self.speculative_disable_by_batch_size))
+                    self.speculative_disable_by_batch_size),
+                draft_token_acceptance_method=(
+                    self.spec_decoding_acceptance_method))
         decoding_config = DecodingConfig(
             guided_decoding_backend=self.guided_decoding_backend)
         observability_config = ObservabilityConfig(

@@ -356,6 +356,11 @@ class LLMEngine:
                     span.set_attribute(SpanAttributes.LLM_LATENCY_E2E,
                                        m.finished_time - m.arrival_time)
 
+    def save_state(self, model_dir: str) -> None:
+        """Persist the loaded (converted/quantized) params for fast
+        reload via --load-format nmv."""
+        self.model_executor.save_state(model_dir)
+
     # --- LoRA management (reference llm_engine add_lora/remove_lora) ---------
     def add_lora(self, lora_request) -> bool:
         return self.model_executor.add_lora(lora_request)

@@ -66,6 +66,9 @@ class TPUExecutor(ExecutorAsyncBase):
         return await asyncio.get_event_loop().run_in_executor(
             None, self.execute_model, req)
 
+    def save_state(self, model_dir: str) -> None:
+        self.driver_worker.save_state(model_dir)
+
     def add_lora(self, lora_request) -> bool:
         return self.driver_worker.add_lora(lora_request)
 

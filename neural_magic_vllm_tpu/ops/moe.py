@@ -2,13 +2,11 @@
 
 TPU-native replacement for the reference fused_moe Triton pipeline
 (vllm/model_executor/layers/fused_moe/fused_moe.py:18-528: topk_softmax ->
-moe_align_block_size -> two block GEMMs -> weighted reduce). On TPU the
-inference token counts are small (decode buckets <= a few hundred), so
-round-1 uses a dense-dispatch formulation: every expert processes every
-token through one batched einsum (MXU-friendly, no sorting/scatter),
-and non-selected experts are zero-weighted in the reduce. FLOP overcommit is
-E/top_k, but the op stays a single fused XLA computation with static shapes.
-A megablox-style grouped GEMM replaces it for large-batch prefill later.
+moe_align_block_size -> two block GEMMs -> weighted reduce). Default path
+is the megablox-style grouped GEMM: token replicas sorted by expert
+(the moe_align_block_size role) + jax.lax.ragged_dot group matmuls —
+static shapes, no E/top_k FLOP overcommit. A dense-dispatch einsum
+formulation is kept as a fallback backend.
 """
 from typing import Optional, Tuple
 
@@ -49,7 +47,44 @@ def grouped_topk(router_logits: jax.Array, top_k: int, num_expert_group: int,
     return weights, ids.astype(jnp.int32)
 
 
-def fused_moe(
+def fused_moe_ragged(
+    x: jax.Array,  # [T, H]
+    w_gate: jax.Array,  # [E, H, I]
+    w_up: jax.Array,  # [E, H, I]
+    w_down: jax.Array,  # [E, I, H]
+    topk_weights: jax.Array,  # [T, top_k] f32
+    topk_ids: jax.Array,  # [T, top_k] i32
+) -> jax.Array:
+    """Grouped-GEMM MoE (the megablox formulation; the role of the
+    reference's moe_align_block_size + block GEMMs, fused_moe.py:166-527):
+    token replicas are sorted by expert and each expert multiplies only its
+    own contiguous row group via jax.lax.ragged_dot — no E/top_k FLOP
+    overcommit, static shapes throughout."""
+    T, H = x.shape
+    E = w_gate.shape[0]
+    K = topk_ids.shape[1]
+    M = T * K
+    flat_ids = topk_ids.reshape(-1)
+    order = jnp.argsort(flat_ids, stable=True)  # replicas grouped by expert
+    src_token = order // K
+    gathered = x[src_token]  # [M, H]
+    group_sizes = jnp.zeros((E, ), jnp.int32).at[flat_ids].add(1)
+
+    gate = jax.lax.ragged_dot(gathered, w_gate, group_sizes,
+                              preferred_element_type=jnp.float32)
+    up = jax.lax.ragged_dot(gathered, w_up, group_sizes,
+                            preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(gate) * up).astype(x.dtype)
+    down = jax.lax.ragged_dot(act, w_down, group_sizes,
+                              preferred_element_type=jnp.float32)  # [M, H]
+
+    w_flat = topk_weights.reshape(-1)[order]
+    out = jnp.zeros((T, H), jnp.float32).at[src_token].add(
+        down * w_flat[:, None])
+    return out.astype(x.dtype)
+
+
+def fused_moe_dense(
     x: jax.Array,  # [T, H]
     w_gate: jax.Array,  # [E, H, I]  (w13 split; column-sharded on I)
     w_up: jax.Array,  # [E, H, I]
@@ -74,3 +109,16 @@ def fused_moe(
                       preferred_element_type=jnp.float32)  # [E, T, H]
     out = jnp.einsum("eth,te->th", down, combine)
     return out.astype(x.dtype)
+
+
+def fused_moe(x, w_gate, w_up, w_down, topk_weights, topk_ids):
+    """Backend selector: grouped GEMM (ragged_dot) by default — it does
+    1/(E/top_k) of the dense-dispatch FLOPs; NMV_TPU_MOE_BACKEND=dense
+    forces the einsum formulation (useful on backends where ragged_dot
+    lowers poorly)."""
+    import os
+    backend = os.getenv("NMV_TPU_MOE_BACKEND", "ragged")
+    if backend == "dense":
+        return fused_moe_dense(x, w_gate, w_up, w_down, topk_weights,
+                               topk_ids)
+    return fused_moe_ragged(x, w_gate, w_up, w_down, topk_weights, topk_ids)

@@ -62,3 +62,28 @@ def rejection_sample_onehot(logits: np.ndarray, proposed: List[int],
     p = probs[len(proposed)]
     out.append(int(rng.choice(len(p), p=p)))
     return out
+
+
+def typical_acceptance(logits: np.ndarray, proposed: List[int],
+                       temperature: float,
+                       posterior_threshold: float = 0.09,
+                       posterior_alpha: float = 0.3) -> List[int]:
+    """Typical acceptance (reference typical_acceptance_sampler.py):
+    accept draft x_i when p_target(x_i) clears an entropy-adaptive
+    threshold max(posterior_threshold, alpha * exp(-H(p))); on rejection
+    emit the target argmax. Cheaper/looser than exact rejection sampling —
+    output distribution is APPROXIMATELY the target's."""
+    probs = _softmax(logits / max(temperature, 1e-5))
+    out: List[int] = []
+    for i, prop in enumerate(proposed):
+        p = probs[i]
+        entropy = -float(np.sum(p * np.log(np.clip(p, 1e-10, None))))
+        threshold = max(posterior_threshold,
+                        posterior_alpha * np.exp(-entropy))
+        if p[prop] > threshold:
+            out.append(int(prop))
+            continue
+        out.append(int(np.argmax(p)))
+        return out
+    out.append(int(np.argmax(probs[len(proposed)])))
+    return out

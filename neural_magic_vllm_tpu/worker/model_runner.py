@@ -109,6 +109,15 @@ class TPUModelRunner:
         if self.load_config.load_format == "dummy":
             params = self.model.init_params(
                 jax.random.PRNGKey(self.model_config.seed))
+        elif self.load_config.load_format == "nmv":
+            # fast reload of a previously saved canonical tree (the
+            # reference's ShardedStateLoader role, loader.py:446: skip HF
+            # name mapping / transposes / quant repacking entirely)
+            import orbax.checkpoint as ocp
+            import os
+            path = os.path.join(os.path.abspath(self.model_config.model),
+                                "nmv_state")
+            params = ocp.StandardCheckpointer().restore(path)
         else:
             params = self.model.load_params(self.model_config.model)
         params = self._maybe_inject_kv_scales(params)
@@ -120,6 +129,17 @@ class TPUModelRunner:
                 self.lora_config, self.model,
                 dtype=jnp.dtype(self.model_config.dtype))
         logger.info("Model loaded in %.2fs", time.time() - t0)
+
+    def save_state(self, model_dir: str) -> None:
+        """Save the CANONICAL device param tree for fast reload with
+        --load-format nmv (reference save_sharded_state,
+        model_runner.py:304; orbax shards large arrays on disk)."""
+        import orbax.checkpoint as ocp
+        import os
+        path = os.path.join(os.path.abspath(model_dir), "nmv_state")
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, self.params, force=True)
+        ckptr.wait_until_finished()  # the save is async
 
     def _maybe_inject_kv_scales(self, params):
         """Per-layer FP8 KV scales from --quantization-param-path JSON
@@ -946,6 +966,10 @@ class TPUModelRunner:
 
         from neural_magic_vllm_tpu.spec_decode import (
             rejection_sample_greedy, rejection_sample_onehot)
+        from neural_magic_vllm_tpu.spec_decode.rejection import \
+            typical_acceptance
+        use_typical = (self.speculative_config.draft_token_acceptance_method
+                       == "typical_acceptance_sampler")
         accepted: List[List[int]] = []
         chosen_lp: List[List[float]] = []
         for i, (sgm, seq_id) in enumerate(rows):
@@ -954,6 +978,8 @@ class TPUModelRunner:
             lg = logits_np[i * S:i * S + len(prop) + 1]
             if sp.temperature < _SAMPLING_EPS:
                 toks = rejection_sample_greedy(lg, prop)
+            elif use_typical:
+                toks = typical_acceptance(lg, prop, sp.temperature)
             else:
                 seed_key = self._seq_key(sgm, seq_id)
                 data = sgm.seq_data[seq_id]

@@ -132,6 +132,9 @@ class Worker:
         return self.model_runner.execute_model(req.seq_group_metadata_list,
                                                self.cache_engine)
 
+    def save_state(self, model_dir: str) -> None:
+        self.model_runner.save_state(model_dir)
+
     def add_lora(self, lora_request) -> bool:
         mgr = self.model_runner.lora_manager
         return mgr.add_lora(lora_request) if mgr else False
