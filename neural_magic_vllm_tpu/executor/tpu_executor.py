@@ -41,6 +41,14 @@ class TPUExecutor(ExecutorAsyncBase):
                  lora_config=None, speculative_config=None) -> None:
         self.parallel_config = parallel_config
         self.mesh = build_mesh(parallel_config)
+        if self.mesh is not None:
+            # GSPMD cannot partition pallas_call: under a multi-chip mesh
+            # the XLA reference ops (fully partitionable) are used unless
+            # explicitly overridden. shard_map-wrapped kernels are the
+            # planned upgrade path.
+            import os
+            os.environ.setdefault("NMV_TPU_ATTENTION_BACKEND", "jnp")
+            os.environ.setdefault("NMV_TPU_QUANT_BACKEND", "ref")
         self.driver_worker = Worker(model_config, cache_config,
                                     scheduler_config, parallel_config,
                                     device_config, load_config,

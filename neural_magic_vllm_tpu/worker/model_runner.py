@@ -73,7 +73,28 @@ class TPUModelRunner:
         self.lora_config = lora_config
         self.lora_manager = None
         self._spec_proposer = None
+        self.draft_model = None
+        self.draft_model_config = None
+        self.draft_params = None
+        self.draft_cache_engine = None
+        self._draft_seen: Dict[int, int] = {}
+        self._spec_fn = None
         if speculative_config is not None and speculative_config.enabled \
+                and speculative_config.speculative_model:
+            from neural_magic_vllm_tpu.config import ModelConfig
+            from neural_magic_vllm_tpu.spec_decode.metrics import \
+                SpecDecodeWorkerMetrics
+            self.draft_model_config = ModelConfig(
+                model=speculative_config.speculative_model,
+                dtype=model_config.dtype,
+                max_model_len=model_config.max_model_len,
+                skip_tokenizer_init=True)
+            arch_d = getattr(self.draft_model_config.hf_config,
+                             "architectures", ["LlamaForCausalLM"])
+            self.draft_model = get_model_class(arch_d)(
+                self.draft_model_config, parallel_config)
+            self._spec_metrics = SpecDecodeWorkerMetrics()
+        elif speculative_config is not None and speculative_config.enabled \
                 and speculative_config.ngram_prompt_lookup_max > 0:
             from neural_magic_vllm_tpu.spec_decode import NGramProposer
             from neural_magic_vllm_tpu.spec_decode.metrics import \
@@ -122,6 +143,14 @@ class TPUModelRunner:
             params = self.model.load_params(self.model_config.model)
         params = self._maybe_inject_kv_scales(params)
         self.params = self._shard_params(params)
+        if self.draft_model is not None:
+            if self.load_config.load_format == "dummy":
+                dparams = self.draft_model.init_params(
+                    jax.random.PRNGKey(self.model_config.seed + 1))
+            else:
+                dparams = self.draft_model.load_params(
+                    self.draft_model_config.model)
+            self.draft_params = self._shard_params(dparams)
         if self.lora_config is not None:
             from neural_magic_vllm_tpu.lora.worker_manager import \
                 WorkerLoRAManager
@@ -220,6 +249,17 @@ class TPUModelRunner:
                 out = sample(logits, _fold_position(samp, pos_sel),
                              max_logprobs=num_logprobs)
                 return new_caches, out
+
+            jfn = jax.jit(fn, donate_argnums=(1, ))
+
+        elif kind == "draft_prefill":
+            # mirror a prompt into the draft model's KV cache (no sampling)
+            draft = self.draft_model
+
+            def fn(dparams, draft_kv, tokens, positions, meta):
+                _, new_kv = draft.forward(dparams, tokens, positions,
+                                          draft_kv, meta, is_prefill=True)
+                return new_kv
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
@@ -571,6 +611,15 @@ class TPUModelRunner:
                 _needs_host_sampling(m.sampling_params)
                 for _, m in decodes))
 
+        if self.draft_model is not None and all_single_decode and \
+                not any(self._needs_full_sampling(m.sampling_params)
+                        for _, m in decodes):
+            sc = self.speculative_config
+            disable_bs = sc.speculative_disable_by_batch_size
+            if disable_bs is None or len(decodes) < disable_bs:
+                return self._execute_decode_spec_draft(
+                    [m for _, m in decodes], cache_engine)
+
         if self._spec_proposer is not None and all_single_decode:
             sc = self.speculative_config
             disable_bs = sc.speculative_disable_by_batch_size
@@ -661,6 +710,14 @@ class TPUModelRunner:
             seq_ids=jnp.asarray(seq_ids),
             q_pos=jnp.asarray(positions))
 
+        if self.draft_model is not None:
+            fn_d = self._get_fn("draft_prefill", 0)
+            self.draft_cache_engine.kv_caches = fn_d(
+                self.draft_params, self.draft_cache_engine.kv_caches,
+                jnp.asarray(tokens), jnp.asarray(positions), meta)
+            for sgm, sid in rows:
+                self._draft_seen[sid] = sgm.seq_data[sid].get_len()
+
         any_logprobs = any((sgm.sampling_params.logprobs or 0) > 0
                            for sgm, _ in rows)
         nlp = self.max_logprobs if any_logprobs else 0
@@ -742,6 +799,10 @@ class TPUModelRunner:
             block_tables=jnp.asarray(
                 self._block_table_row(table, width)[None, :]),
             context_lens=jnp.asarray([start], np.int32))
+
+        if self.draft_model is not None:
+            self._draft_prefill(jnp.asarray(tokens), jnp.asarray(positions),
+                                meta, self.draft_cache_engine, seq_id, end)
 
         num_logprobs = sp.logprobs or 0
         want_prompt_lp = sp.prompt_logprobs is not None
@@ -901,6 +962,112 @@ class TPUModelRunner:
         return outputs
 
     # --- speculative decode ---------------------------------------------------
+    @staticmethod
+    def _needs_full_sampling(sp: SamplingParams) -> bool:
+        """Draft-model verification applies plain temperature softmax in
+        graph; rows needing top-k/p/min-p fall back to regular decode."""
+        V_off = sp.top_k <= 0
+        return ((not V_off and sp.top_k < 2**30) or sp.top_p < 1.0
+                or sp.min_p > 0.0)
+
+    def _draft_prefill(self, tokens, positions, meta, draft_cache_engine,
+                       seq_id: int, prompt_len: int) -> None:
+        """Mirror a prompt into the draft model's KV cache (the
+        MultiStepWorker's first pass, reference multi_step_worker.py)."""
+        fn = self._get_fn("draft_prefill", 0)
+        new_kv = fn(self.draft_params, draft_cache_engine.kv_caches,
+                    tokens, positions, meta)
+        draft_cache_engine.kv_caches = new_kv
+        self._draft_seen[seq_id] = prompt_len
+
+    def _execute_decode_spec_draft(self, sgms: List[SequenceGroupMetadata],
+                                   cache_engine: CacheEngine
+                                   ) -> List[SamplerOutput]:
+        """One fused draft-propose + target-verify + rejection dispatch
+        (spec_decode/draft_model.py)."""
+        k = self.speculative_config.num_speculative_tokens
+        dce = self.draft_cache_engine
+        rows = [(sgm, next(iter(sgm.seq_data))) for sgm in sgms]
+        B = len(rows)
+        b_pad = self.scheduler_config.pad_decode_batch(B)
+
+        last_tokens = np.zeros((b_pad, ), np.int32)
+        positions = np.zeros((b_pad, ), np.int32)
+        valid = np.zeros((b_pad, ), np.bool_)
+        width = self._table_width(
+            [sgm.block_tables[sid] for sgm, sid in rows])
+        tables = np.zeros((b_pad, width), np.int32)
+        cu_tok = np.zeros((b_pad, k), np.int32)
+        cu_pos = np.zeros((b_pad, k), np.int32)
+        cu_valid = np.zeros((b_pad, k), np.bool_)
+        for i, (sgm, seq_id) in enumerate(rows):
+            data = sgm.seq_data[seq_id]
+            L = data.get_len()
+            last_tokens[i] = data.get_last_token_id()
+            positions[i] = L - 1
+            valid[i] = True
+            tables[i] = self._block_table_row(sgm.block_tables[seq_id],
+                                              width)
+            seen = self._draft_seen.get(seq_id, 0)
+            ids = data.get_token_ids()
+            if (L - 1) - seen > k:
+                # draft cache too stale to catch up in one fused step
+                # (shouldn't happen outside exotic preemption interleavings)
+                return [SamplerOutput(
+                    outputs=self._execute_decode(sgms, cache_engine))]
+            for j, idx in enumerate(range(seen, L - 1)):
+                cu_tok[i, j] = ids[idx]
+                cu_pos[i, j] = idx
+                cu_valid[i, j] = True
+
+        if self._spec_fn is None:
+            from neural_magic_vllm_tpu.spec_decode.draft_model import \
+                build_spec_step
+            self._spec_fn = jax.jit(
+                build_spec_step(self.model, self.draft_model,
+                                self.block_size, k),
+                donate_argnums=(2, 3))
+        pad_rows = rows + [rows[-1]] * (b_pad - B)
+        samp = self._samp_tensors(pad_rows)
+        new_kv, new_dkv, out_tokens, n_out, chosen_lp = self._spec_fn(
+            self.params, self.draft_params, cache_engine.kv_caches,
+            dce.kv_caches, jnp.asarray(cu_tok), jnp.asarray(cu_pos),
+            jnp.asarray(cu_valid), jnp.asarray(last_tokens),
+            jnp.asarray(positions), jnp.asarray(tables),
+            jnp.asarray(valid), samp.temperature, samp.keys)
+        cache_engine.kv_caches = new_kv
+        dce.kv_caches = new_dkv
+        out_tokens = np.asarray(out_tokens)
+        n_out = np.asarray(n_out)
+        chosen_lp = np.asarray(chosen_lp)
+
+        self._spec_metrics.num_steps += 1
+        for i, (sgm, seq_id) in enumerate(rows):
+            self._spec_metrics.num_spec_tokens += k
+            self._spec_metrics.accepted_tokens += int(n_out[i]) - 1
+            self._spec_metrics.emitted_tokens += int(n_out[i])
+            L = sgm.seq_data[seq_id].get_len()
+            # valid draft KV extends through index L + accepted - 1;
+            # first unfed index = L + accepted
+            self._draft_seen[seq_id] = L + int(n_out[i]) - 1
+
+        max_len = int(n_out[:B].max())
+        outputs: List[SamplerOutput] = []
+        for step in range(max_len):
+            group_outputs = []
+            for i, (sgm, seq_id) in enumerate(rows):
+                if step < int(n_out[i]):
+                    tok = int(out_tokens[i, step])
+                    lp = {tok: Logprob(float(chosen_lp[i, step]))}
+                    group_outputs.append(CompletionSequenceGroupOutput(
+                        samples=[SequenceOutput(seq_id, tok, lp)]))
+                else:
+                    group_outputs.append(
+                        CompletionSequenceGroupOutput(samples=[]))
+            outputs.append(SamplerOutput(outputs=group_outputs))
+        outputs[0].spec_decode_worker_metrics = self._spec_metrics
+        return outputs
+
     def _execute_decode_spec(self, sgms: List[SequenceGroupMetadata],
                              cache_engine: CacheEngine
                              ) -> List[SamplerOutput]:

@@ -58,12 +58,22 @@ class Worker:
     def _block_bytes(self) -> int:
         kv_dtype = get_kv_cache_dtype(self.cache_config.cache_dtype,
                                       self.model_config.dtype)
-        return kv_cache_bytes_per_block(
+        total = kv_cache_bytes_per_block(
             self.cache_config.block_size,
             self.model_config.get_num_kv_heads(self.parallel_config),
             self.model_config.get_head_size(),
             self.model_config.get_num_layers(self.parallel_config),
             kv_dtype)
+        dmc = self.model_runner.draft_model_config
+        if dmc is not None:
+            # the draft cache shares block NUMBERS with the target's tables,
+            # so it is sized with the same block count
+            total += kv_cache_bytes_per_block(
+                self.cache_config.block_size,
+                dmc.get_num_kv_heads(self.parallel_config),
+                dmc.get_head_size(),
+                dmc.get_num_layers(self.parallel_config), kv_dtype)
+        return total
 
     def determine_num_available_blocks(self) -> Tuple[int, int]:
         """Profile a worst-case prefill and size the KV cache from leftover
@@ -112,6 +122,16 @@ class Worker:
             num_cpu_blocks=num_cpu_blocks,
             kv_dtype=kv_dtype,
             sharding=self.model_runner.kv_sharding())
+        dmc = self.model_runner.draft_model_config
+        if dmc is not None:
+            self.model_runner.draft_cache_engine = CacheEngine(
+                num_layers=dmc.get_num_layers(self.parallel_config),
+                num_kv_heads=dmc.get_num_kv_heads(self.parallel_config),
+                head_dim=dmc.get_head_size(),
+                block_size=self.cache_config.block_size,
+                num_device_blocks=num_gpu_blocks,
+                num_cpu_blocks=0, kv_dtype=kv_dtype,
+                sharding=self.model_runner.kv_sharding())
         warm = not self.model_config.enforce_eager
         if warm and jax.default_backend() in ("tpu", "axon"):
             self.model_runner.warmup(self.cache_engine, full=False)
