@@ -13,7 +13,9 @@ from neural_magic_vllm_tpu.layers.norm import fused_add_rms_norm, rms_norm
 from neural_magic_vllm_tpu.models import register_model
 from neural_magic_vllm_tpu.models.llama import LlamaForCausalLM
 from neural_magic_vllm_tpu.ops.kv_cache import KVCache
-from neural_magic_vllm_tpu.ops.moe import fused_moe, topk_softmax
+from neural_magic_vllm_tpu.ops.moe import (fused_moe, fused_moe_quant,
+                                            topk_softmax)
+from neural_magic_vllm_tpu.quantization.wna16 import WNA16LinearMethod
 
 
 @register_model("MixtralForCausalLM")
@@ -25,6 +27,10 @@ class MixtralForCausalLM(LlamaForCausalLM):
         cfg = self.cfg
         self.num_experts = cfg.num_local_experts
         self.top_k = cfg.num_experts_per_tok
+        # WNA16-quantized experts stay PACKED in HBM (the mixtral_quant
+        # role) — this is what fits W4A16 8x7B checkpoints on-chip
+        self.quant_experts = isinstance(self.linear_method,
+                                        WNA16LinearMethod)
 
     def _init_layer(self, rng) -> Dict[str, Any]:
         lp = super()._init_layer(rng)
@@ -33,6 +39,22 @@ class MixtralForCausalLM(LlamaForCausalLM):
         H, I, E = self.hidden_size, self.intermediate_size, self.num_experts
         scale = 1.0 / np.sqrt(H)
         lp["router"] = rng.uniform(-scale, scale, (H, E)).astype(np.float32)
+        if self.quant_experts:
+            lm = self.linear_method
+
+            def stack(in_dim, out_dim):
+                packed = [lm.create_params(rng, in_dim, out_dim, False)
+                          for _ in range(E)]
+                return (np.stack([p["qweight"] for p in packed]),
+                        np.stack([p["scales"] for p in packed]))
+
+            gq, gs_ = stack(H, I)
+            uq, us = stack(H, I)
+            dq, ds = stack(I, H)
+            lp["experts"] = {"w_gate_q": gq, "w_gate_s": gs_,
+                             "w_up_q": uq, "w_up_s": us,
+                             "w_down_q": dq, "w_down_s": ds}
+            return lp
         lp["experts"] = {
             "w_gate": rng.uniform(-scale, scale,
                                   (E, H, I)).astype(np.float32),
@@ -49,11 +71,21 @@ class MixtralForCausalLM(LlamaForCausalLM):
         specs["router"] = P(None, None)
         # Experts TP-sharded on the intermediate axis (reference w13-column /
         # w2-row sharding, fused_moe/layer.py:77).
-        specs["experts"] = {
-            "w_gate": P(None, None, "model"),
-            "w_up": P(None, None, "model"),
-            "w_down": P(None, "model", None),
-        }
+        if self.quant_experts:
+            specs["experts"] = {
+                "w_gate_q": P(None, None, None, "model"),
+                "w_gate_s": P(None, None, None, "model"),
+                "w_up_q": P(None, None, None, "model"),
+                "w_up_s": P(None, None, None, "model"),
+                "w_down_q": P(None, None, "model", None),
+                "w_down_s": P(None, None, "model", None),
+            }
+        else:
+            specs["experts"] = {
+                "w_gate": P(None, None, "model"),
+                "w_up": P(None, None, "model"),
+                "w_down": P(None, "model", None),
+            }
         return specs
 
     def _mlp(self, lp, x, lora_ctx=None):
@@ -61,6 +93,11 @@ class MixtralForCausalLM(LlamaForCausalLM):
         router_logits = jnp.dot(x, lp["router"],
                                 preferred_element_type=jnp.float32)
         weights, ids = topk_softmax(router_logits, self.top_k)
+        if self.quant_experts:
+            lm = self.linear_method
+            return fused_moe_quant(x, lp["experts"], weights, ids,
+                                   bits=lm.bits,
+                                   group_size=lm.group_size)
         return fused_moe(x, lp["experts"]["w_gate"], lp["experts"]["w_up"],
                          lp["experts"]["w_down"], weights, ids)
 
@@ -79,16 +116,43 @@ class MixtralForCausalLM(LlamaForCausalLM):
         if "block_sparse_moe.experts" in name:
             eidx = int(parts[5])
             wname = parts[6]  # w1 (gate), w2 (down), w3 (up)
+            kind = parts[7] if len(parts) > 7 else "weight"
             raw = layer.setdefault("_raw_experts", {})
-            raw.setdefault(wname, [None] * self.num_experts)[eidx] = w
+            if self.quant_experts:
+                # mixtral_quant checkpoints: experts.{i}.w1.qweight etc.
+                slot = raw.setdefault(wname,
+                                      [dict()
+                                       for _ in range(self.num_experts)])
+                slot[eidx][kind] = w
+            else:
+                raw.setdefault(wname,
+                               [None] * self.num_experts)[eidx] = w
             return True
         return False
 
     def _finalize_layers(self, layers) -> None:
         super()._finalize_layers(layers)  # attention linears (quant seam)
+        lm = self.linear_method
         for layer in layers:
             raw = layer.pop("_raw_experts", None)
             if raw is None:
+                continue
+            if self.quant_experts:
+                def stack_q(slots):
+                    conv = [lm.convert_hf(r) for r in slots]
+                    assert all("zeros" not in c for c in conv), \
+                        "asymmetric quantized MoE experts not supported"
+                    assert all("input_perm" not in c for c in conv), \
+                        "act-order quantized MoE experts not supported"
+                    return (np.stack([c["qweight"] for c in conv]),
+                            np.stack([c["scales"] for c in conv]))
+
+                gq, gs_ = stack_q(raw["w1"])
+                uq, us = stack_q(raw["w3"])
+                dq, ds = stack_q(raw["w2"])
+                layer["experts"] = {"w_gate_q": gq, "w_gate_s": gs_,
+                                    "w_up_q": uq, "w_up_s": us,
+                                    "w_down_q": dq, "w_down_s": ds}
                 continue
             # HF stores [out, in]; stack then transpose to [E, in, out].
             layer["experts"] = {

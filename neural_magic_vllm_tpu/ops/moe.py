@@ -122,3 +122,37 @@ def fused_moe(x, w_gate, w_up, w_down, topk_weights, topk_ids):
         return fused_moe_dense(x, w_gate, w_up, w_down, topk_weights,
                                topk_ids)
     return fused_moe_ragged(x, w_gate, w_up, w_down, topk_weights, topk_ids)
+
+
+def dequant_expert_weights(qweight: jax.Array,  # [E, K//pf, N] int32
+                           scales: jax.Array,   # [E, G, N] f32
+                           bits: int, k_tile: int, k: int, group_size: int,
+                           out_dtype) -> jax.Array:
+    """Packed expert stacks -> dense [E, K, N] (vmapped ops/quant
+    dequant; the mixtral_quant role). The dense tensor exists only inside
+    the step executable — HBM holds the packed form, which is what lets
+    W4A16 MoE checkpoints fit on-chip."""
+    from neural_magic_vllm_tpu.ops.quant import dequant_weight
+
+    def one(qw, s):
+        return dequant_weight(qw, s, None, bits, k_tile, k, group_size,
+                              out_dtype)
+
+    return jax.vmap(one)(qweight, scales)
+
+
+def fused_moe_quant(x, experts: dict, topk_weights, topk_ids, *, bits: int,
+                    group_size: int):
+    """fused_moe over WNA16-packed expert weights."""
+    from neural_magic_vllm_tpu.ops.quant import select_k_tile
+    H = x.shape[1]
+    kt_h = select_k_tile(H, group_size, bits)
+    wg = dequant_expert_weights(experts["w_gate_q"], experts["w_gate_s"],
+                                bits, kt_h, H, group_size, x.dtype)
+    wu = dequant_expert_weights(experts["w_up_q"], experts["w_up_s"],
+                                bits, kt_h, H, group_size, x.dtype)
+    I = wg.shape[2]
+    kt_i = select_k_tile(I, group_size, bits)
+    wd = dequant_expert_weights(experts["w_down_q"], experts["w_down_s"],
+                                bits, kt_i, I, group_size, x.dtype)
+    return fused_moe(x, wg, wu, wd, topk_weights, topk_ids)

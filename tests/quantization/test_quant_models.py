@@ -60,3 +60,21 @@ def test_quant_config_detection(quant_and_dense_dirs):
     qc = create_quant_config(mc)
     assert isinstance(qc, GPTQConfig)
     assert qc.bits == 4 and qc.group_size == 32
+
+
+def test_gptq_mixtral_experts_match_dense(tmp_path):
+    """W4A16 Mixtral: quantized experts (packed-in-HBM, mixtral_quant role)
+    through the engine == exactly-dequantized dense twin."""
+    from tests.utils import (create_tiny_mixtral_checkpoint,
+                             quantize_llama_checkpoint_gptq)
+    src = str(tmp_path / "src")
+    create_tiny_mixtral_checkpoint(src, hidden_size=64, intermediate_size=128,
+                                   num_hidden_layers=2, num_local_experts=4,
+                                   num_experts_per_tok=2)
+    quant_dir, dense_dir = str(tmp_path / "gptq"), str(tmp_path / "dense")
+    quantize_llama_checkpoint_gptq(
+        src, quant_dir, dense_dir, bits=4, group_size=32,
+        extra_suffixes=("w1.weight", "w2.weight", "w3.weight"))
+    quant_tokens = _greedy(quant_dir)
+    dense_tokens = _greedy(dense_dir)
+    assert quant_tokens == dense_tokens

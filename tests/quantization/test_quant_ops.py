@@ -160,3 +160,41 @@ def test_int8_quant_and_mm():
     xq, s = scaled_int8_quant(x)
     back = np.asarray(xq, np.float32) * float(s)
     assert np.abs(back - np.asarray(x)).max() <= float(s) * 0.51
+
+
+def test_fused_moe_quant_vs_dense():
+    """fused_moe over WNA16-packed expert stacks == fused_moe over the
+    exactly-dequantized dense experts (reference fused_moe quantized-method
+    seam, fused_moe/layer.py:36)."""
+    from neural_magic_vllm_tpu.ops.moe import (fused_moe, fused_moe_quant,
+                                               topk_softmax)
+    from neural_magic_vllm_tpu.ops.quant import pack_int_tiled, select_k_tile
+
+    rng = np.random.default_rng(11)
+    E, H, I, T, topk, bits, gs = 4, 128, 256, 16, 2, 4, 64
+    sym_z = float(1 << (bits - 1))
+
+    def make(k, n):
+        G = k // gs
+        q = rng.integers(0, 2**bits, (E, k, n)).astype(np.uint32)
+        scales = (rng.uniform(0.5, 1.5, (E, G, n)) * 0.02).astype(np.float32)
+        dense = ((q.reshape(E, G, gs, n) - sym_z) *
+                 scales.reshape(E, G, 1, n)).reshape(E, k, n)
+        kt = select_k_tile(k, gs, bits)
+        packed = np.stack([pack_int_tiled(q[e], bits, kt) for e in range(E)])
+        return jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(dense)
+
+    gq, gs_a, gd = make(H, I)
+    uq, us, ud = make(H, I)
+    dq, ds, dd = make(I, H)
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.float32)
+    logits = jnp.asarray(rng.standard_normal((T, E)), jnp.float32)
+    weights, ids = topk_softmax(logits, topk)
+
+    experts = {"w_gate_q": gq, "w_gate_s": gs_a, "w_up_q": uq, "w_up_s": us,
+               "w_down_q": dq, "w_down_s": ds}
+    out_q = fused_moe_quant(x, experts, weights, ids, bits=bits,
+                            group_size=gs)
+    out_d = fused_moe(x, gd, ud, dd, weights, ids)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_d),
+                               rtol=2e-2, atol=2e-3)

@@ -85,6 +85,46 @@ def create_tiny_llama_checkpoint(
     return save_dir
 
 
+def create_tiny_mixtral_checkpoint(
+    save_dir: str,
+    *,
+    vocab_size: int = 512,
+    hidden_size: int = 64,
+    intermediate_size: int = 128,
+    num_hidden_layers: int = 2,
+    num_attention_heads: int = 4,
+    num_key_value_heads: int = 2,
+    num_local_experts: int = 4,
+    num_experts_per_tok: int = 2,
+    seed: int = 0,
+) -> str:
+    """Create and save a tiny random MixtralForCausalLM + byte tokenizer."""
+    import torch
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(seed)
+    cfg = MixtralConfig(
+        vocab_size=vocab_size,
+        hidden_size=hidden_size,
+        intermediate_size=intermediate_size,
+        num_hidden_layers=num_hidden_layers,
+        num_attention_heads=num_attention_heads,
+        num_key_value_heads=num_key_value_heads,
+        num_local_experts=num_local_experts,
+        num_experts_per_tok=num_experts_per_tok,
+        max_position_embeddings=512,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        torch_dtype="float32",
+    )
+    model = MixtralForCausalLM(cfg).to(torch.float32)
+    os.makedirs(save_dir, exist_ok=True)
+    model.save_pretrained(save_dir, safe_serialization=True)
+    create_tiny_tokenizer(save_dir, vocab_size=vocab_size)
+    return save_dir
+
+
 def hf_greedy_generate(model_dir: str, prompt_token_ids, max_new_tokens: int):
     """HF transformers golden: greedy generation returning token ids."""
     import torch
@@ -123,7 +163,8 @@ def hf_forward_logits(model_dir: str, token_ids):
 def quantize_llama_checkpoint_gptq(src_dir: str, quant_dir: str,
                                    dense_dir: str, *, bits: int = 4,
                                    group_size: int = 32,
-                                   asym: bool = False) -> None:
+                                   asym: bool = False,
+                                   extra_suffixes: tuple = ()) -> None:
     """Quantize a dense Llama checkpoint's linear weights to GPTQ format
     (qweight/qzeros/scales words), writing BOTH the quantized checkpoint and
     its exactly-dequantized dense twin — greedy decode through the engine
@@ -142,7 +183,7 @@ def quantize_llama_checkpoint_gptq(src_dir: str, quant_dir: str,
 
     linear_suffixes = ("q_proj.weight", "k_proj.weight", "v_proj.weight",
                        "o_proj.weight", "gate_proj.weight", "up_proj.weight",
-                       "down_proj.weight")
+                       "down_proj.weight") + tuple(extra_suffixes)
     rng = np.random.default_rng(7)
     quant_out, dense_out = {}, {}
     for name, w in tensors.items():
