@@ -777,6 +777,8 @@ class Scheduler:
                     computed_block_nums=common_computed_block_nums,
                     pooling_params=getattr(seq_group, "pooling_params",
                                            None),
+                    multi_modal_data=getattr(seq_group, "multi_modal_data",
+                                             None) if is_prompt else None,
                 ))
 
         # Prefix blocks just scheduled are computed once this batch runs.

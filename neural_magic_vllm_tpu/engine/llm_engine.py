@@ -146,6 +146,7 @@ class LLMEngine:
         lora_request=None,
         trace_headers: Optional[Dict[str, str]] = None,
         pooling_params=None,
+        multi_modal_data=None,
     ) -> None:
         if pooling_params is not None:
             sampling_params = None
@@ -157,6 +158,21 @@ class LLMEngine:
             prompt, prompt_token_ids,
             sampling_params.truncate_prompt_tokens
             if sampling_params else None)
+        if multi_modal_data is not None:
+            # Map raw images to model tensors and expand each prompt
+            # placeholder into a patch-token run (reference
+            # MultiModalRegistry + input processor, multimodal/registry.py).
+            from neural_magic_vllm_tpu.multimodal import MULTIMODAL_REGISTRY
+            hf_config = self.model_config.hf_config
+            if not MULTIMODAL_REGISTRY.supports(hf_config):
+                raise ValueError(
+                    f"Model {self.model_config.model!r} does not accept "
+                    "multi_modal_data.")
+            multi_modal_data = MULTIMODAL_REGISTRY.map_input(
+                hf_config, multi_modal_data)
+            prompt_token_ids, _ = MULTIMODAL_REGISTRY.expand_placeholders(
+                hf_config, prompt_token_ids,
+                multi_modal_data["pixel_values"].shape[0])
         if len(prompt_token_ids) >= self.model_config.max_model_len:
             raise ValueError(
                 f"Prompt length ({len(prompt_token_ids)}) is at or over the "
@@ -175,19 +191,28 @@ class LLMEngine:
         if self.tokenizer is not None and hasattr(
                 self.tokenizer, "eos_token_id"):
             pass
+        mm_hash = 0
+        if multi_modal_data is not None:
+            import hashlib
+            mm_hash = int.from_bytes(
+                hashlib.sha256(
+                    multi_modal_data["pixel_values"].tobytes()).digest()[:8],
+                "little")
         seq = Sequence(seq_id=next(self.seq_counter),
                        prompt=prompt,
                        prompt_token_ids=prompt_token_ids,
                        block_size=self.cache_config.block_size,
                        eos_token_id=eos,
-                       lora_request=lora_request)
+                       lora_request=lora_request,
+                       mm_hash=mm_hash)
         seq_group = SequenceGroup(request_id=request_id,
                                   seqs=[seq],
                                   sampling_params=sampling_params,
                                   arrival_time=arrival_time,
                                   lora_request=lora_request,
                                   trace_headers=trace_headers,
-                                  pooling_params=pooling_params)
+                                  pooling_params=pooling_params,
+                                  multi_modal_data=multi_modal_data)
         self.scheduler.add_seq_group(seq_group)
 
     def abort_request(self, request_id: Union[str, Iterable[str]]) -> None:

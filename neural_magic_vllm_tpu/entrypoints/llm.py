@@ -78,6 +78,7 @@ class LLM:
         prompt_token_ids: Optional[List[List[int]]] = None,
         use_tqdm: bool = True,
         lora_request=None,
+        multi_modal_data=None,
     ) -> List[RequestOutput]:
         if prompts is None and prompt_token_ids is None:
             raise ValueError("Either prompts or prompt_token_ids must be "
@@ -93,6 +94,9 @@ class LLM:
         if len(sampling_params) != num_requests:
             raise ValueError(
                 "sampling_params must match the number of prompts.")
+        if multi_modal_data is not None and \
+                not isinstance(multi_modal_data, list):
+            multi_modal_data = [multi_modal_data] * num_requests
 
         for i in range(num_requests):
             self.llm_engine.add_request(
@@ -101,7 +105,9 @@ class LLM:
                 sampling_params=sampling_params[i],
                 prompt_token_ids=(prompt_token_ids[i]
                                   if prompt_token_ids is not None else None),
-                lora_request=lora_request)
+                lora_request=lora_request,
+                multi_modal_data=(multi_modal_data[i]
+                                  if multi_modal_data is not None else None))
         return self._run_engine(use_tqdm)
 
     def encode(

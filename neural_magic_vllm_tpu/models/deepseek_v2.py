@@ -392,9 +392,10 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         return res, new_cache
 
     def forward(self, params, token_ids, positions, kv_caches, meta, *,
-                is_prefill: bool, lora=None, lora_idx=None):
+                is_prefill: bool, lora=None, lora_idx=None, mm=None):
         if lora is not None:
             raise NotImplementedError("LoRA on DeepSeek-V2 MLA")
+        assert mm is None  # text-only model
         k_stack, v_stack = kv_caches
         x = self.embed_tokens(params, token_ids)
         rope_cos, rope_sin = self.rope.precompute(positions)

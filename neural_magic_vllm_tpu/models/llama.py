@@ -326,9 +326,18 @@ class LlamaForCausalLM:
         is_prefill: bool,
         lora=None,  # {"a": {name: [L,S,in,r]}, "b": ..., "scaling": [S]}
         lora_idx=None,  # [T] int32 slot per token (0 = none)
+        mm=None,  # (flat_embeds [P, H], idx [T] int32; -1 = text slot)
     ) -> Tuple[jax.Array, KVCache]:
         k_stack, v_stack = kv_caches
         x = self.embed_tokens(params, token_ids)
+        if mm is not None:
+            # Merge image-patch embeddings (multimodal prefill): gather the
+            # per-slot patch row and select branch-free — the static-shape
+            # analogue of the reference's merge_vision_embeddings scatter
+            # (vllm/model_executor/models/llava.py).
+            flat_embeds, mm_idx = mm
+            img = jnp.take(flat_embeds, jnp.clip(mm_idx, 0), axis=0)
+            x = jnp.where((mm_idx >= 0)[:, None], img.astype(x.dtype), x)
         rope_cos, rope_sin = self.rope.precompute(positions)
 
         layer_ids = jnp.arange(self.num_layers, dtype=jnp.int32)

@@ -141,12 +141,17 @@ class Sequence:
         block_size: int,
         eos_token_id: Optional[int] = None,
         lora_request: Optional[Any] = None,
+        mm_hash: int = 0,
     ) -> None:
         self.seq_id = seq_id
         self.prompt = prompt
         self.block_size = block_size
         self.eos_token_id = eos_token_id
         self.lora_request = lora_request
+        # Content hash of any multimodal inputs: image placeholder tokens
+        # are identical across requests, so prefix-cache block hashes must
+        # mix in the image bytes or different images would share KV blocks.
+        self.mm_hash = mm_hash
         self.data = SequenceData(prompt_token_ids)
         self.output_logprobs: SampleLogprobs = []
         self.output_text = ""
@@ -161,7 +166,7 @@ class Sequence:
     def hash_of_block(self, logical_idx: int) -> int:
         num_tokens = self.num_hashed_tokens_of_block(logical_idx)
         hashed = tuple(self.data.get_token_ids()[0:num_tokens])
-        return hash((hashed, self.lora_int_id))
+        return hash((hashed, self.lora_int_id, self.mm_hash))
 
     def num_hashed_tokens_of_block(self, logical_idx: int) -> int:
         return logical_idx * self.block_size + self.block_size
@@ -245,11 +250,13 @@ class SequenceGroup:
         lora_request: Optional[Any] = None,
         trace_headers: Optional[Dict[str, str]] = None,
         pooling_params: Optional[Any] = None,
+        multi_modal_data: Optional[Dict[str, Any]] = None,
     ) -> None:
         self.request_id = request_id
         self.seqs_dict = {seq.seq_id: seq for seq in seqs}
         self.sampling_params = sampling_params
         self.pooling_params = pooling_params
+        self.multi_modal_data = multi_modal_data
         self.embeddings = None  # set for embedding requests
         self.arrival_time = arrival_time if arrival_time is not None \
             else time.time()
@@ -361,6 +368,7 @@ class SequenceGroupMetadata:
         computed_block_nums: Optional[List[int]] = None,
         lora_request: Optional[Any] = None,
         pooling_params: Optional[Any] = None,
+        multi_modal_data: Optional[Dict[str, Any]] = None,
     ) -> None:
         self.request_id = request_id
         self.is_prompt = is_prompt
@@ -371,6 +379,7 @@ class SequenceGroupMetadata:
         self.computed_block_nums = computed_block_nums
         self.lora_request = lora_request
         self.pooling_params = pooling_params
+        self.multi_modal_data = multi_modal_data
         if token_chunk_size is None:
             if is_prompt:
                 token_chunk_size = next(iter(

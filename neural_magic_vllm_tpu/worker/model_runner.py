@@ -119,6 +119,9 @@ class TPUModelRunner:
         self.model = get_model_class(arch)(model_config, parallel_config,
                                            self.quant_config)
         self.params = None
+        # request_id -> flat projected image embeddings (multimodal prefill;
+        # computed once, reused across chunked-prefill steps)
+        self._mm_cache: Dict[str, Any] = {}
         self._salt = int(np.random.default_rng(model_config.seed).integers(
             0, 2**31))
         # (kind, bucket-independent static opts) -> jitted fn
@@ -216,12 +219,13 @@ class TPUModelRunner:
         if kind == "prefill_sample":
 
             def fn(params, kv_caches, tokens, positions, meta, sample_idx,
-                   samp, lora, lora_idx):
+                   samp, lora, lora_idx, mm=None):
                 hidden, new_caches = model.forward(params, tokens, positions,
                                                    kv_caches, meta,
                                                    is_prefill=True,
                                                    lora=lora,
-                                                   lora_idx=lora_idx)
+                                                   lora_idx=lora_idx,
+                                                   mm=mm)
                 last = jax.lax.dynamic_slice_in_dim(hidden, sample_idx, 1, 0)
                 logits = model.compute_logits(params, last)
                 pos = jax.lax.dynamic_slice_in_dim(positions, sample_idx, 1,
@@ -268,12 +272,13 @@ class TPUModelRunner:
             # EmbeddingModelRunner, vllm/worker/embedding_model_runner.py)
 
             def fn(params, kv_caches, tokens, positions, meta, lora,
-                   lora_idx):
+                   lora_idx, mm=None):
                 hidden, new_caches = model.forward(params, tokens, positions,
                                                    kv_caches, meta,
                                                    is_prefill=True,
                                                    lora=lora,
-                                                   lora_idx=lora_idx)
+                                                   lora_idx=lora_idx,
+                                                   mm=mm)
                 return new_caches, hidden
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
@@ -282,16 +287,26 @@ class TPUModelRunner:
             # full-chunk logits (prompt logprobs / host sampling)
 
             def fn(params, kv_caches, tokens, positions, meta, lora,
-                   lora_idx):
+                   lora_idx, mm=None):
                 hidden, new_caches = model.forward(params, tokens, positions,
                                                    kv_caches, meta,
                                                    is_prefill=True,
                                                    lora=lora,
-                                                   lora_idx=lora_idx)
+                                                   lora_idx=lora_idx,
+                                                   mm=mm)
                 logits = model.compute_logits(params, hidden)
                 return new_caches, logits
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
+
+        elif kind == "mm_encode":
+            # vision tower + projector: ONE call per request's images,
+            # output reused across prefill chunks (models/llava.py).
+
+            def fn(params, pixel_values):
+                return model.encode_images(params, pixel_values)
+
+            jfn = jax.jit(fn)
 
         elif kind == "decode_sample":
 
@@ -660,6 +675,8 @@ class TPUModelRunner:
         hits and host-sampled requests take the single-seq path."""
         if getattr(sgm, "pooling_params", None) is not None:
             return False
+        if getattr(sgm, "multi_modal_data", None):
+            return False
         sp = sgm.sampling_params
         if sp is None or _needs_host_sampling(sp) or \
                 sp.prompt_logprobs is not None or sp.best_of > 1:
@@ -804,6 +821,11 @@ class TPUModelRunner:
             self._draft_prefill(jnp.asarray(tokens), jnp.asarray(positions),
                                 meta, self.draft_cache_engine, seq_id, end)
 
+        mm = None
+        if getattr(self.model, "is_multimodal", False) and \
+                getattr(sgm, "multi_modal_data", None):
+            mm = self._mm_args(sgm, token_ids, start, end, s_pad)
+
         num_logprobs = sp.logprobs or 0
         want_prompt_lp = sp.prompt_logprobs is not None
         # best_of > 1: parallel sampling draws best_of tokens from the
@@ -818,7 +840,7 @@ class TPUModelRunner:
             fn = self._get_fn("prefill_logits", 0)
             new_kv, logits = fn(self.params, cache_engine.kv_caches,
                                 jnp.asarray(tokens), jnp.asarray(positions),
-                                meta, lora, lidx)
+                                meta, lora, lidx, mm)
             cache_engine.kv_caches = new_kv
             logits_np = np.asarray(logits[:S], np.float32)
             prompt_lp = None
@@ -852,7 +874,7 @@ class TPUModelRunner:
         samp = self._samp_tensors([(sgm, seq_id)])
         new_kv, out = fn(self.params, cache_engine.kv_caches,
                          jnp.asarray(tokens), jnp.asarray(positions), meta,
-                         jnp.int32(S - 1), samp, lora, lidx)
+                         jnp.int32(S - 1), samp, lora, lidx, mm)
         cache_engine.kv_caches = new_kv
         if not sgm.do_sample:
             return CompletionSequenceGroupOutput(samples=[])
@@ -862,6 +884,36 @@ class TPUModelRunner:
                                 ti[0] if nlp else None, num_logprobs)
         return CompletionSequenceGroupOutput(
             samples=[SequenceOutput(seq_id, int(tid[0]), lp)])
+
+    def _mm_args(self, sgm: SequenceGroupMetadata, token_ids: List[int],
+                 start: int, end: int, s_pad: int):
+        """(flat patch embeddings, per-slot gather index) for a multimodal
+        prefill chunk. The vision tower runs ONCE per request (image count
+        padded to a pow2 bucket to bound executable count); each chunk then
+        just ships an [s_pad] int32 index — chunked prefill crosses image
+        spans for free."""
+        flat = self._mm_cache.get(sgm.request_id)
+        if flat is None:
+            pv = np.asarray(sgm.multi_modal_data["pixel_values"],
+                            np.float32)
+            N = pv.shape[0]
+            n_pad = 1 << (N - 1).bit_length()
+            if n_pad > N:
+                pv = np.concatenate(
+                    [pv, np.zeros((n_pad - N, ) + pv.shape[1:], np.float32)])
+            fn = self._get_fn("mm_encode", 0)
+            flat = fn(self.params, jnp.asarray(pv))
+            self._mm_cache[sgm.request_id] = flat
+        tok_id = self.model.image_token_id
+        is_img = np.asarray(token_ids) == tok_id
+        csum = np.cumsum(is_img) - is_img  # exclusive prefix count
+        idx = np.full((s_pad, ), -1, np.int32)
+        span = np.arange(start, end)
+        sel = is_img[span]
+        idx[:end - start][sel] = csum[span][sel]
+        if end >= len(token_ids):  # prompt fully prefetched: free the cache
+            self._mm_cache.pop(sgm.request_id, None)
+        return (flat, jnp.asarray(idx))
 
     def _execute_embedding_prefill(self, sgm: SequenceGroupMetadata,
                                    cache_engine: CacheEngine

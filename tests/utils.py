@@ -125,6 +125,53 @@ def create_tiny_mixtral_checkpoint(
     return save_dir
 
 
+def create_tiny_llava_checkpoint(
+    save_dir: str,
+    *,
+    vocab_size: int = 512,
+    hidden_size: int = 64,
+    intermediate_size: int = 128,
+    num_hidden_layers: int = 2,
+    vision_hidden_size: int = 32,
+    vision_layers: int = 2,
+    image_size: int = 28,
+    patch_size: int = 14,
+    image_token_index: int = 32,
+    seed: int = 0,
+) -> str:
+    """Create and save a tiny random LlavaForConditionalGeneration."""
+    import torch
+    from transformers import (CLIPVisionConfig, LlamaConfig, LlavaConfig,
+                              LlavaForConditionalGeneration)
+
+    torch.manual_seed(seed)
+    vc = CLIPVisionConfig(hidden_size=vision_hidden_size,
+                          intermediate_size=vision_hidden_size * 2,
+                          num_hidden_layers=vision_layers,
+                          num_attention_heads=4,
+                          image_size=image_size,
+                          patch_size=patch_size)
+    tc = LlamaConfig(vocab_size=vocab_size,
+                     hidden_size=hidden_size,
+                     intermediate_size=intermediate_size,
+                     num_hidden_layers=num_hidden_layers,
+                     num_attention_heads=4,
+                     num_key_value_heads=2,
+                     max_position_embeddings=512,
+                     rms_norm_eps=1e-5,
+                     tie_word_embeddings=False)
+    cfg = LlavaConfig(vision_config=vc, text_config=tc,
+                      image_token_index=image_token_index,
+                      vision_feature_layer=-2,
+                      vision_feature_select_strategy="default",
+                      torch_dtype="float32")
+    model = LlavaForConditionalGeneration(cfg).to(torch.float32)
+    os.makedirs(save_dir, exist_ok=True)
+    model.save_pretrained(save_dir, safe_serialization=True)
+    create_tiny_tokenizer(save_dir, vocab_size=vocab_size)
+    return save_dir
+
+
 def hf_greedy_generate(model_dir: str, prompt_token_ids, max_new_tokens: int):
     """HF transformers golden: greedy generation returning token ids."""
     import torch
