@@ -158,8 +158,23 @@ class ModelConfig:
                 parallel_config.tensor_parallel_size)
 
     def get_num_layers(self, parallel_config: "ParallelConfig") -> int:
-        total = self.hf_text_config.num_hidden_layers
+        """Number of KV-cached (attention) layers. Hybrid models like
+        Jamba interleave attention with recurrent mamba layers — only the
+        attention layers hold paged KV (reference jamba.py cache sizing)."""
+        cfg = self.hf_text_config
+        total = cfg.num_hidden_layers
+        if getattr(cfg, "attn_layer_period", None):
+            total = sum(1 for i in range(total)
+                        if i % cfg.attn_layer_period ==
+                        cfg.attn_layer_offset)
         return total // parallel_config.pipeline_parallel_size
+
+    @property
+    def is_stateful(self) -> bool:
+        """True for models carrying per-sequence recurrent state (mamba):
+        prefix caching / forking / swap are rejected for these."""
+        arch = getattr(self.hf_config, "architectures", None) or []
+        return any("Jamba" in a or "Mamba" in a for a in arch)
 
     def get_vocab_size(self) -> int:
         return self.hf_text_config.vocab_size

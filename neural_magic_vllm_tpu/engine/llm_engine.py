@@ -185,6 +185,14 @@ class LLMEngine:
                 f"logprobs={sampling_params.logprobs} > max_logprobs="
                 f"{self.model_config.max_logprobs}")
 
+        if sampling_params is not None and self.model_config.is_stateful \
+                and (sampling_params.best_of > 1
+                     or sampling_params.use_beam_search):
+            raise ValueError(
+                "Parallel sampling (best_of/n > 1) and beam search are "
+                "unsupported for stateful (mamba) models: per-sequence "
+                "recurrent state cannot be forked.")
+
         if sampling_params is not None:
             sampling_params = sampling_params.clone()
         eos = self._get_eos_token_id()

@@ -27,6 +27,9 @@ class AttentionMetadata(NamedTuple):
     # each flat token (None selects the single-sequence prefill path)
     seq_ids: Optional[jax.Array] = None
     q_pos: Optional[jax.Array] = None
+    # stateful (mamba) models only: recurrent-state slot per sequence
+    # (prefill: [1]; decode: [B], padded rows OOB -> writes dropped)
+    state_slots: Optional[jax.Array] = None
 
 
 class Attention:

@@ -26,6 +26,7 @@ def get_model_class(architectures) -> Type:
     from neural_magic_vllm_tpu.models import deepseek_v2  # noqa: F401
     from neural_magic_vllm_tpu.models import embedding  # noqa: F401
     from neural_magic_vllm_tpu.models import llava  # noqa: F401
+    from neural_magic_vllm_tpu.models import jamba  # noqa: F401
     if isinstance(architectures, str):
         architectures = [architectures]
     for arch in architectures:

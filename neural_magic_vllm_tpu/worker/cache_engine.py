@@ -79,7 +79,11 @@ class CacheEngine:
 
     def __init__(self, num_layers: int, num_kv_heads: int, head_dim: int,
                  block_size: int, num_device_blocks: int,
-                 num_cpu_blocks: int, kv_dtype, sharding=None) -> None:
+                 num_cpu_blocks: int, kv_dtype, sharding=None,
+                 extra_state=None) -> None:
+        """extra_state: optional pytree of recurrent-state arrays (mamba
+        slot state) appended to the cache pytree — donated and updated
+        in-place by every step alongside the KV stacks."""
         self.num_layers = num_layers
         self.block_size = block_size
         self.num_device_blocks = num_device_blocks
@@ -95,7 +99,8 @@ class CacheEngine:
         else:
             k = jnp.zeros(shape, dtype=self.kv_dtype)
             v = jnp.zeros(shape, dtype=self.kv_dtype)
-        self.kv_caches: KVCache = (k, v)
+        self.kv_caches = (k, v) if extra_state is None else \
+            (k, v, extra_state)
         cpu_shape = (num_cpu_blocks, num_layers, num_kv_heads, block_size,
                      head_dim)
         # numpy handles fp8/bf16 via ml_dtypes (shipped with jax)
@@ -115,7 +120,7 @@ class CacheEngine:
             src[i] = s
             dst_rows[i] = d
         src_j = jnp.asarray(src)
-        k, v = self.kv_caches
+        k, v = self.kv_caches[:2]
         k_pages = np.asarray(_gather_pages(k, src_j, n))
         v_pages = np.asarray(_gather_pages(v, src_j, n))
         self.cpu_cache[0][dst_rows] = k_pages[:len(src_dst)]
@@ -136,15 +141,19 @@ class CacheEngine:
         v_pages = np.zeros_like(k_pages)
         k_pages[:len(src_dst)] = self.cpu_cache[0][src_rows]
         v_pages[:len(src_dst)] = self.cpu_cache[1][src_rows]
-        k, v = self.kv_caches
+        k, v = self.kv_caches[:2]
         k = _scatter_pages(k, jnp.asarray(k_pages), dst_j, n)
         v = _scatter_pages(v, jnp.asarray(v_pages), dst_j, n)
-        self.kv_caches = (k, v)
+        self.kv_caches = (k, v) + self.kv_caches[2:]
 
     # --- copy (CoW) ----------------------------------------------------------
     def copy(self, src_dst: List[Tuple[int, int]]) -> None:
         if not src_dst:
             return
+        if len(self.kv_caches) > 2:
+            raise NotImplementedError(
+                "CoW block copies (forking) are unsupported for stateful "
+                "(mamba) models — recurrent state cannot be forked.")
         n = next_power_of_2(len(src_dst))
         pairs = np.full((n, 2), -1, dtype=np.int32)
         pairs[:len(src_dst)] = np.asarray(src_dst, dtype=np.int32)

@@ -122,6 +122,28 @@ class TPUModelRunner:
         # request_id -> flat projected image embeddings (multimodal prefill;
         # computed once, reused across chunked-prefill steps)
         self._mm_cache: Dict[str, Any] = {}
+        # stateful (mamba) models: seq_id -> recurrent-state slot, LRU —
+        # slots not referenced by the current step belong to finished or
+        # RECOMPUTE-preempted sequences and are safe to recycle (a fresh
+        # prefill resets its slot in-graph).
+        self.has_state = getattr(self.model, "has_state", False)
+        self.num_state_slots = scheduler_config.max_num_seqs
+        from collections import OrderedDict
+        self._state_slots: "OrderedDict[int, int]" = OrderedDict()
+        self._state_free: List[int] = list(range(self.num_state_slots))
+        if self.has_state:
+            if speculative_config is not None and speculative_config.enabled:
+                raise NotImplementedError(
+                    "speculative decoding is unsupported for stateful "
+                    "(mamba) models")
+            if scheduler_config.num_scheduler_steps > 1:
+                raise NotImplementedError(
+                    "multi-step decode is unsupported for stateful "
+                    "(mamba) models")
+            if cache_config.enable_prefix_caching:
+                raise NotImplementedError(
+                    "prefix caching is unsupported for stateful (mamba) "
+                    "models — recurrent state is not block-addressable")
         self._salt = int(np.random.default_rng(model_config.seed).integers(
             0, 2**31))
         # (kind, bucket-independent static opts) -> jitted fn
@@ -201,6 +223,28 @@ class TPUModelRunner:
         shardings = build_shardings(self.mesh, params,
                                     self.model.param_specs())
         return jax.device_put(params, shardings)
+
+    def build_state_arrays(self):
+        """Recurrent-state slot arrays for stateful models (appended to the
+        cache pytree by CacheEngine); None for stateless models."""
+        if not self.has_state:
+            return None
+        return self.model.state_arrays(self.num_state_slots)
+
+    def _state_slot(self, seq_id: int, active: set) -> int:
+        """Slot for seq_id, recycling the LRU slot of a non-active
+        sequence when full."""
+        if seq_id in self._state_slots:
+            self._state_slots.move_to_end(seq_id)
+            return self._state_slots[seq_id]
+        if self._state_free:
+            slot = self._state_free.pop()
+        else:
+            victim = next(sid for sid in self._state_slots
+                          if sid not in active)
+            slot = self._state_slots.pop(victim)
+        self._state_slots[seq_id] = slot
+        return slot
 
     def kv_sharding(self):
         """KV stacks [L, nb, kvh, bs, hd]: kv-head axis over "model"."""
@@ -428,7 +472,9 @@ class TPUModelRunner:
         meta = AttentionMetadata(
             slot_mapping=jnp.full((s, ), -1, jnp.int32),
             block_tables=jnp.zeros((1, self.max_blocks_per_seq), jnp.int32),
-            context_lens=jnp.zeros((1, ), jnp.int32))
+            context_lens=jnp.zeros((1, ), jnp.int32),
+            state_slots=jnp.full((1, ), self.num_state_slots, jnp.int32)
+            if self.has_state else None)
         fn = self._get_fn("prefill_sample", 0)
         lora, lidx = self._lora_args(None, s)
         new_kv, _ = fn(self.params, kv_caches,
@@ -468,7 +514,9 @@ class TPUModelRunner:
         meta = AttentionMetadata(
             slot_mapping=jnp.full((b, ), -1, jnp.int32),
             block_tables=jnp.zeros((b, self.max_blocks_per_seq), jnp.int32),
-            context_lens=jnp.ones((b, ), jnp.int32))
+            context_lens=jnp.ones((b, ), jnp.int32),
+            state_slots=jnp.full((b, ), self.num_state_slots, jnp.int32)
+            if self.has_state else None)
         fn = self._get_fn("decode_sample", 0)
         lora, lidx = self._lora_args(None, b)
         new_kv, _ = fn(self.params, kv_caches,
@@ -494,7 +542,8 @@ class TPUModelRunner:
                 self.parallel_config), num_kv_heads=kvh, head_dim=hd,
             block_size=self.block_size,
             num_device_blocks=cache_engine_tmp_blocks, num_cpu_blocks=0,
-            kv_dtype=kv_dtype, sharding=self.kv_sharding())
+            kv_dtype=kv_dtype, sharding=self.kv_sharding(),
+            extra_state=self.build_state_arrays())
         s = self.scheduler_config.prefill_buckets()[-1]
         kv = self._run_dummy_prefill(tmp_engine.kv_caches, s)
         jax.block_until_ready(kv)
@@ -620,6 +669,9 @@ class TPUModelRunner:
                     if m.is_prompt]
         decodes = [(i, m) for i, m in enumerate(seq_group_metadata_list)
                    if not m.is_prompt]
+        if self.has_state:
+            self._active_seq_ids = {
+                sid for m in seq_group_metadata_list for sid in m.seq_data}
 
         all_single_decode = (not prefills and decodes and all(
             len(m.seq_data) == 1 for _, m in decodes) and not any(
@@ -675,7 +727,7 @@ class TPUModelRunner:
         hits and host-sampled requests take the single-seq path."""
         if getattr(sgm, "pooling_params", None) is not None:
             return False
-        if getattr(sgm, "multi_modal_data", None):
+        if getattr(sgm, "multi_modal_data", None) or self.has_state:
             return False
         sp = sgm.sampling_params
         if sp is None or _needs_host_sampling(sp) or \
@@ -811,11 +863,16 @@ class TPUModelRunner:
         # through the table (writes go via slot_mapping).
         width = self.scheduler_config.pad_table_width(
             max(1, cdiv(start, self.block_size)), self.max_blocks_per_seq)
+        state_slots = None
+        if self.has_state:
+            state_slots = jnp.asarray(
+                [self._state_slot(seq_id, self._active_seq_ids)], np.int32)
         meta = AttentionMetadata(
             slot_mapping=jnp.asarray(slots),
             block_tables=jnp.asarray(
                 self._block_table_row(table, width)[None, :]),
-            context_lens=jnp.asarray([start], np.int32))
+            context_lens=jnp.asarray([start], np.int32),
+            state_slots=state_slots)
 
         if self.draft_model is not None:
             self._draft_prefill(jnp.asarray(tokens), jnp.asarray(positions),
@@ -1267,9 +1324,16 @@ class TPUModelRunner:
             ctx_lens[i] = seq_len
             tables[i] = self._block_table_row(table, width)
 
+        state_slots = None
+        if self.has_state:
+            ss = np.full((b_pad, ), self.num_state_slots, np.int32)  # OOB
+            for i, (sgm, seq_id) in enumerate(rows):
+                ss[i] = self._state_slot(seq_id, self._active_seq_ids)
+            state_slots = jnp.asarray(ss)
         meta = AttentionMetadata(slot_mapping=jnp.asarray(slots),
                                  block_tables=jnp.asarray(tables),
-                                 context_lens=jnp.asarray(ctx_lens))
+                                 context_lens=jnp.asarray(ctx_lens),
+                                 state_slots=state_slots)
 
         host = any(_needs_host_sampling(sgm.sampling_params)
                    for sgm, _ in rows)

@@ -121,7 +121,8 @@ class Worker:
             num_device_blocks=num_gpu_blocks,
             num_cpu_blocks=num_cpu_blocks,
             kv_dtype=kv_dtype,
-            sharding=self.model_runner.kv_sharding())
+            sharding=self.model_runner.kv_sharding(),
+            extra_state=self.model_runner.build_state_arrays())
         dmc = self.model_runner.draft_model_config
         if dmc is not None:
             self.model_runner.draft_cache_engine = CacheEngine(
@@ -141,6 +142,11 @@ class Worker:
             self,
             req: ExecuteModelRequest) -> List[SamplerOutput]:
         assert self.cache_engine is not None
+        if req.blocks_to_swap_out and \
+                getattr(self.model_runner.model, "has_state", False):
+            raise NotImplementedError(
+                "CPU swap is unsupported for stateful (mamba) models; use "
+                "RECOMPUTE preemption (--preemption-mode recompute).")
         if req.blocks_to_swap_out:
             self.cache_engine.swap_out(req.blocks_to_swap_out)
         if req.blocks_to_swap_in:

@@ -138,3 +138,77 @@ def test_llama_embedding(tmp_path, tiny_llama_dir):
             hidden = hf.model(
                 torch.tensor([prompt])).last_hidden_state[0, -1].numpy()
         np.testing.assert_allclose(emb, hidden, rtol=2e-2, atol=2e-3)
+
+
+def test_jamba(tmp_path):
+    from transformers import JambaConfig, JambaForCausalLM
+    d = _save_tiny(
+        JambaConfig, JambaForCausalLM, str(tmp_path / "jamba"),
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        mamba_d_state=8, mamba_d_conv=4, mamba_expand=2,
+        attn_layer_period=2, attn_layer_offset=1,
+        expert_layer_period=2, expert_layer_offset=1,
+        num_experts=4, num_experts_per_tok=2, use_mamba_kernels=False)
+    gen = _engine_greedy(d)
+    _check_vs_hf(d, PROMPTS, gen)
+
+
+def test_jamba_guards(tmp_path):
+    """Stateful-model restrictions reject forking and prefix caching."""
+    from transformers import JambaConfig, JambaForCausalLM
+
+    from neural_magic_vllm_tpu import LLM, SamplingParams
+    d = _save_tiny(
+        JambaConfig, JambaForCausalLM, str(tmp_path / "jamba"),
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        mamba_d_state=8, mamba_d_conv=4, mamba_expand=2,
+        attn_layer_period=2, attn_layer_offset=1,
+        expert_layer_period=2, expert_layer_offset=1,
+        num_experts=1, num_experts_per_tok=1, use_mamba_kernels=False)
+    llm = LLM(model=d, dtype="float32", max_model_len=128, block_size=16,
+              num_gpu_blocks_override=64, max_num_seqs=8,
+              enforce_eager=True, disable_log_stats=True)
+    with pytest.raises(ValueError, match="stateful"):
+        llm.generate(prompt_token_ids=[[1, 5, 9]],
+                     sampling_params=SamplingParams(n=2, temperature=0.8,
+                                                    max_tokens=4),
+                     use_tqdm=False)
+    with pytest.raises(NotImplementedError, match="prefix caching"):
+        LLM(model=d, dtype="float32", max_model_len=128, block_size=16,
+            num_gpu_blocks_override=64, max_num_seqs=8, enforce_eager=True,
+            enable_prefix_caching=True, disable_log_stats=True)
+
+
+def test_jamba_chunked_prefill(tmp_path):
+    """Mamba state must thread across prefill chunks: a long prompt split
+    into chunks decodes the same greedy tokens as unchunked prefill."""
+    from transformers import JambaConfig, JambaForCausalLM
+
+    from neural_magic_vllm_tpu import LLM, SamplingParams
+    d = _save_tiny(
+        JambaConfig, JambaForCausalLM, str(tmp_path / "jamba"),
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        mamba_d_state=8, mamba_d_conv=4, mamba_expand=2,
+        attn_layer_period=2, attn_layer_offset=1,
+        expert_layer_period=2, expert_layer_offset=1,
+        num_experts=4, num_experts_per_tok=2, use_mamba_kernels=False)
+    rng = np.random.default_rng(9)
+    prompts = [[1] + rng.integers(3, 500, 45).tolist(),
+               [1] + rng.integers(3, 500, 37).tolist()]
+    sp = SamplingParams(temperature=0.0, max_tokens=MAX_NEW,
+                        ignore_eos=True, detokenize=False)
+
+    def run(**kw):
+        llm = LLM(model=d, dtype="float32", max_model_len=128,
+                  block_size=16, num_gpu_blocks_override=96, max_num_seqs=8,
+                  enforce_eager=True, disable_log_stats=True, **kw)
+        outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp,
+                            use_tqdm=False)
+        return [list(o.outputs[0].token_ids) for o in outs]
+
+    plain = run()
+    chunked = run(enable_chunked_prefill=True, max_num_batched_tokens=16)
+    assert plain == chunked
