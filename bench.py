@@ -29,7 +29,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", "64"))
 DECODE_STEPS = int(os.environ.get("BENCH_DECODE_STEPS", "96"))
 HBM_BW_GBS = float(os.environ.get("BENCH_HBM_BW_GBS", "819"))
-SCHED_STEPS = int(os.environ.get("BENCH_SCHEDULER_STEPS", "8"))
+SCHED_STEPS = int(os.environ.get("BENCH_SCHEDULER_STEPS", "16"))
 
 
 def build_engine():
