@@ -16,4 +16,9 @@ def get_hf_config(model: str,
             raise RuntimeError(
                 "The model requires trust_remote_code=True; pass "
                 "--trust-remote-code.") from e
+        from neural_magic_vllm_tpu.transformers_utils.configs import \
+            maybe_custom_config
+        cfg = maybe_custom_config(model)
+        if cfg is not None:
+            return cfg
         raise

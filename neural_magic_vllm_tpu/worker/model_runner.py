@@ -79,20 +79,34 @@ class TPUModelRunner:
         self.draft_cache_engine = None
         self._draft_seen: Dict[int, int] = {}
         self._spec_fn = None
+        self.mlp_speculator = None
+        self.mlp_spec_config = None
+        self._spec_hidden: Dict[int, np.ndarray] = {}
         if speculative_config is not None and speculative_config.enabled \
                 and speculative_config.speculative_model:
             from neural_magic_vllm_tpu.config import ModelConfig
             from neural_magic_vllm_tpu.spec_decode.metrics import \
                 SpecDecodeWorkerMetrics
-            self.draft_model_config = ModelConfig(
+            spec_model_config = ModelConfig(
                 model=speculative_config.speculative_model,
                 dtype=model_config.dtype,
                 max_model_len=model_config.max_model_len,
                 skip_tokenizer_init=True)
-            arch_d = getattr(self.draft_model_config.hf_config,
-                             "architectures", ["LlamaForCausalLM"])
-            self.draft_model = get_model_class(arch_d)(
-                self.draft_model_config, parallel_config)
+            if getattr(spec_model_config.hf_config, "model_type",
+                       "") == "mlp_speculator":
+                # MLPSpeculator proposer: no draft KV cache; proposals come
+                # from the target's last hidden state (reference
+                # MLPSpeculatorWorker, spec_decode/mlp_speculator_worker.py)
+                from neural_magic_vllm_tpu.models.mlp_speculator import \
+                    MLPSpeculator
+                self.mlp_spec_config = spec_model_config
+                self.mlp_speculator = MLPSpeculator(spec_model_config)
+            else:
+                self.draft_model_config = spec_model_config
+                arch_d = getattr(self.draft_model_config.hf_config,
+                                 "architectures", ["LlamaForCausalLM"])
+                self.draft_model = get_model_class(arch_d)(
+                    self.draft_model_config, parallel_config)
             self._spec_metrics = SpecDecodeWorkerMetrics()
         elif speculative_config is not None and speculative_config.enabled \
                 and speculative_config.ngram_prompt_lookup_max > 0:
@@ -176,6 +190,14 @@ class TPUModelRunner:
                 dparams = self.draft_model.load_params(
                     self.draft_model_config.model)
             self.draft_params = self._shard_params(dparams)
+        if self.mlp_speculator is not None:
+            if self.load_config.load_format == "dummy":
+                sparams = self.mlp_speculator.init_params(
+                    jax.random.PRNGKey(self.model_config.seed + 1))
+            else:
+                sparams = self.mlp_speculator.load_params(
+                    self.mlp_spec_config.model)
+            self.mlp_spec_params = jax.device_put(sparams)
         if self.lora_config is not None:
             from neural_magic_vllm_tpu.lora.worker_manager import \
                 WorkerLoRAManager
@@ -416,6 +438,32 @@ class TPUModelRunner:
                 return new_caches, logits
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
+
+        elif kind == "decode_logits_hidden":
+            # logits + raw hidden states (MLPSpeculator verification:
+            # proposals for the NEXT step condition on the hidden state of
+            # the last accepted row)
+
+            def fn(params, kv_caches, tokens, positions, meta, lora,
+                   lora_idx):
+                hidden, new_caches = model.forward(params, tokens, positions,
+                                                   kv_caches, meta,
+                                                   is_prefill=False,
+                                                   lora=lora,
+                                                   lora_idx=lora_idx)
+                logits = model.compute_logits(params, hidden)
+                return new_caches, (logits, hidden)
+
+            jfn = jax.jit(fn, donate_argnums=(1, ))
+
+        elif kind == "mlp_propose":
+            spec = self.mlp_speculator
+            K = num_logprobs  # reused as the proposal length
+
+            def fn(sparams, last_tokens, hidden):
+                return spec.propose(sparams, last_tokens, hidden, K)
+
+            jfn = jax.jit(fn)
         else:
             raise ValueError(kind)
         self._fns[key] = jfn
@@ -685,6 +733,15 @@ class TPUModelRunner:
             disable_bs = sc.speculative_disable_by_batch_size
             if disable_bs is None or len(decodes) < disable_bs:
                 return self._execute_decode_spec_draft(
+                    [m for _, m in decodes], cache_engine)
+
+        if self.mlp_speculator is not None and all_single_decode and \
+                not any(self._needs_full_sampling(m.sampling_params)
+                        for _, m in decodes):
+            sc = self.speculative_config
+            disable_bs = sc.speculative_disable_by_batch_size
+            if disable_bs is None or len(decodes) < disable_bs:
+                return self._execute_decode_spec_mlp(
                     [m for _, m in decodes], cache_engine)
 
         if self._spec_proposer is not None and all_single_decode:
@@ -1176,6 +1233,178 @@ class TPUModelRunner:
             outputs.append(SamplerOutput(outputs=group_outputs))
         outputs[0].spec_decode_worker_metrics = self._spec_metrics
         return outputs
+
+    def _execute_decode_spec_mlp(self, sgms: List[SequenceGroupMetadata],
+                                 cache_engine: CacheEngine
+                                 ) -> List[SamplerOutput]:
+        """MLPSpeculator step (reference MLPSpeculatorWorker): propose k
+        tokens from (last token, hidden state that sampled it) in one
+        device call, verify through the batched decode executable, accept
+        via rejection sampling on host, and carry the last accepted row's
+        hidden state for the next step's proposals. The first decode step
+        of each sequence (no hidden yet) runs unspeculated and just
+        collects its hidden state."""
+        k = min(self.speculative_config.num_speculative_tokens,
+                self.mlp_speculator.n_predict)
+        rows = [(sgm, next(iter(sgm.seq_data))) for sgm in sgms]
+        B = len(rows)
+
+        have_hidden = all(sid in self._spec_hidden for _, sid in rows)
+        if not have_hidden:
+            # unspeculated warm step: plain batch, collect hidden
+            b_pad = self.scheduler_config.pad_decode_batch(B)
+            tokens = np.zeros((b_pad, ), np.int32)
+            positions = np.zeros((b_pad, ), np.int32)
+            slots = np.full((b_pad, ), -1, np.int32)
+            ctx_lens = np.ones((b_pad, ), np.int32)
+            width = self._table_width(
+                [sgm.block_tables[sid] for sgm, sid in rows])
+            tables = np.zeros((b_pad, width), np.int32)
+            for i, (sgm, seq_id) in enumerate(rows):
+                data = sgm.seq_data[seq_id]
+                L = data.get_len()
+                tokens[i] = data.get_last_token_id()
+                positions[i] = L - 1
+                table = sgm.block_tables[seq_id]
+                slots[i] = table[(L - 1) // self.block_size] * \
+                    self.block_size + (L - 1) % self.block_size
+                ctx_lens[i] = L
+                tables[i] = self._block_table_row(table, width)
+            meta = AttentionMetadata(slot_mapping=jnp.asarray(slots),
+                                     block_tables=jnp.asarray(tables),
+                                     context_lens=jnp.asarray(ctx_lens))
+            fn = self._get_fn("decode_logits_hidden", 0)
+            lora, lidx = self._lora_args(
+                [sgm.lora_request for sgm, _ in rows], b_pad)
+            new_kv, (logits, hidden) = fn(
+                self.params, cache_engine.kv_caches, jnp.asarray(tokens),
+                jnp.asarray(positions), meta, lora, lidx)
+            cache_engine.kv_caches = new_kv
+            logits_np = np.asarray(logits[:B], np.float32)
+            hidden_np = np.asarray(hidden[:B], np.float32)
+            group_outputs = []
+            for i, (sgm, seq_id) in enumerate(rows):
+                token, lp = host_sampler.sample_row(
+                    logits_np[i], sgm.sampling_params,
+                    sgm.seq_data[seq_id].prompt_token_ids,
+                    sgm.seq_data[seq_id].output_token_ids,
+                    step_seed=sgm.seq_data[seq_id].get_len(),
+                    num_logprobs=sgm.sampling_params.logprobs or 0)
+                self._spec_hidden[seq_id] = hidden_np[i]
+                group_outputs.append(CompletionSequenceGroupOutput(
+                    samples=[SequenceOutput(seq_id, token, lp)]))
+            self._prune_spec_hidden()
+            return [SamplerOutput(outputs=group_outputs)]
+
+        # 1. proposals in one device call
+        last = np.array([sgm.seq_data[sid].get_last_token_id()
+                         for sgm, sid in rows], np.int32)
+        hid = np.stack([self._spec_hidden[sid] for _, sid in rows])
+        fnp = self._get_fn("mlp_propose", k)
+        props = np.asarray(fnp(self.mlp_spec_params, jnp.asarray(last),
+                               jnp.asarray(hid, np.float32)))  # [B, k]
+
+        # 2. batched verification (same flat layout as the ngram path)
+        S = k + 1
+        flat = B * S
+        from neural_magic_vllm_tpu.utils import round_up
+        if flat > self.scheduler_config.max_num_seqs:
+            b_pad = round_up(flat, 16)
+        else:
+            b_pad = self.scheduler_config.pad_decode_batch(flat)
+        tokens = np.zeros((b_pad, ), np.int32)
+        positions = np.zeros((b_pad, ), np.int32)
+        slots = np.full((b_pad, ), -1, np.int32)
+        ctx_lens = np.ones((b_pad, ), np.int32)
+        width = self._table_width(
+            [sgm.block_tables[sid] for sgm, sid in rows])
+        tables = np.zeros((b_pad, width), np.int32)
+        for i, (sgm, seq_id) in enumerate(rows):
+            data = sgm.seq_data[seq_id]
+            p0 = data.get_len() - 1
+            table = sgm.block_tables[seq_id]
+            row_tokens = [data.get_last_token_id()] + props[i].tolist()
+            for j, tok in enumerate(row_tokens):
+                r = i * S + j
+                pos = p0 + j
+                tokens[r] = tok
+                positions[r] = pos
+                slots[r] = table[pos // self.block_size] * self.block_size \
+                    + pos % self.block_size
+                ctx_lens[r] = pos + 1
+                tables[r] = self._block_table_row(table, width)
+        meta = AttentionMetadata(slot_mapping=jnp.asarray(slots),
+                                 block_tables=jnp.asarray(tables),
+                                 context_lens=jnp.asarray(ctx_lens))
+        fn = self._get_fn("decode_logits_hidden", 0)
+        spec_reqs = [sgm.lora_request for sgm, _ in rows for _ in range(S)]
+        lora, lidx = self._lora_args(spec_reqs, b_pad)
+        new_kv, (logits, hidden) = fn(
+            self.params, cache_engine.kv_caches, jnp.asarray(tokens),
+            jnp.asarray(positions), meta, lora, lidx)
+        cache_engine.kv_caches = new_kv
+        logits_np = np.asarray(logits[:flat], np.float32)
+        hidden_np = np.asarray(hidden[:flat], np.float32)
+
+        # 3. accept + carry hidden
+        from neural_magic_vllm_tpu.spec_decode import (
+            rejection_sample_greedy, rejection_sample_onehot)
+        from neural_magic_vllm_tpu.spec_decode.rejection import \
+            typical_acceptance
+        use_typical = (self.speculative_config.draft_token_acceptance_method
+                       == "typical_acceptance_sampler")
+        outputs_per_seq: List[List[Tuple[int, float]]] = []
+        for i, (sgm, seq_id) in enumerate(rows):
+            sp = sgm.sampling_params
+            prop = props[i].tolist()
+            lg = logits_np[i * S:(i + 1) * S]
+            if sp.temperature < _SAMPLING_EPS:
+                toks = rejection_sample_greedy(lg, prop)
+            elif use_typical:
+                toks = typical_acceptance(lg, prop, sp.temperature)
+            else:
+                seed_key = self._seq_key(sgm, seq_id)
+                rng = np.random.default_rng(
+                    [int(seed_key[0]), int(seed_key[1]),
+                     sgm.seq_data[seq_id].get_len()])
+                toks = rejection_sample_onehot(lg, prop, sp.temperature,
+                                               rng)
+            m = len(toks)
+            self._spec_hidden[seq_id] = hidden_np[i * S + m - 1]
+            lps = []
+            for j, tok in enumerate(toks):
+                row = lg[j]
+                mx = row.max()
+                lps.append(float(row[tok] - mx -
+                                 np.log(np.exp(row - mx).sum())))
+            outputs_per_seq.append(list(zip(toks, lps)))
+            self._spec_metrics.num_spec_tokens += k
+            self._spec_metrics.accepted_tokens += max(m - 1, 0)
+            self._spec_metrics.emitted_tokens += m
+        self._spec_metrics.num_steps += 1
+        self._prune_spec_hidden()
+
+        max_len = max(len(o) for o in outputs_per_seq)
+        outputs: List[SamplerOutput] = []
+        for step in range(max_len):
+            group_outputs = []
+            for i, (sgm, seq_id) in enumerate(rows):
+                if step < len(outputs_per_seq[i]):
+                    tok, lp = outputs_per_seq[i][step]
+                    group_outputs.append(CompletionSequenceGroupOutput(
+                        samples=[SequenceOutput(seq_id, tok,
+                                                {tok: Logprob(lp)})]))
+                else:
+                    group_outputs.append(
+                        CompletionSequenceGroupOutput(samples=[]))
+            outputs.append(SamplerOutput(outputs=group_outputs))
+        outputs[0].spec_decode_worker_metrics = self._spec_metrics
+        return outputs
+
+    def _prune_spec_hidden(self) -> None:
+        cap = 4 * self.scheduler_config.max_num_seqs
+        while len(self._spec_hidden) > cap:
+            self._spec_hidden.pop(next(iter(self._spec_hidden)))
 
     def _execute_decode_spec(self, sgms: List[SequenceGroupMetadata],
                              cache_engine: CacheEngine
