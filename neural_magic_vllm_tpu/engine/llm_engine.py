@@ -170,9 +170,8 @@ class LLMEngine:
                     "multi_modal_data.")
             multi_modal_data = MULTIMODAL_REGISTRY.map_input(
                 hf_config, multi_modal_data)
-            prompt_token_ids, _ = MULTIMODAL_REGISTRY.expand_placeholders(
-                hf_config, prompt_token_ids,
-                multi_modal_data["pixel_values"].shape[0])
+            prompt_token_ids = MULTIMODAL_REGISTRY.expand_placeholders(
+                hf_config, prompt_token_ids, multi_modal_data)
         if len(prompt_token_ids) >= self.model_config.max_model_len:
             raise ValueError(
                 f"Prompt length ({len(prompt_token_ids)}) is at or over the "

@@ -27,6 +27,8 @@ def get_model_class(architectures) -> Type:
     from neural_magic_vllm_tpu.models import embedding  # noqa: F401
     from neural_magic_vllm_tpu.models import llava  # noqa: F401
     from neural_magic_vllm_tpu.models import jamba  # noqa: F401
+    from neural_magic_vllm_tpu.models import llava_next  # noqa: F401
+    from neural_magic_vllm_tpu.models import mlp_speculator  # noqa: F401
     if isinstance(architectures, str):
         architectures = [architectures]
     for arch in architectures:

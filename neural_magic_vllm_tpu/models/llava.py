@@ -92,6 +92,8 @@ class LlavaForConditionalGeneration(LlamaForCausalLM):
                 self.vision.load_into(
                     v_layers, v_params,
                     name[len("vision_tower.vision_model."):], w)
+            elif name == "image_newline":  # llava_next
+                params["image_newline"] = w
             elif name.startswith("multi_modal_projector."):
                 parts = name.split(".")
                 if parts[1] in _PROJ:
@@ -110,12 +112,27 @@ class LlavaForConditionalGeneration(LlamaForCausalLM):
     # --- forward ----------------------------------------------------------------
     def encode_images(self, params: Dict[str, Any],
                       pixel_values: jax.Array) -> jax.Array:
-        """[N, 3, S, S] -> [N * tokens_per_image, H_text] projected patch
-        embeddings (flat, image-major — row i*tpi+j is patch j of image i,
-        matching the placeholder expansion order)."""
+        """[N, 3, S, S] -> [N, tokens_per_image, H_text] projected patch
+        embeddings (row-major patch order matches placeholder
+        expansion)."""
         feats = self.vision.forward(params["vision"], pixel_values)
         p = params["projector"]
         x = jnp.dot(feats, p["l1"]["w"]) + p["l1"]["b"]
         x = jax.nn.gelu(x, approximate=False)
-        x = jnp.dot(x, p["l2"]["w"]) + p["l2"]["b"]
-        return x.reshape(-1, self.hidden_size)
+        return jnp.dot(x, p["l2"]["w"]) + p["l2"]["b"]
+
+    def encode_request(self, params: Dict[str, Any],
+                       mm_data: Dict[str, Any]) -> jax.Array:
+        """All of one request's images -> flat [total_tokens, H_text]
+        (the runner caches this per request across prefill chunks)."""
+        if getattr(self, "_encode_jit", None) is None:
+            self._encode_jit = jax.jit(self.encode_images)
+        import numpy as np_
+        pv = np_.asarray(mm_data["pixel_values"], np_.float32)
+        N = pv.shape[0]
+        n_pad = 1 << (N - 1).bit_length()  # pow2 bucket bounds compiles
+        if n_pad > N:
+            pv = np_.concatenate(
+                [pv, np_.zeros((n_pad - N, ) + pv.shape[1:], np_.float32)])
+        feats = self._encode_jit(params, jnp.asarray(pv))
+        return feats[:N].reshape(-1, self.hidden_size)

@@ -76,9 +76,101 @@ def clip_image_mapper(vision_config, data: Any) -> Dict[str, np.ndarray]:
     return {"pixel_values": np.stack(out).astype(np.float32)}
 
 
+def select_best_resolution(orig_hw: Tuple[int, int],
+                           pinpoints: List[List[int]]) -> Tuple[int, int]:
+    """Best (h, w) among grid pinpoints: max effective resolution, ties by
+    min wasted area (HF select_best_resolution)."""
+    oh, ow = orig_hw
+    best, best_fit, min_waste = None, -1, float("inf")
+    for h, w in pinpoints:
+        scale = min(w / ow, h / oh)
+        dw, dh = int(ow * scale), int(oh * scale)
+        eff = min(dw * dh, ow * oh)
+        waste = w * h - eff
+        if eff > best_fit or (eff == best_fit and waste < min_waste):
+            best, best_fit, min_waste = (h, w), eff, waste
+    return best
+
+
+def _anyres_unpadded_grid(hf_config, orig_hw) -> Tuple[int, int, int, int]:
+    """(grid_h_feats, grid_w_feats, unpadded_h, unpadded_w) for one image
+    (HF get_anyres_image_grid_shape + unpad_image arithmetic)."""
+    vc = hf_config.vision_config
+    S = vc.image_size
+    side = S // vc.patch_size
+    bh, bw = select_best_resolution(tuple(orig_hw),
+                                    hf_config.image_grid_pinpoints)
+    nph, npw = bh // S, bw // S
+    cur_h, cur_w = nph * side, npw * side
+    oh, ow = orig_hw
+    if ow / oh > cur_w / cur_h:
+        new_h = int(round(oh * (cur_w / ow), 7))
+        pad = (cur_h - new_h) // 2
+        return cur_h, cur_w, cur_h - 2 * pad, cur_w
+    new_w = int(round(ow * (cur_h / oh), 7))
+    pad = (cur_w - new_w) // 2
+    return cur_h, cur_w, cur_h, cur_w - 2 * pad
+
+
+def llava_next_image_mapper(hf_config, data: Any) -> Dict[str, np.ndarray]:
+    """AnyRes tiling (HF LlavaNextImageProcessor): per image, a base
+    resize to the vision size plus S x S tiles of the best-fit padded
+    resolution. Returns pixel_values [total_crops, 3, S, S], image_sizes
+    [N, 2], crops_per_image [N]."""
+    if isinstance(data, dict):  # pre-processed passthrough
+        pv = np.asarray(data["pixel_values"], np.float32)
+        sizes = np.asarray(data["image_sizes"], np.int64).reshape(-1, 2)
+        if "crops_per_image" in data:
+            cpi = np.asarray(data["crops_per_image"], np.int64)
+        else:
+            assert sizes.shape[0] == 1, \
+                "crops_per_image required for multi-image passthrough"
+            cpi = np.asarray([pv.shape[0]], np.int64)
+        return {"pixel_values": pv, "image_sizes": sizes,
+                "crops_per_image": cpi}
+    vc = hf_config.vision_config
+    S = vc.image_size
+    crops, sizes, cpi = [], [], []
+    for img in _to_image_list(data):
+        if hasattr(img, "convert"):
+            img = np.asarray(img.convert("RGB"), np.float32)
+        img = np.asarray(img, np.float32)
+        if img.ndim == 3 and img.shape[0] == 3 and img.shape[-1] != 3:
+            img = np.transpose(img, (1, 2, 0))
+        oh, ow = img.shape[:2]
+        sizes.append((oh, ow))
+        bh, bw = select_best_resolution((oh, ow),
+                                        hf_config.image_grid_pinpoints)
+        # scale to fit, pad to (bh, bw) centered
+        scale = min(bw / ow, bh / oh)
+        nh, nw = min(bh, int(round(oh * scale))), min(
+            bw, int(round(ow * scale)))
+        scaled = _resize_bilinear(img, nh, nw)
+        padded = np.zeros((bh, bw, 3), np.float32)
+        top, left = (bh - nh) // 2, (bw - nw) // 2
+        padded[top:top + nh, left:left + nw] = scaled
+
+        def norm(x):
+            if x.max() > 1.5:
+                x = x / 255.0
+            return np.transpose((x - _CLIP_MEAN) / _CLIP_STD, (2, 0, 1))
+
+        per_img = [norm(_resize_bilinear(img, S, S))]  # base crop
+        for i in range(0, bh, S):
+            for j in range(0, bw, S):
+                per_img.append(norm(padded[i:i + S, j:j + S]))
+        crops.extend(per_img)
+        cpi.append(len(per_img))
+    return {"pixel_values": np.stack(crops).astype(np.float32),
+            "image_sizes": np.asarray(sizes, np.int64),
+            "crops_per_image": np.asarray(cpi, np.int64)}
+
+
 class MultiModalRegistry:
     """Maps raw per-request multimodal data to model input tensors and
     expands prompt placeholders to patch-token runs."""
+
+    _ANYRES_ARCHS = ("LlavaNextForConditionalGeneration", )
 
     def __init__(self) -> None:
         self._mappers: Dict[str, Callable] = {}
@@ -91,15 +183,26 @@ class MultiModalRegistry:
         return hasattr(hf_config, "vision_config") and \
             hasattr(hf_config, "image_token_index")
 
+    @staticmethod
+    def _arch(hf_config) -> str:
+        return (getattr(hf_config, "architectures", None) or [""])[0]
+
     def map_input(self, hf_config, multi_modal_data: Dict[str, Any]
                   ) -> Dict[str, np.ndarray]:
         if "image" not in multi_modal_data:
             raise ValueError(
                 f"Unsupported multi_modal_data keys: "
                 f"{sorted(multi_modal_data)} (expected 'image')")
-        arch = (getattr(hf_config, "architectures", None) or [""])[0]
-        mapper = self._mappers.get(arch, clip_image_mapper)
-        return mapper(hf_config.vision_config, multi_modal_data["image"])
+        arch = self._arch(hf_config)
+        if arch in self._mappers:
+            mapper = self._mappers[arch]
+            return mapper(hf_config.vision_config,
+                          multi_modal_data["image"])
+        if arch in self._ANYRES_ARCHS:
+            return llava_next_image_mapper(hf_config,
+                                           multi_modal_data["image"])
+        return clip_image_mapper(hf_config.vision_config,
+                                 multi_modal_data["image"])
 
     @staticmethod
     def tokens_per_image(hf_config) -> int:
@@ -109,31 +212,47 @@ class MultiModalRegistry:
                            "default")
         return grid if strategy == "default" else grid + 1
 
+    def tokens_per_image_list(self, hf_config,
+                              mm_inputs: Dict[str, np.ndarray]
+                              ) -> List[int]:
+        """Per-image language-token counts for the mapped inputs."""
+        if self._arch(hf_config) in self._ANYRES_ARCHS:
+            base = self.tokens_per_image(hf_config)
+            out = []
+            for hw in np.asarray(mm_inputs["image_sizes"]).tolist():
+                _, _, uh, uw = _anyres_unpadded_grid(hf_config, hw)
+                out.append(base + uh * (uw + 1))  # +1: newline per row
+            return out
+        n = mm_inputs["pixel_values"].shape[0]
+        return [self.tokens_per_image(hf_config)] * n
+
     def expand_placeholders(self, hf_config, prompt_token_ids: List[int],
-                            num_images: int) -> Tuple[List[int], int]:
-        """Expand each image placeholder token into tokens_per_image copies
-        (the reference's input-processor repeat_and_pad_image_tokens role).
-        A prompt with no placeholder gets them PREPENDED (one run per
-        image). Returns (expanded_ids, tokens_per_image)."""
+                            mm_inputs: Dict[str, np.ndarray]
+                            ) -> List[int]:
+        """Expand the i-th image placeholder token into that image's token
+        count (the reference's input-processor repeat_and_pad_image_tokens
+        role). A prompt with no placeholder gets them PREPENDED."""
         tok = hf_config.image_token_index
-        tpi = self.tokens_per_image(hf_config)
+        counts = self.tokens_per_image_list(hf_config, mm_inputs)
+        num_images = len(counts)
         n_holders = sum(1 for t in prompt_token_ids if t == tok)
         if n_holders == 0 and num_images > 0:
             prompt_token_ids = [tok] * num_images + list(prompt_token_ids)
             n_holders = num_images
-        if tpi > 1 and n_holders == num_images * tpi:
-            return list(prompt_token_ids), tpi  # already expanded
+        if n_holders == sum(counts):
+            return list(prompt_token_ids)  # already expanded
         if n_holders != num_images:
             raise ValueError(
                 f"Prompt has {n_holders} image placeholder(s) but "
                 f"{num_images} image(s) were supplied.")
         out: List[int] = []
+        it = iter(counts)
         for t in prompt_token_ids:
             if t == tok:
-                out.extend([tok] * tpi)
+                out.extend([tok] * next(it))
             else:
                 out.append(t)
-        return out, tpi
+        return out
 
 
 MULTIMODAL_REGISTRY = MultiModalRegistry()

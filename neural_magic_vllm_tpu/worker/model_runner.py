@@ -365,15 +365,6 @@ class TPUModelRunner:
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
-        elif kind == "mm_encode":
-            # vision tower + projector: ONE call per request's images,
-            # output reused across prefill chunks (models/llava.py).
-
-            def fn(params, pixel_values):
-                return model.encode_images(params, pixel_values)
-
-            jfn = jax.jit(fn)
-
         elif kind == "decode_sample":
 
             def fn(params, kv_caches, tokens, positions, meta, samp, lora,
@@ -1008,15 +999,8 @@ class TPUModelRunner:
         spans for free."""
         flat = self._mm_cache.get(sgm.request_id)
         if flat is None:
-            pv = np.asarray(sgm.multi_modal_data["pixel_values"],
-                            np.float32)
-            N = pv.shape[0]
-            n_pad = 1 << (N - 1).bit_length()
-            if n_pad > N:
-                pv = np.concatenate(
-                    [pv, np.zeros((n_pad - N, ) + pv.shape[1:], np.float32)])
-            fn = self._get_fn("mm_encode", 0)
-            flat = fn(self.params, jnp.asarray(pv))
+            flat = self.model.encode_request(self.params,
+                                             sgm.multi_modal_data)
             self._mm_cache[sgm.request_id] = flat
         tok_id = self.model.image_token_id
         is_img = np.asarray(token_ids) == tok_id
