@@ -142,6 +142,11 @@ class ModelConfig:
 
     def get_total_num_kv_heads(self) -> int:
         cfg = self.hf_text_config
+        if getattr(cfg, "new_decoder_architecture", False):  # falcon 40B+
+            return getattr(cfg, "num_kv_heads", None) \
+                or cfg.num_attention_heads
+        if getattr(cfg, "multi_query", False):  # gpt_bigcode/falcon MQA
+            return 1
         return getattr(cfg, "num_key_value_heads", None) \
             or cfg.num_attention_heads
 

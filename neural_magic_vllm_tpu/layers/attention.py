@@ -44,6 +44,7 @@ class Attention:
         sliding_window: Optional[int] = None,
         logit_cap: Optional[float] = None,
         backend: Optional[str] = None,
+        alibi_slopes=None,  # static tuple[num_heads] of per-head slopes
     ) -> None:
         self.num_heads = num_heads
         self.head_dim = head_dim
@@ -51,6 +52,8 @@ class Attention:
         self.scale = scale
         self.sliding_window = sliding_window
         self.logit_cap = logit_cap
+        self.alibi_slopes = tuple(alibi_slopes) if alibi_slopes is not None \
+            else None
         self._prefill_fn, self._decode_fn = get_attention_backend(backend)
 
     def __call__(
@@ -81,24 +84,34 @@ class Attention:
         k_cache, v_cache = write_kv(kv_cache[0], kv_cache[1], k, v,
                                     meta.slot_mapping)
         if is_prefill and meta.seq_ids is not None:
-            from neural_magic_vllm_tpu.ops.pallas_prefill import \
-                segment_prefill_attention
-            out = segment_prefill_attention(
-                q, k, v, meta.seq_ids, meta.q_pos, scale=self.scale,
-                sliding_window=sliding, logit_cap=self.logit_cap)
+            if self.alibi_slopes is not None:
+                from neural_magic_vllm_tpu.ops.attention import \
+                    segment_prefill_attention_ref
+                out = segment_prefill_attention_ref(
+                    q, k, v, meta.seq_ids, meta.q_pos, scale=self.scale,
+                    sliding_window=sliding, logit_cap=self.logit_cap,
+                    alibi_slopes=self.alibi_slopes)
+            else:
+                from neural_magic_vllm_tpu.ops.pallas_prefill import \
+                    segment_prefill_attention
+                out = segment_prefill_attention(
+                    q, k, v, meta.seq_ids, meta.q_pos, scale=self.scale,
+                    sliding_window=sliding, logit_cap=self.logit_cap)
         elif is_prefill:
             out = self._prefill_fn(q, k, v, k_cache, v_cache,
                                    meta.block_tables[0],
                                    meta.context_lens[0],
                                    scale=self.scale,
                                    sliding_window=sliding,
-                                   logit_cap=self.logit_cap)
+                                   logit_cap=self.logit_cap,
+                                   alibi_slopes=self.alibi_slopes)
         else:
             out = self._decode_fn(q, k_cache, v_cache, meta.block_tables,
                                   meta.context_lens,
                                   scale=self.scale,
                                   sliding_window=sliding,
-                                  logit_cap=self.logit_cap)
+                                  logit_cap=self.logit_cap,
+                                  alibi_slopes=self.alibi_slopes)
         if kv_scales is not None:
             out = (out.astype(jnp.float32) * v_s).astype(out.dtype)
         return out, (k_cache, v_cache)

@@ -34,6 +34,26 @@ def _soft_cap(scores: jax.Array, logit_cap: Optional[float]) -> jax.Array:
     return scores
 
 
+def get_alibi_slopes(n_heads: int):
+    """Standard ALiBi per-head slopes (Press et al.; matches HF
+    build_alibi_tensor / the reference's alibi plumbing in
+    bloom.py/mpt.py/baichuan.py). Returns a tuple of python floats —
+    static, baked into the kernels."""
+    import math
+    closest = 2**math.floor(math.log2(n_heads))
+    base = 2.0**(-(2.0**-(math.log2(closest) - 3)))
+    slopes = [base**(i + 1) for i in range(closest)]
+    if closest != n_heads:
+        extra_base = 2.0**(-(2.0**-(math.log2(2 * closest) - 3)))
+        extra = [extra_base**(i + 1) for i in range(2 * closest)][0::2]
+        slopes += extra[:n_heads - closest]
+    return tuple(slopes)
+
+
+def _slopes_arr(alibi_slopes, kvh: int, group: int) -> jax.Array:
+    return jnp.asarray(alibi_slopes, jnp.float32).reshape(kvh, group)
+
+
 def prefill_attention_ref(
     q: jax.Array,  # [S, num_q_heads, head_dim]
     k: jax.Array,  # [S, num_kv_heads, head_dim] (current chunk)
@@ -46,6 +66,7 @@ def prefill_attention_ref(
     scale: float,
     sliding_window: Optional[int] = None,
     logit_cap: Optional[float] = None,
+    alibi_slopes=None,  # static tuple[num_q_heads] of floats
 ) -> jax.Array:
     """Returns [S, num_q_heads, head_dim]. Query position of row i is
     context_len + i; causal within the chunk, full attention to the cached
@@ -75,6 +96,13 @@ def prefill_attention_ref(
     q_pos = context_len + jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
     ctx_pos = jax.lax.broadcasted_iota(jnp.int32, (1, max_ctx), 1)
     cur_pos = context_len + jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+
+    if alibi_slopes is not None:
+        sl = _slopes_arr(alibi_slopes, kvh, group)  # [kvh, group]
+        ctx_scores = ctx_scores + sl[None, :, :, None] * \
+            (ctx_pos - q_pos).astype(jnp.float32)[:, None, None, :]
+        cur_scores = cur_scores + sl[None, :, :, None] * \
+            (cur_pos - q_pos).astype(jnp.float32)[:, None, None, :]
 
     ctx_mask = ctx_pos < context_len  # [1, max_ctx] valid context
     cur_mask = cur_pos <= q_pos  # [S, S] causal
@@ -106,6 +134,7 @@ def decode_attention_ref(
     scale: float,
     sliding_window: Optional[int] = None,
     logit_cap: Optional[float] = None,
+    alibi_slopes=None,
 ) -> jax.Array:
     """Returns [B, num_q_heads, head_dim]. The current token's KV must
     already be written to the cache (write-then-attend, like the reference
@@ -123,6 +152,10 @@ def decode_attention_ref(
                             keys.astype(jnp.float32)) * scale
         scores = _soft_cap(scores, logit_cap)
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, max_ctx), 2)
+        if alibi_slopes is not None:
+            sl = _slopes_arr(alibi_slopes, kvh, group)
+            scores = scores + sl[:, :, None] * \
+                (pos - (ctx_len - 1)).astype(jnp.float32)
         mask = pos < ctx_len
         if sliding_window is not None:
             mask = mask & (ctx_len - 1 - pos < sliding_window)
@@ -144,6 +177,7 @@ def segment_prefill_attention_ref(
     scale: float,
     sliding_window: Optional[int] = None,
     logit_cap: Optional[float] = None,
+    alibi_slopes=None,
 ) -> jax.Array:
     """Ragged batched prefill for CONTEXT-FREE prompts: several sequences
     concatenated into one flat token axis, isolated by a segment mask
@@ -158,6 +192,10 @@ def segment_prefill_attention_ref(
     scores = jnp.einsum("ikgh,jkh->ikgj", qg,
                         k.astype(jnp.float32)) * scale
     scores = _soft_cap(scores, logit_cap)
+    if alibi_slopes is not None:
+        sl = _slopes_arr(alibi_slopes, kvh, group)
+        rel = (q_pos[None, :] - q_pos[:, None]).astype(jnp.float32)
+        scores = scores + sl[None, :, :, None] * rel[:, None, None, :]
     same = (seq_ids[:, None] == seq_ids[None, :]) & (seq_ids[:, None] >= 0)
     causal = q_pos[None, :] <= q_pos[:, None]
     mask = same & causal

@@ -35,7 +35,8 @@ PAGES_PER_CHUNK = 4
 def _decode_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm, v_hbm,
                    o_ref, k_buf, v_buf, sems, *, kvh: int, group: int,
                    bs: int, hd: int, n_chunks: int, ppc: int,
-                   kv_scale: float, logit_cap: Optional[float]):
+                   kv_scale: float, logit_cap: Optional[float],
+                   alibi_slopes=None):
     b = pl.program_id(0)
     ctx = ctx_ref[b]
     window = win_ref[0]
@@ -98,6 +99,14 @@ def _decode_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm, v_hbm,
                 preferred_element_type=jnp.float32)  # [group, T]
             if logit_cap is not None and logit_cap > 0:
                 s = jnp.tanh(s / logit_cap) * logit_cap
+            if alibi_slopes is not None:
+                # static python-float slopes: scalar constants only
+                # (pallas rejects captured array constants)
+                rel = (pos - (ctx - 1)).astype(jnp.float32)  # [1, T]
+                s = s + jnp.concatenate([
+                    float(alibi_slopes[h * group + g]) * rel
+                    for g in range(group)
+                ], axis=0)
             s = jnp.where(valid, s, -jnp.inf)
             chunk_m = jnp.max(s, axis=-1, keepdims=True)
             m_h = m[h]
@@ -124,11 +133,12 @@ def _decode_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm, v_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "kv_scale",
-                                             "logit_cap"))
+                                             "logit_cap", "alibi_slopes"))
 def _decode_attention_pallas(q, k_cache, v_cache, block_tables,
                              context_lens, window=None, *, scale: float,
                              kv_scale: float = 1.0,
-                             logit_cap: Optional[float] = None):
+                             logit_cap: Optional[float] = None,
+                             alibi_slopes=None):
     B, nqh, hd = q.shape
     nb, kvh, bs, _ = k_cache.shape
     group = nqh // kvh
@@ -143,7 +153,8 @@ def _decode_attention_pallas(q, k_cache, v_cache, block_tables,
     q_scaled = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
     kernel = functools.partial(
         _decode_kernel, kvh=kvh, group=group, bs=bs, hd=hd,
-        n_chunks=n_chunks, ppc=ppc, kv_scale=kv_scale, logit_cap=logit_cap)
+        n_chunks=n_chunks, ppc=ppc, kv_scale=kv_scale, logit_cap=logit_cap,
+        alibi_slopes=alibi_slopes)
 
     if window is None:
         window = jnp.full((1, ), 2**30, jnp.int32)
@@ -181,10 +192,11 @@ def _decode_attention_pallas(q, k_cache, v_cache, block_tables,
 def decode_attention(q, k_cache, v_cache, block_tables, context_lens, *,
                      scale: float, sliding_window: Optional[int] = None,
                      logit_cap: Optional[float] = None,
-                     kv_scale: float = 1.0):
+                     kv_scale: float = 1.0, alibi_slopes=None):
     """Paged decode attention; sliding windows (static or traced
     per-layer scalars, e.g. gemma2 alternation) ride the scalar-prefetch
-    channel. XLA reference fallback only for odd head sizes / tiny
+    channel; ALiBi slopes are static per-head constants baked into the
+    kernel. XLA reference fallback only for odd head sizes / tiny
     blocks."""
     nb, kvh, bs, hd = k_cache.shape
     nqh = q.shape[1]
@@ -192,8 +204,10 @@ def decode_attention(q, k_cache, v_cache, block_tables, context_lens, *,
         return decode_attention_ref(q, k_cache, v_cache, block_tables,
                                     context_lens, scale=scale,
                                     sliding_window=sliding_window,
-                                    logit_cap=logit_cap)
+                                    logit_cap=logit_cap,
+                                    alibi_slopes=alibi_slopes)
     return _decode_attention_pallas(q, k_cache, v_cache, block_tables,
                                     context_lens, window=sliding_window,
                                     scale=scale, kv_scale=kv_scale,
-                                    logit_cap=logit_cap)
+                                    logit_cap=logit_cap,
+                                    alibi_slopes=alibi_slopes)

@@ -26,8 +26,32 @@ class MLPSpeculatorConfig(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class LlamaLikeConfig(PretrainedConfig):
+    """Generic config for llama-shaped remote-code architectures
+    (baichuan, internlm/2, aquila, xverse, orion, …): PretrainedConfig
+    stores every checkpoint field as an attribute, which is all the
+    llama-family model classes need."""
+
+    def __init__(self, **kwargs) -> None:
+        kwargs.setdefault("hidden_size", 4096)
+        kwargs.setdefault("num_hidden_layers", 32)
+        kwargs.setdefault("num_attention_heads", 32)
+        kwargs.setdefault("vocab_size", 32000)
+        kwargs.setdefault("intermediate_size", 11008)
+        super().__init__(**kwargs)
+        for k, v in kwargs.items():
+            if not hasattr(self, k):
+                setattr(self, k, v)
+
+
 _CUSTOM_CONFIGS = {
     "mlp_speculator": MLPSpeculatorConfig,
+    "baichuan": LlamaLikeConfig,
+    "internlm": LlamaLikeConfig,
+    "internlm2": LlamaLikeConfig,
+    "aquila": LlamaLikeConfig,
+    "xverse": LlamaLikeConfig,
+    "orion": LlamaLikeConfig,
 }
 
 
@@ -44,5 +68,8 @@ def maybe_custom_config(model_dir: str):
     cls = _CUSTOM_CONFIGS.get(raw.get("model_type"))
     if cls is None:
         return None
-    raw.pop("architectures", None)
-    return cls(**{k: v for k, v in raw.items() if k != "model_type"})
+    archs = raw.pop("architectures", None)
+    cfg = cls(**{k: v for k, v in raw.items() if k != "model_type"})
+    if archs and not getattr(cfg, "architectures", None):
+        cfg.architectures = archs
+    return cfg

@@ -212,3 +212,112 @@ def test_jamba_chunked_prefill(tmp_path):
     plain = run()
     chunked = run(enable_chunked_prefill=True, max_num_batched_tokens=16)
     assert plain == chunked
+
+
+@pytest.mark.parametrize("family", [
+    "gpt2", "gpt_bigcode", "opt", "gpt_neox", "gptj", "phi", "stablelm",
+    "starcoder2", "olmo"])
+def test_gpt_families(tmp_path, family):
+    import transformers as tf
+    common = dict(vocab_size=512)
+    if family == "gpt2":
+        cfg_cls, mdl = tf.GPT2Config, tf.GPT2LMHeadModel
+        kw = dict(n_embd=64, n_layer=3, n_head=4, n_positions=256)
+    elif family == "gpt_bigcode":
+        cfg_cls, mdl = tf.GPTBigCodeConfig, tf.GPTBigCodeForCausalLM
+        kw = dict(n_embd=64, n_layer=3, n_head=4, n_positions=256,
+                  multi_query=True)
+    elif family == "opt":
+        cfg_cls, mdl = tf.OPTConfig, tf.OPTForCausalLM
+        kw = dict(hidden_size=64, num_hidden_layers=3,
+                  num_attention_heads=4, ffn_dim=128,
+                  max_position_embeddings=256, word_embed_proj_dim=64,
+                  do_layer_norm_before=True)
+    elif family == "gpt_neox":
+        cfg_cls, mdl = tf.GPTNeoXConfig, tf.GPTNeoXForCausalLM
+        kw = dict(hidden_size=64, num_hidden_layers=3,
+                  num_attention_heads=4, intermediate_size=128,
+                  max_position_embeddings=256, rotary_pct=0.25,
+                  use_parallel_residual=True)
+    elif family == "gptj":
+        cfg_cls, mdl = tf.GPTJConfig, tf.GPTJForCausalLM
+        kw = dict(n_embd=64, n_layer=3, n_head=4, n_positions=256,
+                  rotary_dim=8)
+    elif family == "phi":
+        cfg_cls, mdl = tf.PhiConfig, tf.PhiForCausalLM
+        kw = dict(hidden_size=64, num_hidden_layers=3,
+                  num_attention_heads=4, intermediate_size=128,
+                  max_position_embeddings=256, partial_rotary_factor=0.5)
+    elif family == "stablelm":
+        cfg_cls, mdl = tf.StableLmConfig, tf.StableLmForCausalLM
+        kw = dict(hidden_size=64, num_hidden_layers=3,
+                  num_attention_heads=4, num_key_value_heads=2,
+                  intermediate_size=128, max_position_embeddings=256,
+                  partial_rotary_factor=0.25, use_qkv_bias=True)
+    elif family == "starcoder2":
+        cfg_cls, mdl = tf.Starcoder2Config, tf.Starcoder2ForCausalLM
+        kw = dict(hidden_size=64, num_hidden_layers=3,
+                  num_attention_heads=4, num_key_value_heads=2,
+                  intermediate_size=128, max_position_embeddings=256)
+    elif family == "olmo":
+        cfg_cls, mdl = tf.OlmoConfig, tf.OlmoForCausalLM
+        kw = dict(hidden_size=64, num_hidden_layers=3,
+                  num_attention_heads=4, intermediate_size=128,
+                  max_position_embeddings=256)
+    d = _save_tiny(cfg_cls, mdl, str(tmp_path / family), **common, **kw)
+    gen = _engine_greedy(d)
+    _check_vs_hf(d, PROMPTS, gen)
+
+
+@pytest.mark.parametrize("variant", ["falcon7b", "falcon40b", "cohere",
+                                     "cohere_qk_norm"])
+def test_gpt_families_wave2(tmp_path, variant):
+    import transformers as tf
+    if variant == "falcon7b":
+        d = _save_tiny(
+            tf.FalconConfig, tf.FalconForCausalLM, str(tmp_path / variant),
+            vocab_size=512, hidden_size=64, num_hidden_layers=3,
+            num_attention_heads=4, multi_query=True, parallel_attn=True,
+            new_decoder_architecture=False, bias=False, alibi=False)
+    elif variant == "falcon40b":
+        d = _save_tiny(
+            tf.FalconConfig, tf.FalconForCausalLM, str(tmp_path / variant),
+            vocab_size=512, hidden_size=64, num_hidden_layers=3,
+            num_attention_heads=4, num_kv_heads=2,
+            new_decoder_architecture=True, bias=False, alibi=False)
+    else:
+        d = _save_tiny(
+            tf.CohereConfig, tf.CohereForCausalLM, str(tmp_path / variant),
+            vocab_size=512, hidden_size=64, num_hidden_layers=3,
+            num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=128, max_position_embeddings=256,
+            logit_scale=0.5, use_qk_norm=(variant == "cohere_qk_norm"))
+    gen = _engine_greedy(d)
+    _check_vs_hf(d, PROMPTS, gen)
+
+
+@pytest.mark.parametrize("variant", ["bloom", "mpt", "mpt_clip",
+                                     "falcon_alibi"])
+def test_alibi_families(tmp_path, variant):
+    import transformers as tf
+    if variant == "bloom":
+        d = _save_tiny(
+            tf.BloomConfig, tf.BloomForCausalLM, str(tmp_path / variant),
+            vocab_size=512, hidden_size=64, n_layer=3, n_head=4)
+    elif variant in ("mpt", "mpt_clip"):
+        attn_config = {"alibi": True, "clip_qkv": None, "qk_ln": False}
+        if variant == "mpt_clip":
+            attn_config["clip_qkv"] = 4.0
+        d = _save_tiny(
+            tf.MptConfig, tf.MptForCausalLM, str(tmp_path / variant),
+            vocab_size=512, d_model=64, n_layers=3, n_heads=4,
+            expansion_ratio=2, max_seq_len=256, no_bias=True,
+            attn_config=attn_config)
+    else:
+        d = _save_tiny(
+            tf.FalconConfig, tf.FalconForCausalLM, str(tmp_path / variant),
+            vocab_size=512, hidden_size=64, num_hidden_layers=3,
+            num_attention_heads=4, multi_query=False, parallel_attn=False,
+            new_decoder_architecture=False, bias=True, alibi=True)
+    gen = _engine_greedy(d)
+    _check_vs_hf(d, PROMPTS, gen)
