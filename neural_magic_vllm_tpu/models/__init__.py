@@ -31,6 +31,7 @@ def get_model_class(architectures) -> Type:
     from neural_magic_vllm_tpu.models import mlp_speculator  # noqa: F401
     from neural_magic_vllm_tpu.models import gpt_family  # noqa: F401
     from neural_magic_vllm_tpu.models import llama_variants  # noqa: F401
+    from neural_magic_vllm_tpu.models import minicpm  # noqa: F401
     if isinstance(architectures, str):
         architectures = [architectures]
     for arch in architectures:

@@ -1117,3 +1117,161 @@ class MptForCausalLM(GPTFamilyForCausalLM):
         res = res + o
         h2 = _ln(lp.get("ln2"), res, self.eps)
         return res + self._mlp(lp, h2), new_cache
+
+
+# ================================ DBRX =======================================
+@register_model("DbrxForCausalLM")
+class DbrxForCausalLM(GPTFamilyForCausalLM):
+    """reference dbrx.py: GQA with clamped fused Wqkv, bias-free
+    LayerNorm, 16-expert GLU MoE with L1-renormalized top-k routing,
+    fused expert tensors [E*ffn, H]."""
+    norm_kind = "ln_nobias"
+    attn_bias = False
+    o_bias = False
+    tie_default = False
+
+    def __init__(self, model_config, parallel_config=None,
+                 quant_config=None) -> None:
+        cfg = model_config.hf_text_config
+        attn_cfg = cfg.attn_config
+        ffn_cfg = cfg.ffn_config
+        self._kv_heads = getattr(attn_cfg, "kv_n_heads", None) or \
+            cfg.num_attention_heads
+        self._ffn_hidden = ffn_cfg.ffn_hidden_size
+        self.num_experts = ffn_cfg.moe_num_experts
+        self.top_k = ffn_cfg.moe_top_k
+        self.clip_qkv = getattr(attn_cfg, "clip_qkv", None)
+        super().__init__(model_config, parallel_config, quant_config)
+        theta = getattr(attn_cfg, "rope_theta", None)
+        if theta:
+            self.rope = get_rope(self.head_dim, None, self.max_pos,
+                                 float(theta), True, None)
+
+    def _num_kv_heads(self, cfg):
+        return self._kv_heads
+
+    def _intermediate_size(self, cfg):
+        return self._ffn_hidden
+
+    def _init_layer(self, rng):
+        lm = self.linear_method
+        H, I, E = self.hidden_size, self.intermediate_size, self.num_experts
+        nh, kvh, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        scale = 1.0 / np.sqrt(H)
+        lp = {
+            "q": lm.create_params(rng, H, nh * hd, False),
+            "k": lm.create_params(rng, H, kvh * hd, False),
+            "v": lm.create_params(rng, H, kvh * hd, False),
+            "o": lm.create_params(rng, nh * hd, H, False),
+            "ln1": self._norm_params(),
+            "ln2": self._norm_params(),
+            "router": rng.uniform(-scale, scale, (H, E)).astype(np.float32),
+            "experts": {
+                "w_gate": rng.uniform(-scale, scale,
+                                      (E, H, I)).astype(np.float32),
+                "w_up": rng.uniform(-scale, scale,
+                                    (E, H, I)).astype(np.float32),
+                "w_down": rng.uniform(-scale, scale,
+                                      (E, I, H)).astype(np.float32),
+            },
+        }
+        return lp
+
+    def param_specs(self):
+        specs = super().param_specs()
+        specs["layers"]["experts"] = {
+            "w_gate": P(None, None, None, "model"),
+            "w_up": P(None, None, None, "model"),
+            "w_down": P(None, None, "model", None),
+        }
+        specs["layers"].pop("fc1", None)
+        specs["layers"].pop("fc2", None)
+        return specs
+
+    def _load_tensor(self, layers, params, name, w) -> bool:
+        if name.startswith("transformer."):
+            name = name[len("transformer."):]
+        if name == "wte.weight":
+            params["embed"] = w
+        elif name == "lm_head.weight":
+            params["lm_head"] = w.T.copy()
+        elif name == "norm_f.weight":
+            params["final_norm"] = {"scale": w}
+        elif name.startswith("blocks."):
+            parts = name.split(".")
+            layer = layers[int(parts[1])]
+            rest = ".".join(parts[2:])
+            if rest == "norm_attn_norm.norm_1.weight":
+                layer["ln1"] = {"scale": w}
+            elif rest == "norm_attn_norm.norm_2.weight":
+                layer["ln2"] = {"scale": w}
+            elif rest == "norm_attn_norm.attn.Wqkv.weight":
+                layer["_wqkv"] = w
+            elif rest == "norm_attn_norm.attn.out_proj.weight":
+                layer["o"] = {"weight": w.T.copy()}
+            elif rest == "ffn.router.layer.weight":
+                layer["router"] = w.T.copy()
+            elif rest in ("ffn.experts.mlp.w1", "ffn.experts.mlp.v1",
+                          "ffn.experts.mlp.w2"):
+                E, I, H = self.num_experts, self.intermediate_size, \
+                    self.hidden_size
+                chunks = w.reshape(E, I, H)
+                key = rest.rsplit(".", 1)[-1]
+                if key == "w1":  # gate: chunk [I, H] -> [H, I]
+                    layer.setdefault("experts", {})["w_gate"] = \
+                        np.ascontiguousarray(chunks.transpose(0, 2, 1))
+                elif key == "v1":
+                    layer.setdefault("experts", {})["w_up"] = \
+                        np.ascontiguousarray(chunks.transpose(0, 2, 1))
+                else:  # w2: chunk [I, H] already down-proj in-first
+                    layer.setdefault("experts", {})["w_down"] = \
+                        np.ascontiguousarray(chunks)
+            else:
+                return False
+        else:
+            return False
+        return True
+
+    def _finalize_layers(self, layers):
+        H = self.hidden_size
+        kv = self.num_kv_heads * self.head_dim
+        for layer in layers:
+            raw = layer.pop("_wqkv", None)
+            if raw is not None:
+                for tgt, sl in (("q", slice(0, H)),
+                                ("k", slice(H, H + kv)),
+                                ("v", slice(H + kv, H + 2 * kv))):
+                    layer[tgt] = {"weight": np.ascontiguousarray(raw[sl].T)}
+        super()._finalize_layers(layers)
+
+    def _mlp(self, lp, h):
+        from neural_magic_vllm_tpu.ops.moe import fused_moe, topk_softmax
+        logits = jnp.dot(h, lp["router"],
+                         preferred_element_type=jnp.float32)
+        weights, ids = topk_softmax(logits, self.top_k, renormalize=True)
+        return fused_moe(h, lp["experts"]["w_gate"], lp["experts"]["w_up"],
+                         lp["experts"]["w_down"], weights, ids)
+
+    def _layer(self, lp, res, rope_cos, rope_sin, k_cache, v_cache, meta,
+               is_prefill: bool):
+        lm = self.linear_method
+        T = res.shape[0]
+        h = _ln(lp.get("ln1"), res, self.eps)
+        c = self.clip_qkv
+
+        def clip(x):
+            return jnp.clip(x, -float(c), float(c)) if c else x
+
+        q = clip(lm.apply(lp["q"], h)).reshape(T, self.num_heads,
+                                               self.head_dim)
+        k = clip(lm.apply(lp["k"], h)).reshape(T, self.num_kv_heads,
+                                               self.head_dim)
+        v = clip(lm.apply(lp["v"], h)).reshape(T, self.num_kv_heads,
+                                               self.head_dim)
+        q, k = self.rope.apply(rope_cos, rope_sin, q, k)
+        attn_out, new_cache = self.attn(q, k, v, (k_cache, v_cache), meta,
+                                        is_prefill=is_prefill)
+        res = res + lm.apply(
+            lp["o"], attn_out.reshape(T, self.num_heads * self.head_dim))
+        h2 = _ln(lp.get("ln2"), res, self.eps)
+        return res + self._mlp(lp, h2), new_cache

@@ -52,6 +52,9 @@ _CUSTOM_CONFIGS = {
     "aquila": LlamaLikeConfig,
     "xverse": LlamaLikeConfig,
     "orion": LlamaLikeConfig,
+    "qwen": LlamaLikeConfig,
+    "deci": LlamaLikeConfig,
+    "minicpm": LlamaLikeConfig,
 }
 
 

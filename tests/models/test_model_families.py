@@ -321,3 +321,16 @@ def test_alibi_families(tmp_path, variant):
             new_decoder_architecture=False, bias=True, alibi=True)
     gen = _engine_greedy(d)
     _check_vs_hf(d, PROMPTS, gen)
+
+
+def test_dbrx(tmp_path):
+    from transformers import DbrxConfig, DbrxForCausalLM
+    d = _save_tiny(
+        DbrxConfig, DbrxForCausalLM, str(tmp_path / "dbrx"),
+        vocab_size=512, d_model=64, n_heads=4, n_layers=2, max_seq_len=256,
+        attn_config={"kv_n_heads": 2, "clip_qkv": 8.0,
+                     "rope_theta": 10000.0},
+        ffn_config={"ffn_hidden_size": 48, "moe_num_experts": 4,
+                    "moe_top_k": 2})
+    gen = _engine_greedy(d)
+    _check_vs_hf(d, PROMPTS, gen)
