@@ -32,6 +32,8 @@ def get_model_class(architectures) -> Type:
     from neural_magic_vllm_tpu.models import gpt_family  # noqa: F401
     from neural_magic_vllm_tpu.models import llama_variants  # noqa: F401
     from neural_magic_vllm_tpu.models import minicpm  # noqa: F401
+    from neural_magic_vllm_tpu.models import chatglm  # noqa: F401
+    from neural_magic_vllm_tpu.models import deepseek  # noqa: F401
     if isinstance(architectures, str):
         architectures = [architectures]
     for arch in architectures:

@@ -1119,6 +1119,67 @@ class MptForCausalLM(GPTFamilyForCausalLM):
         return res + self._mlp(lp, h2), new_cache
 
 
+# ================================ JAIS =======================================
+@register_model("JAISLMHeadModel")
+class JAISLMHeadModel(GPT2LMHeadModel):
+    """reference jais.py: GPT-2 layout with ALiBi positions (learned as a
+    config fallback), muP scalings — embeddings x embeddings_scale
+    (jais.py:230-253), logits x width_scale|mup_output_alpha*mup_width_scale
+    (jais.py:277-283), attention scale 1/d when scale_qk_dot_by_d
+    (jais.py:84-87) — and a swiglu MLP where c_fc2 gates c_fc
+    (SwiGLUActivation, jais.py:47-49,161-165)."""
+
+    def __init__(self, model_config, parallel_config=None,
+                 quant_config=None) -> None:
+        cfg = model_config.hf_text_config
+        self.mlp_gated = getattr(cfg, "activation_function",
+                                 "swiglu") == "swiglu"
+        super().__init__(model_config, parallel_config, quant_config)
+        self.emb_scale = float(
+            getattr(cfg, "embeddings_scale", None)
+            or getattr(cfg, "mup_embeddings_scale", 1.0))
+        self.logit_scale = float(
+            getattr(cfg, "width_scale", None)
+            or (getattr(cfg, "mup_output_alpha", 1.0) *
+                getattr(cfg, "mup_width_scale", 1.0)))
+        by_d = bool(getattr(cfg, "scale_qk_dot_by_d", None)
+                    or getattr(cfg, "mup_scale_qk_dot_by_d", False))
+        scale = self.head_dim**(-1.0 if by_d else -0.5)
+        if getattr(cfg, "position_embedding_type", "alibi") == "alibi":
+            self.pos_scheme = "none"
+            from neural_magic_vllm_tpu.ops.attention import \
+                get_alibi_slopes
+            self.attn = Attention(
+                self.num_heads, self.head_dim, self.num_kv_heads,
+                scale=scale, alibi_slopes=get_alibi_slopes(self.num_heads))
+        else:
+            self.attn = Attention(self.num_heads, self.head_dim,
+                                  self.num_kv_heads, scale=scale)
+
+    def embed_tokens(self, params, token_ids):
+        x = super().embed_tokens(params, token_ids)
+        return x * jnp.asarray(self.emb_scale, x.dtype)
+
+    def _load_tensor(self, layers, params, name, w) -> bool:
+        if "relative_pe" in name:
+            return True
+        # swiglu halves: c_fc2 gates (silu side), c_fc is the up half
+        if ".mlp.c_fc2." in name:
+            name = name.replace(".mlp.c_fc2.", ".mlp.@gate.")
+        elif self.mlp_gated and ".mlp.c_proj." in name:
+            name = name.replace(".mlp.c_proj.", ".mlp.@down.")
+        elif self.mlp_gated and ".mlp.c_fc." in name:
+            name = name.replace(".mlp.c_fc.", ".mlp.@up.")
+        if ".mlp.@" in name:
+            parts = name.split(".")
+            layer = layers[int(parts[2 if parts[0] == "transformer"
+                                     else 1])]
+            key = parts[-2][1:]
+            layer.setdefault(key, {})[parts[-1]] = w
+            return True
+        return super()._load_tensor(layers, params, name, w)
+
+
 # ================================ DBRX =======================================
 @register_model("DbrxForCausalLM")
 class DbrxForCausalLM(GPTFamilyForCausalLM):

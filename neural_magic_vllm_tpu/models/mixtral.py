@@ -18,8 +18,11 @@ from neural_magic_vllm_tpu.ops.moe import (fused_moe, fused_moe_quant,
 from neural_magic_vllm_tpu.quantization.wna16 import WNA16LinearMethod
 
 
-@register_model("MixtralForCausalLM")
+@register_model("MixtralForCausalLM", "QuantMixtralForCausalLM")
 class MixtralForCausalLM(LlamaForCausalLM):
+    """Also serves QuantMixtralForCausalLM (reference mixtral_quant.py):
+    quantized per-expert checkpoints load through the same expert-stacking
+    path and execute via fused_moe_quant with weights kept packed."""
 
     def __init__(self, model_config, parallel_config=None,
                  quant_config=None):

@@ -44,6 +44,91 @@ class LlamaLikeConfig(PretrainedConfig):
                 setattr(self, k, v)
 
 
+class ChatGLMConfig(PretrainedConfig):
+    """ChatGLM2/3 / GLM-4 config (reference
+    vllm/transformers_utils/configs/chatglm.py), normalized to llama-style
+    attribute names for the shared decoder base."""
+
+    model_type = "chatglm"
+
+    def __init__(self, num_layers: int = 28, padded_vocab_size: int = 65024,
+                 hidden_size: int = 4096, ffn_hidden_size: int = 13696,
+                 kv_channels: int = 128, num_attention_heads: int = 32,
+                 seq_length: int = 2048, layernorm_epsilon: float = 1e-5,
+                 rmsnorm: bool = True,
+                 apply_residual_connection_post_layernorm: bool = False,
+                 add_bias_linear: bool = False, add_qkv_bias: bool = False,
+                 multi_query_attention: bool = False,
+                 multi_query_group_num: int = 1, rope_ratio: float = 1.0,
+                 **kwargs) -> None:
+        self.num_layers = num_layers
+        self.num_hidden_layers = num_layers
+        self.vocab_size = padded_vocab_size
+        self.padded_vocab_size = padded_vocab_size
+        self.hidden_size = hidden_size
+        self.ffn_hidden_size = ffn_hidden_size
+        self.intermediate_size = ffn_hidden_size
+        self.kv_channels = kv_channels
+        self.head_dim = kv_channels
+        self.num_attention_heads = num_attention_heads
+        self.num_key_value_heads = (multi_query_group_num
+                                    if multi_query_attention
+                                    else num_attention_heads)
+        self.multi_query_attention = multi_query_attention
+        self.multi_query_group_num = multi_query_group_num
+        self.seq_length = seq_length
+        self.max_position_embeddings = seq_length
+        self.layernorm_epsilon = layernorm_epsilon
+        self.rms_norm_eps = layernorm_epsilon
+        self.rmsnorm = rmsnorm
+        self.apply_residual_connection_post_layernorm = \
+            apply_residual_connection_post_layernorm
+        self.add_bias_linear = add_bias_linear
+        self.add_qkv_bias = add_qkv_bias
+        self.rope_ratio = rope_ratio
+        self.rope_theta = 10000.0 * rope_ratio
+        kwargs.setdefault("tie_word_embeddings", False)
+        super().__init__(**kwargs)
+
+
+class JAISConfig(PretrainedConfig):
+    """JAIS (reference vllm/transformers_utils/configs/jais.py): GPT-2
+    style field names + muP scaling knobs."""
+
+    model_type = "jais"
+    attribute_map = {
+        "hidden_size": "n_embd",
+        "num_attention_heads": "n_head",
+        "num_hidden_layers": "n_layer",
+        "max_position_embeddings": "n_positions",
+    }
+
+    def __init__(self, vocab_size: int = 84992, n_positions: int = 2048,
+                 n_embd: int = 2560, n_layer: int = 32, n_head: int = 20,
+                 n_inner=None, activation_function: str = "swiglu",
+                 layer_norm_epsilon: float = 1e-5,
+                 position_embedding_type: str = "alibi",
+                 mup_width_scale: float = 1.0,
+                 mup_embeddings_scale: float = 1.0,
+                 mup_output_alpha: float = 1.0,
+                 mup_scale_qk_dot_by_d: bool = False, **kwargs) -> None:
+        self.vocab_size = vocab_size
+        self.n_positions = n_positions
+        self.n_embd = n_embd
+        self.n_layer = n_layer
+        self.n_head = n_head
+        self.n_inner = n_inner
+        self.activation_function = activation_function
+        self.layer_norm_epsilon = layer_norm_epsilon
+        self.position_embedding_type = position_embedding_type
+        self.mup_width_scale = mup_width_scale
+        self.mup_embeddings_scale = mup_embeddings_scale
+        self.mup_output_alpha = mup_output_alpha
+        self.mup_scale_qk_dot_by_d = mup_scale_qk_dot_by_d
+        kwargs.setdefault("tie_word_embeddings", True)
+        super().__init__(**kwargs)
+
+
 _CUSTOM_CONFIGS = {
     "mlp_speculator": MLPSpeculatorConfig,
     "baichuan": LlamaLikeConfig,
@@ -55,6 +140,9 @@ _CUSTOM_CONFIGS = {
     "qwen": LlamaLikeConfig,
     "deci": LlamaLikeConfig,
     "minicpm": LlamaLikeConfig,
+    "chatglm": ChatGLMConfig,
+    "jais": JAISConfig,
+    "deepseek": LlamaLikeConfig,
 }
 
 
