@@ -45,6 +45,9 @@ class Attention:
         logit_cap: Optional[float] = None,
         backend: Optional[str] = None,
         alibi_slopes=None,  # static tuple[num_heads] of per-head slopes
+        blocksparse=None,  # static (block_size, local_blocks, vert_stride,
+        # homo_head): Phi-3-Small vertical-stride sparsity; forces the jnp
+        # reference backend (reference blocksparse_attn.py:410)
     ) -> None:
         self.num_heads = num_heads
         self.head_dim = head_dim
@@ -54,6 +57,10 @@ class Attention:
         self.logit_cap = logit_cap
         self.alibi_slopes = tuple(alibi_slopes) if alibi_slopes is not None \
             else None
+        self.blocksparse = tuple(blocksparse) if blocksparse is not None \
+            else None
+        if self.blocksparse is not None:
+            backend = "jnp"
         self._prefill_fn, self._decode_fn = get_attention_backend(backend)
 
     def __call__(
@@ -84,13 +91,14 @@ class Attention:
         k_cache, v_cache = write_kv(kv_cache[0], kv_cache[1], k, v,
                                     meta.slot_mapping)
         if is_prefill and meta.seq_ids is not None:
-            if self.alibi_slopes is not None:
+            if self.alibi_slopes is not None or self.blocksparse is not None:
                 from neural_magic_vllm_tpu.ops.attention import \
                     segment_prefill_attention_ref
                 out = segment_prefill_attention_ref(
                     q, k, v, meta.seq_ids, meta.q_pos, scale=self.scale,
                     sliding_window=sliding, logit_cap=self.logit_cap,
-                    alibi_slopes=self.alibi_slopes)
+                    alibi_slopes=self.alibi_slopes,
+                    blocksparse=self.blocksparse)
             else:
                 from neural_magic_vllm_tpu.ops.pallas_prefill import \
                     segment_prefill_attention
@@ -98,20 +106,24 @@ class Attention:
                     q, k, v, meta.seq_ids, meta.q_pos, scale=self.scale,
                     sliding_window=sliding, logit_cap=self.logit_cap)
         elif is_prefill:
+            kw = {} if self.blocksparse is None else \
+                {"blocksparse": self.blocksparse}
             out = self._prefill_fn(q, k, v, k_cache, v_cache,
                                    meta.block_tables[0],
                                    meta.context_lens[0],
                                    scale=self.scale,
                                    sliding_window=sliding,
                                    logit_cap=self.logit_cap,
-                                   alibi_slopes=self.alibi_slopes)
+                                   alibi_slopes=self.alibi_slopes, **kw)
         else:
+            kw = {} if self.blocksparse is None else \
+                {"blocksparse": self.blocksparse}
             out = self._decode_fn(q, k_cache, v_cache, meta.block_tables,
                                   meta.context_lens,
                                   scale=self.scale,
                                   sliding_window=sliding,
                                   logit_cap=self.logit_cap,
-                                  alibi_slopes=self.alibi_slopes)
+                                  alibi_slopes=self.alibi_slopes, **kw)
         if kv_scales is not None:
             out = (out.astype(jnp.float32) * v_s).astype(out.dtype)
         return out, (k_cache, v_cache)

@@ -54,6 +54,26 @@ def _slopes_arr(alibi_slopes, kvh: int, group: int) -> jax.Array:
     return jnp.asarray(alibi_slopes, jnp.float32).reshape(kvh, group)
 
 
+def _blocksparse_allow(q_pos: jax.Array, k_pos: jax.Array, kvh: int,
+                       group: int, blocksparse) -> jax.Array:
+    """Phi-3-Small vertical-stride block sparsity (reference
+    blocksparse_attention/utils.py:141-199): block (qb, kb) of head h is
+    kept when qb - kb < local_blocks OR (kb + h*step + 1) % vert_stride == 0
+    (step = 0 for homo heads else max(1, vert_stride // n_heads)); causal
+    masking is applied separately by the caller.
+
+    q_pos/k_pos broadcast to [Q, K]; returns [kvh, group, Q, K] bool."""
+    block_size, local_blocks, vert_stride, homo = blocksparse
+    qb = q_pos // block_size
+    kb = k_pos // block_size
+    local = (qb - kb) < local_blocks  # [Q, K]
+    nqh = kvh * group
+    step = 0 if homo else max(1, vert_stride // nqh)
+    h = jnp.arange(nqh, dtype=jnp.int32).reshape(kvh, group, 1, 1)
+    vert = (kb[None, None] + h * step + 1) % vert_stride == 0
+    return local[None, None] | vert
+
+
 def prefill_attention_ref(
     q: jax.Array,  # [S, num_q_heads, head_dim]
     k: jax.Array,  # [S, num_kv_heads, head_dim] (current chunk)
@@ -67,6 +87,7 @@ def prefill_attention_ref(
     sliding_window: Optional[int] = None,
     logit_cap: Optional[float] = None,
     alibi_slopes=None,  # static tuple[num_q_heads] of floats
+    blocksparse=None,  # static (block_size, local_blocks, vert_stride, homo)
 ) -> jax.Array:
     """Returns [S, num_q_heads, head_dim]. Query position of row i is
     context_len + i; causal within the chunk, full attention to the cached
@@ -114,6 +135,13 @@ def prefill_attention_ref(
 
     ctx_scores = jnp.where(ctx_mask[:, None, None, :], ctx_scores, _NEG_INF)
     cur_scores = jnp.where(cur_mask[:, None, None, :], cur_scores, _NEG_INF)
+    if blocksparse is not None:
+        allow_ctx = _blocksparse_allow(q_pos, ctx_pos, kvh, group,
+                                       blocksparse).transpose(2, 0, 1, 3)
+        allow_cur = _blocksparse_allow(q_pos, cur_pos, kvh, group,
+                                       blocksparse).transpose(2, 0, 1, 3)
+        ctx_scores = jnp.where(allow_ctx, ctx_scores, _NEG_INF)
+        cur_scores = jnp.where(allow_cur, cur_scores, _NEG_INF)
 
     scores = jnp.concatenate([ctx_scores, cur_scores], axis=-1)
     probs = jax.nn.softmax(scores, axis=-1)
@@ -135,6 +163,7 @@ def decode_attention_ref(
     sliding_window: Optional[int] = None,
     logit_cap: Optional[float] = None,
     alibi_slopes=None,
+    blocksparse=None,  # static (block_size, local_blocks, vert_stride, homo)
 ) -> jax.Array:
     """Returns [B, num_q_heads, head_dim]. The current token's KV must
     already be written to the cache (write-then-attend, like the reference
@@ -160,6 +189,12 @@ def decode_attention_ref(
         if sliding_window is not None:
             mask = mask & (ctx_len - 1 - pos < sliding_window)
         scores = jnp.where(mask, scores, _NEG_INF)
+        if blocksparse is not None:
+            allow = _blocksparse_allow(
+                jnp.reshape(ctx_len - 1, (1, 1)),
+                jax.lax.broadcasted_iota(jnp.int32, (1, max_ctx), 1), kvh,
+                group, blocksparse).reshape(kvh, group, max_ctx)
+            scores = jnp.where(allow, scores, _NEG_INF)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("kgc,kch->kgh", probs, vals.astype(jnp.float32))
         return out.reshape(nqh, hd).astype(q.dtype)
@@ -178,6 +213,7 @@ def segment_prefill_attention_ref(
     sliding_window: Optional[int] = None,
     logit_cap: Optional[float] = None,
     alibi_slopes=None,
+    blocksparse=None,  # static (block_size, local_blocks, vert_stride, homo)
 ) -> jax.Array:
     """Ragged batched prefill for CONTEXT-FREE prompts: several sequences
     concatenated into one flat token axis, isolated by a segment mask
@@ -202,6 +238,10 @@ def segment_prefill_attention_ref(
     if sliding_window is not None:
         mask = mask & (q_pos[:, None] - q_pos[None, :] < sliding_window)
     scores = jnp.where(mask[:, None, None, :], scores, _NEG_INF)
+    if blocksparse is not None:
+        allow = _blocksparse_allow(q_pos[:, None], q_pos[None, :], kvh,
+                                   group, blocksparse).transpose(2, 0, 1, 3)
+        scores = jnp.where(allow, scores, _NEG_INF)
     # fully-masked (padding) rows: make softmax well-defined
     probs = jax.nn.softmax(scores, axis=-1)
     probs = jnp.where(jnp.any(mask, axis=1)[:, None, None, None], probs,

@@ -143,6 +143,8 @@ _CUSTOM_CONFIGS = {
     "chatglm": ChatGLMConfig,
     "jais": JAISConfig,
     "deepseek": LlamaLikeConfig,
+    "arctic": LlamaLikeConfig,
+    "phi3small": LlamaLikeConfig,
 }
 
 
