@@ -36,6 +36,7 @@ def get_model_class(architectures) -> Type:
     from neural_magic_vllm_tpu.models import deepseek  # noqa: F401
     from neural_magic_vllm_tpu.models import arctic  # noqa: F401
     from neural_magic_vllm_tpu.models import phi3_small  # noqa: F401
+    from neural_magic_vllm_tpu.models import phi3v  # noqa: F401
     if isinstance(architectures, str):
         architectures = [architectures]
     for arch in architectures:

@@ -166,11 +166,106 @@ def llava_next_image_mapper(hf_config, data: Any) -> Dict[str, np.ndarray]:
             "crops_per_image": np.asarray(cpi, np.int64)}
 
 
+def _phi3v_hd_size(orig_hw: Tuple[int, int], unit: int,
+                   hd_num: int) -> Tuple[int, int]:
+    """(padded_h, padded_w) after the Phi-3-Vision HD transform (reference
+    phi3v.py _calc_hd_transform_size:289-310, generalized from 336 to the
+    vision patch unit)."""
+    import math
+    oh, ow = orig_hw
+    w, h = ow, oh
+    trans = False
+    if w < h:
+        w, h = h, w
+        trans = True
+    ratio = w / h
+    scale = 1
+    while scale * math.ceil(scale / ratio) <= hd_num:
+        scale += 1
+    scale -= 1
+    new_w = int(scale * unit)
+    new_h = int(new_w / ratio)
+    pad_h = int(math.ceil(new_h / unit) * unit)
+    pw, ph = new_w, pad_h
+    if trans:
+        pw, ph = ph, pw
+    return ph, pw
+
+
+def phi3v_image_mapper(hf_config, data: Any) -> Dict[str, np.ndarray]:
+    """Phi-3-Vision HD tiling (HF image_processing_phi3_v): per image, a
+    global crop (whole padded image resized to the vision size) followed by
+    the SxS raster tiles of the white-padded HD-resized image. Returns
+    pixel_values [total_crops, 3, S, S], image_sizes [N, 2] (padded h, w),
+    crops_per_image [N]."""
+    if isinstance(data, dict):
+        pv = np.asarray(data["pixel_values"], np.float32)
+        sizes = np.asarray(data["image_sizes"], np.int64).reshape(-1, 2)
+        if "crops_per_image" in data:
+            cpi = np.asarray(data["crops_per_image"], np.int64)
+        else:
+            assert sizes.shape[0] == 1
+            cpi = np.asarray([pv.shape[0]], np.int64)
+        return {"pixel_values": pv, "image_sizes": sizes,
+                "crops_per_image": cpi}
+    vc = hf_config.vision_config
+    S = vc.image_size
+    hd_num = int(getattr(hf_config, "num_crops", 16))
+    crops, sizes, cpi = [], [], []
+
+    def norm(x):
+        if x.max() > 1.5:
+            x = x / 255.0
+        return np.transpose((x - _CLIP_MEAN) / _CLIP_STD, (2, 0, 1))
+
+    for img in _to_image_list(data):
+        if hasattr(img, "convert"):
+            img = np.asarray(img.convert("RGB"), np.float32)
+        img = np.asarray(img, np.float32)
+        if img.ndim == 3 and img.shape[0] == 3 and img.shape[-1] != 3:
+            img = np.transpose(img, (1, 2, 0))
+        oh, ow = img.shape[:2]
+        ph, pw = _phi3v_hd_size((oh, ow), S, hd_num)
+        # resize preserving aspect, pad (white) centered on the short axis
+        scale = min(pw / ow, ph / oh)
+        nh, nw = min(ph, int(round(oh * scale))), min(
+            pw, int(round(ow * scale)))
+        scaled = _resize_bilinear(img, nh, nw)
+        if scaled.max() > 1.5:
+            pad_val = 255.0
+        else:
+            pad_val = 1.0
+        padded = np.full((ph, pw, 3), pad_val, np.float32)
+        top, left = (ph - nh) // 2, (pw - nw) // 2
+        padded[top:top + nh, left:left + nw] = scaled
+        sizes.append((ph, pw))
+        per_img = [norm(_resize_bilinear(padded, S, S))]  # global first
+        for i in range(0, ph, S):
+            for j in range(0, pw, S):
+                per_img.append(norm(padded[i:i + S, j:j + S]))
+        crops.extend(per_img)
+        cpi.append(len(per_img))
+    return {"pixel_values": np.stack(crops).astype(np.float32),
+            "image_sizes": np.asarray(sizes, np.int64),
+            "crops_per_image": np.asarray(cpi, np.int64)}
+
+
+def phi3v_tokens_per_image(hf_config, padded_hw: Tuple[int, int]) -> int:
+    """(h*w+1)*half^2 + 1 + (h+1)*half with half = grid//2 (reference
+    phi3v.py get_phi3v_image_feature_size:314-326, 336-general)."""
+    vc = hf_config.vision_config
+    S = vc.image_size
+    half = (S // vc.patch_size) // 2
+    h, w = padded_hw[0] // S, padded_hw[1] // S
+    return (h * w + 1) * half * half + 1 + (h + 1) * half
+
+
 class MultiModalRegistry:
     """Maps raw per-request multimodal data to model input tensors and
     expands prompt placeholders to patch-token runs."""
 
     _ANYRES_ARCHS = ("LlavaNextForConditionalGeneration", )
+    _PHI3V_ARCHS = ("Phi3VForCausalLM", )
 
     def __init__(self) -> None:
         self._mappers: Dict[str, Callable] = {}
@@ -201,6 +296,8 @@ class MultiModalRegistry:
         if arch in self._ANYRES_ARCHS:
             return llava_next_image_mapper(hf_config,
                                            multi_modal_data["image"])
+        if arch in self._PHI3V_ARCHS:
+            return phi3v_image_mapper(hf_config, multi_modal_data["image"])
         return clip_image_mapper(hf_config.vision_config,
                                  multi_modal_data["image"])
 
@@ -223,6 +320,9 @@ class MultiModalRegistry:
                 _, _, uh, uw = _anyres_unpadded_grid(hf_config, hw)
                 out.append(base + uh * (uw + 1))  # +1: newline per row
             return out
+        if self._arch(hf_config) in self._PHI3V_ARCHS:
+            return [phi3v_tokens_per_image(hf_config, tuple(hw)) for hw in
+                    np.asarray(mm_inputs["image_sizes"]).tolist()]
         n = mm_inputs["pixel_values"].shape[0]
         return [self.tokens_per_image(hf_config)] * n
 

@@ -129,6 +129,46 @@ class JAISConfig(PretrainedConfig):
         super().__init__(**kwargs)
 
 
+class Phi3VConfig(PretrainedConfig):
+    """Phi-3-Vision (remote-code model_type "phi3_v"): phi3-style text
+    fields at top level plus img_processor/embd_layer dicts. Synthesizes
+    the fixed CLIP ViT-L/14-336 vision_config (reference phi3v.py:60-69)
+    and the hardcoded image token id 32044 (phi3v.py:54) so the shared
+    multimodal machinery can treat it like any vision-language model."""
+
+    model_type = "phi3_v"
+
+    def __init__(self, img_processor=None, embd_layer=None,
+                 num_crops: int = 16, vision_config=None, **kwargs) -> None:
+        kwargs.setdefault("hidden_size", 3072)
+        kwargs.setdefault("num_hidden_layers", 32)
+        kwargs.setdefault("num_attention_heads", 32)
+        kwargs.setdefault("vocab_size", 32064)
+        kwargs.setdefault("intermediate_size", 8192)
+        super().__init__(**kwargs)
+        for k, v in kwargs.items():
+            if not hasattr(self, k):
+                setattr(self, k, v)
+        self.img_processor = img_processor or {}
+        self.embd_layer = embd_layer or {
+            "embedding_cls": "image", "hd_transform_order": "glb_sub",
+            "use_hd_transform": True, "with_learnable_separator": True}
+        self.num_crops = num_crops
+        if not hasattr(self, "image_token_index"):
+            self.image_token_index = 32044
+        from transformers import CLIPVisionConfig
+        if isinstance(vision_config, dict):
+            self.vision_config = CLIPVisionConfig(**vision_config)
+        elif vision_config is not None:
+            self.vision_config = vision_config
+        else:
+            self.vision_config = CLIPVisionConfig(
+                dropout=0.0, hidden_size=1024, image_size=336,
+                intermediate_size=4096, num_attention_heads=16,
+                num_channels=3, num_hidden_layers=24, patch_size=14,
+                projection_dim=768)
+
+
 _CUSTOM_CONFIGS = {
     "mlp_speculator": MLPSpeculatorConfig,
     "baichuan": LlamaLikeConfig,
@@ -145,6 +185,7 @@ _CUSTOM_CONFIGS = {
     "deepseek": LlamaLikeConfig,
     "arctic": LlamaLikeConfig,
     "phi3small": LlamaLikeConfig,
+    "phi3_v": Phi3VConfig,
 }
 
 
