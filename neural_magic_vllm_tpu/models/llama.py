@@ -42,7 +42,8 @@ def stack_layer_params(layers: List[Dict[str, Any]]) -> Dict[str, Any]:
 _CAST_DTYPES = ("float16", "float32", "float64")
 _KEEP_DTYPE_NAMES = frozenset(
     {"qweight", "scales", "zeros", "input_perm", "weight_scale",
-     "input_scale", "kv_scales"})
+     "input_scale", "kv_scales", "lookup_table", "codes", "codebooks",
+     "absmax"})
 
 
 def cast_params_to(params, dtype):

@@ -14,8 +14,13 @@ from neural_magic_vllm_tpu.quantization.base import QuantizationConfig
 from neural_magic_vllm_tpu.quantization.compressed_tensors import \
     CompressedTensorsConfig
 from neural_magic_vllm_tpu.quantization.fp8 import Fp8Config
+from neural_magic_vllm_tpu.quantization.aqlm import AQLMConfig
+from neural_magic_vllm_tpu.quantization.bitsandbytes import \
+    BitsAndBytesConfig
+from neural_magic_vllm_tpu.quantization.deepspeedfp import DeepSpeedFPConfig
 from neural_magic_vllm_tpu.quantization.gptq import GPTQConfig
 from neural_magic_vllm_tpu.quantization.sparsity import SparseW16A16Config
+from neural_magic_vllm_tpu.quantization.squeezellm import SqueezeLLMConfig
 
 QUANTIZATION_METHODS: Dict[str, Type[QuantizationConfig]] = {
     "gptq": GPTQConfig,
@@ -28,6 +33,10 @@ QUANTIZATION_METHODS: Dict[str, Type[QuantizationConfig]] = {
     "compressed-tensors": CompressedTensorsConfig,
     "compressed_tensors": CompressedTensorsConfig,
     "sparseml": CompressedTensorsConfig,
+    "squeezellm": SqueezeLLMConfig,
+    "aqlm": AQLMConfig,
+    "deepspeedfp": DeepSpeedFPConfig,
+    "bitsandbytes": BitsAndBytesConfig,
     # NM fork --sparsity values (dense execution on TPU; sparsity.py)
     "sparse_w16a16": SparseW16A16Config,
     "semi_structured_sparse_w16a16": SparseW16A16Config,
@@ -86,4 +95,6 @@ def create_quant_config(model_config) -> Optional[QuantizationConfig]:
         return Fp8Config()
     if cls is CompressedTensorsConfig:
         return CompressedTensorsConfig("w8a8")
+    if cls is SqueezeLLMConfig:
+        return SqueezeLLMConfig(weight_bits=4)
     return cls.from_config({})
