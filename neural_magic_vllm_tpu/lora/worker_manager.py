@@ -31,12 +31,20 @@ def _set_slot(stack: jax.Array, slot: jax.Array,
 
 class WorkerLoRAManager:
 
-    def __init__(self, lora_config, model, dtype=jnp.bfloat16) -> None:
+    def __init__(self, lora_config, model, dtype=jnp.bfloat16,
+                 mesh=None) -> None:
         self.max_loras = lora_config.max_loras
         self.max_rank = lora_config.max_lora_rank
         self.num_slots = lora_config.max_loras + 1  # slot 0 = null
         self.model = model
         self.dtype = dtype
+        self.mesh = mesh
+        self.fully_sharded = bool(
+            getattr(lora_config, "fully_sharded_loras", False))
+        self.long_factors = getattr(lora_config,
+                                    "long_lora_scaling_factors", None)
+        self.base_max_len = int(
+            getattr(model.cfg, "max_position_embeddings", 2048) or 2048)
         self._slot_of: Dict[int, int] = {}  # lora_int_id -> slot
         self._lru: List[int] = []  # lora ids, most recent last
         self._registered: Dict[int, LoRARequest] = {}
@@ -45,14 +53,57 @@ class WorkerLoRAManager:
         r = self.max_rank
         dims = self._linear_dims()
         self.a_stacks = {
-            k: jnp.zeros((L, self.num_slots, dims[k][0], r), dtype)
+            k: self._place(jnp.zeros((L, self.num_slots, dims[k][0], r),
+                                     dtype), k, "a")
             for k in _TARGET_KEYS
         }
         self.b_stacks = {
-            k: jnp.zeros((L, self.num_slots, r, dims[k][1]), dtype)
+            k: self._place(jnp.zeros((L, self.num_slots, r, dims[k][1]),
+                                     dtype), k, "b")
             for k in _TARGET_KEYS
         }
         self.scaling = jnp.zeros((self.num_slots, ), jnp.float32)
+        # per-slot rope position divisor (long-context LoRA, reference
+        # LongContextLoRAContext, lora/models.py:30)
+        self.pos_scale = jnp.ones((self.num_slots, ), jnp.float32)
+
+    _ROW_KEYS = ("o", "down")  # row-parallel targets (input dim sharded)
+
+    def _spec(self, key: str, which: str, shape) -> "jax.sharding.PartitionSpec":
+        """TP PartitionSpec for one stack [L, S, in|r, r|out].
+
+        Default (reference layers.py WithLoRA): column targets shard B on
+        out, A replicated; row targets shard A on in, B replicated. With
+        --fully-sharded-loras (reference fully_sharded_layers.py, S-LoRA):
+        additionally shard the RANK dim — A's r for column targets, B's r
+        for row targets; GSPMD inserts the all-gather on the [T, r]
+        intermediate the reference codes by hand."""
+        from jax.sharding import PartitionSpec as P
+        tp = self.mesh.shape.get("model", 1) if self.mesh else 1
+
+        def ok(dim):
+            return dim % tp == 0
+
+        row = key in self._ROW_KEYS
+        if which == "a":
+            if row and ok(shape[2]):
+                return P(None, None, "model", None)
+            if not row and self.fully_sharded and ok(shape[3]):
+                return P(None, None, None, "model")
+        else:
+            if not row and ok(shape[3]):
+                return P(None, None, None, "model")
+            if row and self.fully_sharded and ok(shape[2]):
+                return P(None, None, "model", None)
+        return P(None, None, None, None)
+
+    def _place(self, arr: jax.Array, key: str, which: str) -> jax.Array:
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding
+        return jax.device_put(
+            arr, NamedSharding(self.mesh, self._spec(key, which,
+                                                     arr.shape)))
 
     def _linear_dims(self) -> Dict[str, tuple]:
         m = self.model
@@ -116,6 +167,16 @@ class WorkerLoRAManager:
         model_lora = LoRAModel.from_local_checkpoint(
             req.lora_local_path, self.model.num_layers, self.max_rank)
         self._load_into_slot(slot, model_lora)
+        factor = 1.0
+        if req.long_lora_max_len:
+            factor = req.long_lora_max_len / self.base_max_len
+            if self.long_factors and \
+                    not any(abs(factor - f) < 1e-6
+                            for f in self.long_factors):
+                raise ValueError(
+                    f"long-LoRA scaling factor {factor} not in "
+                    f"--long-lora-scaling-factors {self.long_factors}")
+        self.pos_scale = self.pos_scale.at[slot].set(factor)
         self._slot_of[lora_id] = slot
         self._lru.append(lora_id)
         logger.info("Activated LoRA %s (id=%d) in slot %d", req.lora_name,
@@ -141,4 +202,4 @@ class WorkerLoRAManager:
     def lora_params(self) -> Dict:
         """The pytree handed to the model forward (scan slices layer axis)."""
         return {"a": self.a_stacks, "b": self.b_stacks,
-                "scaling": self.scaling}
+                "scaling": self.scaling, "pos_scale": self.pos_scale}

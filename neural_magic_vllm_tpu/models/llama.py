@@ -339,7 +339,14 @@ class LlamaForCausalLM:
             flat_embeds, mm_idx = mm
             img = jnp.take(flat_embeds, jnp.clip(mm_idx, 0), axis=0)
             x = jnp.where((mm_idx >= 0)[:, None], img.astype(x.dtype), x)
-        rope_cos, rope_sin = self.rope.precompute(positions)
+        pos = positions
+        if lora is not None and "pos_scale" in lora:
+            # long-context LoRA: per-request linear rope scaling by the
+            # adapter's factor (reference LongContextLoRAContext,
+            # lora/models.py:30; positions/factor == linear scaling)
+            pos = positions.astype(jnp.float32) / jnp.take(
+                lora["pos_scale"], lora_idx)
+        rope_cos, rope_sin = self.rope.precompute(pos)
 
         layer_ids = jnp.arange(self.num_layers, dtype=jnp.int32)
         if lora is None:

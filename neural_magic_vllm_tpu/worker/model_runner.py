@@ -203,7 +203,7 @@ class TPUModelRunner:
                 WorkerLoRAManager
             self.lora_manager = WorkerLoRAManager(
                 self.lora_config, self.model,
-                dtype=jnp.dtype(self.model_config.dtype))
+                dtype=jnp.dtype(self.model_config.dtype), mesh=self.mesh)
         logger.info("Model loaded in %.2fs", time.time() - t0)
 
     def save_state(self, model_dir: str) -> None:
@@ -269,11 +269,28 @@ class TPUModelRunner:
         return slot
 
     def kv_sharding(self):
-        """KV stacks [L, nb, kvh, bs, hd]: kv-head axis over "model"."""
+        """KV stacks [L, nb, kvh, bs, hd] are GLOBAL-shaped (total kv
+        heads); the kv-head axis shards over "model" when it divides
+        evenly, else the cache replicates (TP > kv heads: every chip
+        serves all heads, matching query-head replication)."""
         if self.mesh is None:
             return None
         from jax.sharding import NamedSharding, PartitionSpec as P
-        return NamedSharding(self.mesh, P(None, None, "model", None, None))
+        tp = self.mesh.shape.get("model", 1)
+        total_kv = self.model_config.get_total_num_kv_heads()
+        spec = P(None, None, "model", None, None) \
+            if total_kv % tp == 0 else P(None, None, None, None, None)
+        return NamedSharding(self.mesh, spec)
+
+    def draft_kv_sharding(self):
+        if self.mesh is None or self.draft_model_config is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        tp = self.mesh.shape.get("model", 1)
+        total_kv = self.draft_model_config.get_total_num_kv_heads()
+        spec = P(None, None, "model", None, None) \
+            if total_kv % tp == 0 else P(None, None, None, None, None)
+        return NamedSharding(self.mesh, spec)
 
     # --- step executables -----------------------------------------------------
     def _get_fn(self, kind: str, num_logprobs: int):

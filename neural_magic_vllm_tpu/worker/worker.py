@@ -114,8 +114,9 @@ class Worker:
         self.cache_engine = CacheEngine(
             num_layers=self.model_config.get_num_layers(
                 self.parallel_config),
-            num_kv_heads=self.model_config.get_num_kv_heads(
-                self.parallel_config),
+            # GLOBAL kv-head count: under GSPMD the cache array keeps its
+            # global shape and the kv-head axis is sharded by kv_sharding()
+            num_kv_heads=self.model_config.get_total_num_kv_heads(),
             head_dim=self.model_config.get_head_size(),
             block_size=self.cache_config.block_size,
             num_device_blocks=num_gpu_blocks,
@@ -127,12 +128,12 @@ class Worker:
         if dmc is not None:
             self.model_runner.draft_cache_engine = CacheEngine(
                 num_layers=dmc.get_num_layers(self.parallel_config),
-                num_kv_heads=dmc.get_num_kv_heads(self.parallel_config),
+                num_kv_heads=dmc.get_total_num_kv_heads(),
                 head_dim=dmc.get_head_size(),
                 block_size=self.cache_config.block_size,
                 num_device_blocks=num_gpu_blocks,
                 num_cpu_blocks=0, kv_dtype=kv_dtype,
-                sharding=self.model_runner.kv_sharding())
+                sharding=self.model_runner.draft_kv_sharding())
         warm = not self.model_config.enforce_eager
         if warm and jax.default_backend() in ("tpu", "axon"):
             self.model_runner.warmup(self.cache_engine, full=False)

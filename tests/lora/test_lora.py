@@ -130,6 +130,45 @@ def test_mixed_lora_batch(lora_setup):
     # per-row equality with the solo runs is the routing correctness check)
 
 
+def test_long_context_lora(lora_setup, tmp_path):
+    """Long-context LoRA: an adapter served with long_lora_max_len = 2x
+    the base window must decode exactly like the merged-weight checkpoint
+    with linear rope scaling factor 2 in its config."""
+    import json
+    import shutil
+    from neural_magic_vllm_tpu import LLM
+    from neural_magic_vllm_tpu.lora import LoRARequest
+    base_dir, a1, _ = lora_setup
+
+    with open(os.path.join(base_dir, "config.json")) as f:
+        base_cfg = json.load(f)
+    base_max = base_cfg["max_position_embeddings"]
+
+    # golden: merged adapter weights + model-level linear rope scaling
+    scaled_dir = str(tmp_path / "merged-rope2")
+    shutil.copytree(a1 + "-merged", scaled_dir)
+    with open(os.path.join(scaled_dir, "config.json")) as f:
+        cfg = json.load(f)
+    cfg["rope_scaling"] = {"type": "linear", "factor": 2.0}
+    with open(os.path.join(scaled_dir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    golden = _greedy(_llm(scaled_dir))
+
+    kwargs = dict(model=base_dir, dtype="float32", max_model_len=128,
+                  block_size=16, num_gpu_blocks_override=64, max_num_seqs=8,
+                  enforce_eager=True, disable_log_stats=True,
+                  enable_lora=True, max_loras=2, max_lora_rank=8,
+                  long_lora_scaling_factors=[2.0])
+    llm = LLM(**kwargs)
+    req = LoRARequest("a1-long", 1, a1, long_lora_max_len=2 * base_max)
+    assert _greedy(llm, lora_request=req) == golden
+
+    # factor not in the allowed list -> rejected
+    bad = LoRARequest("a1-bad", 2, a1, long_lora_max_len=3 * base_max)
+    with pytest.raises(Exception):
+        _greedy(llm, lora_request=bad)
+
+
 def test_lora_management_api(lora_setup):
     from neural_magic_vllm_tpu.lora import LoRARequest
     base_dir, a1, _ = lora_setup
