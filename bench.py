@@ -25,7 +25,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 MODEL = os.environ.get("BENCH_MODEL", "llama3-8b-w4a16")
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))  # 384 exceeds v5e HBM
 PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", "64"))
 DECODE_STEPS = int(os.environ.get("BENCH_DECODE_STEPS", "96"))
 HBM_BW_GBS = float(os.environ.get("BENCH_HBM_BW_GBS", "819"))

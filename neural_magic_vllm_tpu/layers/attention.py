@@ -7,7 +7,8 @@ import jax
 import jax.numpy as jnp
 
 from neural_magic_vllm_tpu.ops.attention import get_attention_backend
-from neural_magic_vllm_tpu.ops.kv_cache import KVCache, write_kv
+from neural_magic_vllm_tpu.ops.kv_cache import (KVCache, write_kv,
+                                                 write_kv_flat)
 
 
 class AttentionMetadata(NamedTuple):
@@ -68,15 +69,21 @@ class Attention:
         q: jax.Array,  # [T, num_heads, head_dim]
         k: jax.Array,  # [T, num_kv_heads, head_dim]
         v: jax.Array,
-        kv_cache: KVCache,
+        kv_cache: KVCache,  # layer-FLAT stacks [L*nb, kvh, bs, hd] with
+        # layer_id+num_blocks given; plain per-layer caches otherwise
         meta: AttentionMetadata,
         *,
         is_prefill: bool,
+        layer_id=None,  # traced scalar layer index into the flat stacks
+        num_blocks: int = None,  # blocks per layer (static)
         window=None,  # traced per-layer window (gemma2 alternation);
         # overrides the static sliding_window when given
         kv_scales=None,  # [2] f32 (k_scale, v_scale) for fp8 KV caches
     ) -> Tuple[jax.Array, KVCache]:
         sliding = window if window is not None else self.sliding_window
+        if layer_id is None:  # single-layer caches: row 0 of a 1-layer view
+            num_blocks = kv_cache[0].shape[0]
+            layer_id = jnp.int32(0)
         if kv_scales is not None:
             # fp8 KV with per-tensor scales (reference Fp8KVCacheMethod,
             # fp8.py:563): cache stores k/s_k and v/s_v; the dequant folds
@@ -88,8 +95,10 @@ class Attention:
             k = (k.astype(jnp.float32) / k_s).astype(k.dtype)
             v = (v.astype(jnp.float32) / v_s).astype(v.dtype)
             q = (q.astype(jnp.float32) * k_s).astype(q.dtype)
-        k_cache, v_cache = write_kv(kv_cache[0], kv_cache[1], k, v,
-                                    meta.slot_mapping)
+        k_cache, v_cache = write_kv_flat(kv_cache[0], kv_cache[1], k, v,
+                                         meta.slot_mapping, layer_id,
+                                         num_blocks)
+        block_off = layer_id * num_blocks
         if is_prefill and meta.seq_ids is not None:
             if self.alibi_slopes is not None or self.blocksparse is not None:
                 from neural_magic_vllm_tpu.ops.attention import \
@@ -109,7 +118,7 @@ class Attention:
             kw = {} if self.blocksparse is None else \
                 {"blocksparse": self.blocksparse}
             out = self._prefill_fn(q, k, v, k_cache, v_cache,
-                                   meta.block_tables[0],
+                                   meta.block_tables[0] + block_off,
                                    meta.context_lens[0],
                                    scale=self.scale,
                                    sliding_window=sliding,
@@ -118,7 +127,8 @@ class Attention:
         else:
             kw = {} if self.blocksparse is None else \
                 {"blocksparse": self.blocksparse}
-            out = self._decode_fn(q, k_cache, v_cache, meta.block_tables,
+            out = self._decode_fn(q, k_cache, v_cache,
+                                  meta.block_tables + block_off,
                                   meta.context_lens,
                                   scale=self.scale,
                                   sliding_window=sliding,

@@ -214,7 +214,7 @@ class ArcticForCausalLM(LlamaForCausalLM):
                          lp["experts"]["w_down"], weights, ids)
 
     def _attn_block(self, lp, res, rope_cos, rope_sin, k_cache, v_cache,
-                    meta, is_prefill):
+                    meta, is_prefill, layer_id):
         T = res.shape[0]
         normed = rms_norm(res, lp["input_norm"], self.rms_eps)
         q = self._linear(lp, "q", normed).reshape(T, self.num_heads,
@@ -226,16 +226,19 @@ class ArcticForCausalLM(LlamaForCausalLM):
         q, k = self.rope.apply(rope_cos, rope_sin, q, k)
         attn_out, new_cache = self.attn(q, k, v, (k_cache, v_cache), meta,
                                         is_prefill=is_prefill,
+                                        layer_id=layer_id,
+                                        num_blocks=self._nb,
                                         kv_scales=lp.get("kv_scales"))
         out = self._linear(
             lp, "o", attn_out.reshape(T, self.num_heads * self.head_dim))
         return out, new_cache
 
     def _arctic_layer(self, lp, res, rope_cos, rope_sin, k_c, v_c, meta,
-                      is_prefill, is_moe: bool):
+                      is_prefill, is_moe: bool, layer_id=None):
         residual_input = res
         attn_out, new_cache = self._attn_block(lp, res, rope_cos, rope_sin,
-                                               k_c, v_c, meta, is_prefill)
+                                               k_c, v_c, meta, is_prefill,
+                                               layer_id)
         res = residual_input + attn_out
         if is_moe and self.use_residual:
             # two parallel branches (arctic.py:343-356): residual_mlp off
@@ -257,40 +260,45 @@ class ArcticForCausalLM(LlamaForCausalLM):
             raise NotImplementedError("LoRA on Arctic")
         assert mm is None
         k_stack, v_stack = kv_caches
+        L, nb = k_stack.shape[0], k_stack.shape[1]
+        self._nb = nb
+        k_flat = k_stack.reshape((L * nb, ) + k_stack.shape[2:])
+        v_flat = v_stack.reshape((L * nb, ) + v_stack.shape[2:])
         x = self.embed_tokens(params, token_ids)
         rope_cos, rope_sin = self.rope.precompute(positions)
 
         if self.moe_freq == 1:
-            def body1(res, xs_):
-                lp, k_c, v_c = xs_
-                res, kv = self._arctic_layer(lp, res, rope_cos, rope_sin,
-                                             k_c, v_c, meta, is_prefill,
-                                             True)
-                return res, kv
+            def body1(carry, xs_):
+                res, k_f, v_f = carry
+                lp, lid = xs_
+                res, (k_f, v_f) = self._arctic_layer(
+                    lp, res, rope_cos, rope_sin, k_f, v_f, meta,
+                    is_prefill, True, lid)
+                return (res, k_f, v_f), None
 
-            x, (new_k, new_v) = jax.lax.scan(
-                body1, x, (params["layers"], k_stack, v_stack))
+            (x, k_flat, v_flat), _ = jax.lax.scan(
+                body1, (x, k_flat, v_flat),
+                (params["layers"], jnp.arange(L, dtype=jnp.int32)))
             final = rms_norm(x, params["final_norm"], self.rms_eps)
-            return final, (new_k, new_v)
+            return final, (k_flat.reshape(k_stack.shape),
+                           v_flat.reshape(v_stack.shape))
 
         # freq == 2: scan over (dense, moe) layer pairs
-        def pair_body(res, xs_):
-            dlp, mlp_, kd, vd, km, vm = xs_
-            res, (nkd, nvd) = self._arctic_layer(dlp, res, rope_cos,
-                                                 rope_sin, kd, vd, meta,
-                                                 is_prefill, False)
-            res, (nkm, nvm) = self._arctic_layer(mlp_, res, rope_cos,
-                                                 rope_sin, km, vm, meta,
-                                                 is_prefill, True)
-            return res, (nkd, nvd, nkm, nvm)
+        def pair_body(carry, xs_):
+            res, k_f, v_f = carry
+            dlp, mlp_, pair = xs_
+            res, (k_f, v_f) = self._arctic_layer(
+                dlp, res, rope_cos, rope_sin, k_f, v_f, meta, is_prefill,
+                False, 2 * pair)
+            res, (k_f, v_f) = self._arctic_layer(
+                mlp_, res, rope_cos, rope_sin, k_f, v_f, meta, is_prefill,
+                True, 2 * pair + 1)
+            return (res, k_f, v_f), None
 
-        x, (nkd, nvd, nkm, nvm) = jax.lax.scan(
-            pair_body, x,
-            (params["dense_layers"], params["layers"], k_stack[0::2],
-             v_stack[0::2], k_stack[1::2], v_stack[1::2]))
-        # re-interleave the per-pair KV outputs back to layer order
-        L = self.num_layers
-        new_k = jnp.stack([nkd, nkm], axis=1).reshape((L, ) + nkd.shape[1:])
-        new_v = jnp.stack([nvd, nvm], axis=1).reshape((L, ) + nvd.shape[1:])
+        (x, k_flat, v_flat), _ = jax.lax.scan(
+            pair_body, (x, k_flat, v_flat),
+            (params["dense_layers"], params["layers"],
+             jnp.arange(L // 2, dtype=jnp.int32)))
         final = rms_norm(x, params["final_norm"], self.rms_eps)
-        return final, (new_k, new_v)
+        return final, (k_flat.reshape(k_stack.shape),
+                       v_flat.reshape(v_stack.shape))

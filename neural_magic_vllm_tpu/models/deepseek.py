@@ -225,6 +225,8 @@ class DeepseekForCausalLM(LlamaForCausalLM):
         q, k = self.rope.apply(rope_cos, rope_sin, q, k)
         attn_out, new_cache = self.attn(q, k, v, (k_cache, v_cache), meta,
                                         is_prefill=is_prefill,
+                                        layer_id=layer_id,
+                                        num_blocks=self._nb,
                                         kv_scales=lp.get("kv_scales"))
         res = res + self._linear(
             lp, "o", attn_out.reshape(T, self.num_heads * self.head_dim))
@@ -241,29 +243,38 @@ class DeepseekForCausalLM(LlamaForCausalLM):
             raise NotImplementedError("LoRA on DeepSeek MoE")
         assert mm is None
         k_stack, v_stack = kv_caches
+        L, nb = k_stack.shape[0], k_stack.shape[1]
+        self._nb = nb
+        k_flat = k_stack.reshape((L * nb, ) + k_stack.shape[2:])
+        v_flat = v_stack.reshape((L * nb, ) + v_stack.shape[2:])
         x = self.embed_tokens(params, token_ids)
         rope_cos, rope_sin = self.rope.precompute(positions)
         fd = self.first_dense
 
-        def scan_layers(x, layer_params, k_part, v_part, is_moe):
-            def body(res, xs_):
-                lp, k_c, v_c = xs_
-                res, (nk, nv) = self._layer(lp, res, rope_cos, rope_sin,
-                                            k_c, v_c, meta, is_prefill,
-                                            is_moe=is_moe)
-                return res, (nk, nv)
+        def scan_layers(x, k_f, v_f, layer_params, lid0, n, is_moe):
+            def body(carry, xs_):
+                res, k_f, v_f = carry
+                lp, lid = xs_
+                res, (k_f, v_f) = self._layer(lp, res, rope_cos, rope_sin,
+                                              k_f, v_f, meta, is_prefill,
+                                              layer_id=lid, is_moe=is_moe)
+                return (res, k_f, v_f), None
 
-            return jax.lax.scan(body, x, (layer_params, k_part, v_part))
+            lids = lid0 + jnp.arange(n, dtype=jnp.int32)
+            (x, k_f, v_f), _ = jax.lax.scan(body, (x, k_f, v_f),
+                                            (layer_params, lids))
+            return x, k_f, v_f
 
         if fd:
-            x, (dk, dv) = scan_layers(x, params["dense_layers"],
-                                      k_stack[:fd], v_stack[:fd], False)
-            x, (mk, mv) = scan_layers(x, params["layers"], k_stack[fd:],
-                                      v_stack[fd:], True)
-            new_k = jnp.concatenate([dk, mk], axis=0)
-            new_v = jnp.concatenate([dv, mv], axis=0)
+            x, k_flat, v_flat = scan_layers(x, k_flat, v_flat,
+                                            params["dense_layers"], 0, fd,
+                                            False)
+            x, k_flat, v_flat = scan_layers(x, k_flat, v_flat,
+                                            params["layers"], fd, L - fd,
+                                            True)
         else:
-            x, (new_k, new_v) = scan_layers(x, params["layers"], k_stack,
-                                            v_stack, True)
+            x, k_flat, v_flat = scan_layers(x, k_flat, v_flat,
+                                            params["layers"], 0, L, True)
         final = rms_norm(x, params["final_norm"], self.rms_eps)
-        return final, (new_k, new_v)
+        return final, (k_flat.reshape(k_stack.shape),
+                       v_flat.reshape(v_stack.shape))

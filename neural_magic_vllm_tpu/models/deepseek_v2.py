@@ -323,7 +323,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
     # --- forward -----------------------------------------------------------------
     def _mla_attention(self, lp, res, rope_cos, rope_sin, k_cache, v_cache,
-                       meta, is_prefill):
+                       meta, is_prefill, layer_id=None):
         lm = self.linear_method
         T = res.shape[0]
         nh = self.num_heads
@@ -355,7 +355,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         v_pad = jnp.pad(v, ((0, 0), (0, 0),
                             (0, self.qk_head_dim - self.v_head_dim)))
         attn_out, new_cache = self.attn(q, k, v_pad, (k_cache, v_cache),
-                                        meta, is_prefill=is_prefill)
+                                        meta, is_prefill=is_prefill,
+                                        layer_id=layer_id,
+                                        num_blocks=self._nb)
         attn_out = attn_out[..., :self.v_head_dim].reshape(
             T, nh * self.v_head_dim)
         return lm.apply(lp["o"], attn_out), new_cache
@@ -379,10 +381,10 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         return out
 
     def _ds_layer(self, lp, res, rope_cos, rope_sin, k_c, v_c, meta,
-                  is_prefill, is_moe: bool):
+                  is_prefill, is_moe: bool, layer_id=None):
         attn_out, new_cache = self._mla_attention(lp, res, rope_cos,
                                                   rope_sin, k_c, v_c, meta,
-                                                  is_prefill)
+                                                  is_prefill, layer_id)
         res = res + attn_out
         normed2 = rms_norm(res, lp["post_norm"], self.rms_eps)
         if is_moe and self.n_routed:
@@ -397,29 +399,38 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             raise NotImplementedError("LoRA on DeepSeek-V2 MLA")
         assert mm is None  # text-only model
         k_stack, v_stack = kv_caches
+        L, nb = k_stack.shape[0], k_stack.shape[1]
+        self._nb = nb
+        k_flat = k_stack.reshape((L * nb, ) + k_stack.shape[2:])
+        v_flat = v_stack.reshape((L * nb, ) + v_stack.shape[2:])
         x = self.embed_tokens(params, token_ids)
         rope_cos, rope_sin = self.rope.precompute(positions)
         fd = self.first_dense
 
-        def scan_layers(x, layer_params, k_part, v_part, is_moe):
-            def body(res, xs_):
-                lp, k_c, v_c = xs_
-                res, (nk, nv) = self._ds_layer(lp, res, rope_cos, rope_sin,
-                                               k_c, v_c, meta, is_prefill,
-                                               is_moe)
-                return res, (nk, nv)
+        def scan_layers(x, k_f, v_f, layer_params, lid0, n, is_moe):
+            def body(carry, xs_):
+                res, k_f, v_f = carry
+                lp, lid = xs_
+                res, (k_f, v_f) = self._ds_layer(lp, res, rope_cos,
+                                                 rope_sin, k_f, v_f, meta,
+                                                 is_prefill, is_moe, lid)
+                return (res, k_f, v_f), None
 
-            return jax.lax.scan(body, x, (layer_params, k_part, v_part))
+            lids = lid0 + jnp.arange(n, dtype=jnp.int32)
+            (x, k_f, v_f), _ = jax.lax.scan(body, (x, k_f, v_f),
+                                            (layer_params, lids))
+            return x, k_f, v_f
 
         if fd:
-            x, (dk, dv) = scan_layers(x, params["dense_layers"],
-                                      k_stack[:fd], v_stack[:fd], False)
-            x, (mk, mv) = scan_layers(x, params["layers"], k_stack[fd:],
-                                      v_stack[fd:], True)
-            new_k = jnp.concatenate([dk, mk], axis=0)
-            new_v = jnp.concatenate([dv, mv], axis=0)
+            x, k_flat, v_flat = scan_layers(x, k_flat, v_flat,
+                                            params["dense_layers"], 0, fd,
+                                            False)
+            x, k_flat, v_flat = scan_layers(x, k_flat, v_flat,
+                                            params["layers"], fd, L - fd,
+                                            True)
         else:
-            x, (new_k, new_v) = scan_layers(x, params["layers"], k_stack,
-                                            v_stack, True)
+            x, k_flat, v_flat = scan_layers(x, k_flat, v_flat,
+                                            params["layers"], 0, L, True)
         final = rms_norm(x, params["final_norm"], self.rms_eps)
-        return final, (new_k, new_v)
+        return final, (k_flat.reshape(k_stack.shape),
+                       v_flat.reshape(v_stack.shape))

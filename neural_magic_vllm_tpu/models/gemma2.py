@@ -82,6 +82,8 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
         q, k = self.rope.apply(rope_cos, rope_sin, q, k)
         attn_out, new_cache = self.attn(q, k, v, (k_cache, v_cache), meta,
                                         is_prefill=is_prefill,
+                                        layer_id=layer_id,
+                                        num_blocks=self._nb,
                                         window=window)
         attn_out = self._linear(
             lp, "o", attn_out.reshape(T, self.num_heads * self.head_dim),

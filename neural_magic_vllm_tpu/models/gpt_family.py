@@ -268,7 +268,7 @@ class GPTFamilyForCausalLM:
         return lm.apply(lp["fc2"], self.act(lm.apply(lp["fc1"], h)))
 
     def _layer(self, lp, res, rope_cos, rope_sin, k_cache, v_cache, meta,
-               is_prefill: bool):
+               is_prefill: bool, layer_id=None):
         lm = self.linear_method
         T = res.shape[0]
         h = _ln(lp.get("ln1"), res, self.eps)
@@ -280,7 +280,9 @@ class GPTFamilyForCausalLM:
         if self.rope is not None:
             q, k = self.rope.apply(rope_cos, rope_sin, q, k)
         attn_out, new_cache = self.attn(q, k, v, (k_cache, v_cache), meta,
-                                        is_prefill=is_prefill)
+                                        is_prefill=is_prefill,
+                                        layer_id=layer_id,
+                                        num_blocks=self._nb)
         o = lm.apply(lp["o"],
                      attn_out.reshape(T, self.num_heads * self.head_dim))
         if self.parallel_block:
@@ -306,17 +308,26 @@ class GPTFamilyForCausalLM:
             rope_cos = rope_sin = jnp.zeros((token_ids.shape[0], 1),
                                             jnp.float32)
 
-        def body(res, xs_):
-            lp, k_c, v_c = xs_
-            res, (nk, nv) = self._layer(lp, res, rope_cos, rope_sin, k_c,
-                                        v_c, meta, is_prefill)
-            return res, (nk, nv)
+        L, nb = k_stack.shape[0], k_stack.shape[1]
+        self._nb = nb
+        k_flat = k_stack.reshape((L * nb, ) + k_stack.shape[2:])
+        v_flat = v_stack.reshape((L * nb, ) + v_stack.shape[2:])
+        layer_ids = jnp.arange(L, dtype=jnp.int32)
 
-        res, (new_k, new_v) = jax.lax.scan(
-            body, x, (params["layers"], k_stack, v_stack))
+        def body(carry, xs_):
+            res, k_f, v_f = carry
+            lp, lid = xs_
+            res, (k_f, v_f) = self._layer(lp, res, rope_cos, rope_sin, k_f,
+                                          v_f, meta, is_prefill,
+                                          layer_id=lid)
+            return (res, k_f, v_f), None
+
+        (res, k_flat, v_flat), _ = jax.lax.scan(
+            body, (x, k_flat, v_flat), (params["layers"], layer_ids))
         if "final_norm" in params or self.norm_kind == "nonparam":
             res = _ln(params.get("final_norm"), res, self.eps)
-        return res, (new_k, new_v)
+        return res, (k_flat.reshape(k_stack.shape),
+                     v_flat.reshape(v_stack.shape))
 
     def compute_logits(self, params, hidden: jax.Array) -> jax.Array:
         logits = jnp.dot(hidden, params["lm_head"],
@@ -794,7 +805,7 @@ class CohereForCausalLM(GPTFamilyForCausalLM):
         return True
 
     def _layer(self, lp, res, rope_cos, rope_sin, k_cache, v_cache, meta,
-               is_prefill: bool):
+               is_prefill: bool, layer_id=None):
         lm = self.linear_method
         T = res.shape[0]
         h = _ln(lp.get("ln1"), res, self.eps)
@@ -816,7 +827,9 @@ class CohereForCausalLM(GPTFamilyForCausalLM):
             k = hd_ln(k, lp["k_norm"])
         q, k = self.rope.apply(rope_cos, rope_sin, q, k)
         attn_out, new_cache = self.attn(q, k, v, (k_cache, v_cache), meta,
-                                        is_prefill=is_prefill)
+                                        is_prefill=is_prefill,
+                                        layer_id=layer_id,
+                                        num_blocks=self._nb)
         o = lm.apply(lp["o"],
                      attn_out.reshape(T, self.num_heads * self.head_dim))
         return res + o + self._mlp(lp, h), new_cache
@@ -1096,7 +1109,7 @@ class MptForCausalLM(GPTFamilyForCausalLM):
         super()._finalize_layers(layers)
 
     def _layer(self, lp, res, rope_cos, rope_sin, k_cache, v_cache, meta,
-               is_prefill: bool):
+               is_prefill: bool, layer_id=None):
         if self.clip_qkv is None:
             return super()._layer(lp, res, rope_cos, rope_sin, k_cache,
                                   v_cache, meta, is_prefill)
@@ -1111,7 +1124,9 @@ class MptForCausalLM(GPTFamilyForCausalLM):
         v = jnp.clip(lm.apply(lp["v"], h), -c, c).reshape(
             T, self.num_kv_heads, self.head_dim)
         attn_out, new_cache = self.attn(q, k, v, (k_cache, v_cache), meta,
-                                        is_prefill=is_prefill)
+                                        is_prefill=is_prefill,
+                                        layer_id=layer_id,
+                                        num_blocks=self._nb)
         o = lm.apply(lp["o"],
                      attn_out.reshape(T, self.num_heads * self.head_dim))
         res = res + o
@@ -1314,7 +1329,7 @@ class DbrxForCausalLM(GPTFamilyForCausalLM):
                          lp["experts"]["w_down"], weights, ids)
 
     def _layer(self, lp, res, rope_cos, rope_sin, k_cache, v_cache, meta,
-               is_prefill: bool):
+               is_prefill: bool, layer_id=None):
         lm = self.linear_method
         T = res.shape[0]
         h = _ln(lp.get("ln1"), res, self.eps)
@@ -1331,7 +1346,9 @@ class DbrxForCausalLM(GPTFamilyForCausalLM):
                                                self.head_dim)
         q, k = self.rope.apply(rope_cos, rope_sin, q, k)
         attn_out, new_cache = self.attn(q, k, v, (k_cache, v_cache), meta,
-                                        is_prefill=is_prefill)
+                                        is_prefill=is_prefill,
+                                        layer_id=layer_id,
+                                        num_blocks=self._nb)
         res = res + lm.apply(
             lp["o"], attn_out.reshape(T, self.num_heads * self.head_dim))
         h2 = _ln(lp.get("ln2"), res, self.eps)

@@ -279,14 +279,17 @@ class JambaForCausalLM(LlamaForCausalLM):
         return lm.apply(lp["down"], silu_and_mul(lm.apply(lp["gate"], x),
                                                  lm.apply(lp["up"], x)))
 
-    def _attn_layer(self, lp, x, k_cache, v_cache, meta, is_prefill):
+    def _attn_layer(self, lp, x, k_cache, v_cache, meta, is_prefill,
+                    layer_id=None):
         T = x.shape[0]
         lm = self.linear_method
         q = lm.apply(lp["q"], x).reshape(T, self.num_heads, self.head_dim)
         k = lm.apply(lp["k"], x).reshape(T, self.num_kv_heads, self.head_dim)
         v = lm.apply(lp["v"], x).reshape(T, self.num_kv_heads, self.head_dim)
         out, new_cache = self.attn(q, k, v, (k_cache, v_cache), meta,
-                                   is_prefill=is_prefill)
+                                   is_prefill=is_prefill,
+                                   layer_id=layer_id,
+                                   num_blocks=self._nb)
         return lm.apply(lp["o"],
                         out.reshape(T, self.num_heads * self.head_dim)), \
             new_cache
@@ -295,6 +298,10 @@ class JambaForCausalLM(LlamaForCausalLM):
                 is_prefill: bool, lora=None, lora_idx=None, mm=None):
         assert lora is None and mm is None  # text-only; LoRA later
         k_stack, v_stack, states = kv_caches
+        La, nb = k_stack.shape[0], k_stack.shape[1]
+        self._nb = nb
+        k_flat = k_stack.reshape((La * nb, ) + k_stack.shape[2:])
+        v_flat = v_stack.reshape((La * nb, ) + v_stack.shape[2:])
         conv_all, ssm_all = states["conv"], states["ssm"]
         num_slots = conv_all.shape[1] - 1  # last row = scratch
         slots = meta.state_slots
@@ -304,16 +311,13 @@ class JambaForCausalLM(LlamaForCausalLM):
             fresh = positions[0] == 0
         x = self.embed_tokens(params, token_ids)
         ai = mi = 0
-        new_k, new_v = [], []
         for i, lp in enumerate(params["layers"]):
             res = x
             h = rms_norm(x, lp["input_norm"], self.rms_eps)
             if self.layer_is_attn[i]:
-                h, (nk, nv) = self._attn_layer(lp, h, k_stack[ai],
-                                               v_stack[ai], meta,
-                                               is_prefill)
-                new_k.append(nk)
-                new_v.append(nv)
+                h, (k_flat, v_flat) = self._attn_layer(
+                    lp, h, k_flat, v_flat, meta, is_prefill,
+                    jnp.int32(ai))
                 ai += 1
             else:
                 mp = lp["mamba"]
@@ -345,7 +349,6 @@ class JambaForCausalLM(LlamaForCausalLM):
             h = rms_norm(x, lp["pre_ff_norm"], self.rms_eps)
             x = res + self._ffn(lp, h)
         final = rms_norm(x, params["final_norm"], self.rms_eps)
-        new_kv = (jnp.stack(new_k), jnp.stack(new_v)) if new_k else \
-            (k_stack, v_stack)
-        return final, (new_kv[0], new_kv[1],
+        return final, (k_flat.reshape(k_stack.shape),
+                       v_flat.reshape(v_stack.shape),
                        {"conv": conv_all, "ssm": ssm_all})

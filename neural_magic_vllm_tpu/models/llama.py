@@ -307,6 +307,8 @@ class LlamaForCausalLM:
         q, k = self.rope.apply(rope_cos, rope_sin, q, k)
         attn_out, new_cache = self.attn(q, k, v, (k_cache, v_cache), meta,
                                         is_prefill=is_prefill,
+                                        layer_id=layer_id,
+                                        num_blocks=self._nb,
                                         kv_scales=lp.get("kv_scales"))
         attn_out = self._linear(
             lp, "o", attn_out.reshape(T, self.num_heads * self.head_dim),
@@ -348,29 +350,39 @@ class LlamaForCausalLM:
                 lora["pos_scale"], lora_idx)
         rope_cos, rope_sin = self.rope.precompute(pos)
 
+        # KV stacks ride the scan CARRY layer-flattened so the per-layer
+        # scatter updates them IN PLACE (donated buffers, zero temp): the
+        # previous xs->ys form double-buffered the whole cache every step.
+        L, nb = k_stack.shape[0], k_stack.shape[1]
+        self._nb = nb
+        k_flat = k_stack.reshape((L * nb, ) + k_stack.shape[2:])
+        v_flat = v_stack.reshape((L * nb, ) + v_stack.shape[2:])
+
         layer_ids = jnp.arange(self.num_layers, dtype=jnp.int32)
         if lora is None:
-            xs = (params["layers"], k_stack, v_stack, layer_ids)
+            xs = (params["layers"], layer_ids)
         else:
-            xs = (params["layers"], k_stack, v_stack, layer_ids, lora["a"],
-                  lora["b"])
+            xs = (params["layers"], layer_ids, lora["a"], lora["b"])
 
-        def body(res, xs_):
+        def body(carry, xs_):
+            res, k_f, v_f = carry
             if lora is None:
-                lp, k_c, v_c, lid = xs_
+                lp, lid = xs_
                 lora_ctx = None
             else:
-                lp, k_c, v_c, lid, la, lb = xs_
+                lp, lid, la, lb = xs_
                 lora_ctx = ({"a": la, "b": lb}, lora_idx, lora["scaling"])
-            res, (new_k, new_v) = self._layer(lp, res, rope_cos, rope_sin,
-                                              k_c, v_c, meta, is_prefill,
-                                              lora_ctx, layer_id=lid)
-            return res, (new_k, new_v)
+            res, (k_f, v_f) = self._layer(lp, res, rope_cos, rope_sin,
+                                          k_f, v_f, meta, is_prefill,
+                                          lora_ctx, layer_id=lid)
+            return (res, k_f, v_f), None
 
-        res, (new_k, new_v) = jax.lax.scan(body, x, xs)
+        (res, k_flat, v_flat), _ = jax.lax.scan(body, (x, k_flat, v_flat),
+                                                xs)
         final = rms_norm(res, params["final_norm"], self.rms_eps,
                          self.norm_weight_offset)
-        return final, (new_k, new_v)
+        return final, (k_flat.reshape(k_stack.shape),
+                       v_flat.reshape(v_stack.shape))
 
     def compute_logits(self, params, hidden: jax.Array) -> jax.Array:
         """[T, H] -> [T, V] fp32 (reference LogitsProcessor)."""

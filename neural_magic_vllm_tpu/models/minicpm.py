@@ -131,6 +131,8 @@ class MiniCPMForCausalLM(LlamaForCausalLM):
         q, k = self.rope.apply(rope_cos, rope_sin, q, k)
         attn_out, new_cache = self.attn(q, k, v, (k_cache, v_cache), meta,
                                         is_prefill=is_prefill,
+                                        layer_id=layer_id,
+                                        num_blocks=self._nb,
                                         kv_scales=lp.get("kv_scales"))
         attn_out = self._linear(
             lp, "o", attn_out.reshape(T, self.num_heads * self.head_dim),

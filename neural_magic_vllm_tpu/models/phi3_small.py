@@ -173,7 +173,7 @@ class Phi3SmallForCausalLM(GPTFamilyForCausalLM):
                         gegelu(lm.apply(lp["fc1"], h), self.gegelu_limit))
 
     def _ps_layer(self, lp, res, rope_cos, rope_sin, k_cache, v_cache,
-                  meta, is_prefill: bool, attn):
+                  meta, is_prefill: bool, attn, layer_id):
         lm = self.linear_method
         T = res.shape[0]
         h = _ln(lp.get("ln1"), res, self.eps)
@@ -184,7 +184,8 @@ class Phi3SmallForCausalLM(GPTFamilyForCausalLM):
                                          self.head_dim)
         q, k = self.rope.apply(rope_cos, rope_sin, q, k)
         attn_out, new_cache = attn(q, k, v, (k_cache, v_cache), meta,
-                                   is_prefill=is_prefill)
+                                   is_prefill=is_prefill,
+                                   layer_id=layer_id, num_blocks=self._nb)
         res = res + lm.apply(
             lp["o"], attn_out.reshape(T, self.num_heads * self.head_dim))
         h2 = _ln(lp.get("ln2"), res, self.eps)
@@ -194,6 +195,10 @@ class Phi3SmallForCausalLM(GPTFamilyForCausalLM):
                 is_prefill: bool, lora=None, lora_idx=None, mm=None):
         assert lora is None and mm is None
         k_stack, v_stack = kv_caches
+        L, nb = k_stack.shape[0], k_stack.shape[1]
+        self._nb = nb
+        k_flat = k_stack.reshape((L * nb, ) + k_stack.shape[2:])
+        v_flat = v_stack.reshape((L * nb, ) + v_stack.shape[2:])
         x = self.embed_tokens(params, token_ids)
         rope_cos, rope_sin = self.rope.precompute(positions)
 
@@ -201,41 +206,44 @@ class Phi3SmallForCausalLM(GPTFamilyForCausalLM):
             attn = self.attn_sparse if self.dense_every == 0 else \
                 self.attn_dense
 
-            def body(res, xs_):
-                lp, k_c, v_c = xs_
-                return self._ps_layer(lp, res, rope_cos, rope_sin, k_c,
-                                      v_c, meta, is_prefill, attn)
+            def body(carry, xs_):
+                res, k_f, v_f = carry
+                lp, lid = xs_
+                res, (k_f, v_f) = self._ps_layer(lp, res, rope_cos,
+                                                 rope_sin, k_f, v_f, meta,
+                                                 is_prefill, attn, lid)
+                return (res, k_f, v_f), None
 
-            x, (new_k, new_v) = jax.lax.scan(
-                body, x, (params["layers"], k_stack, v_stack))
+            (x, k_flat, v_flat), _ = jax.lax.scan(
+                body, (x, k_flat, v_flat),
+                (params["layers"], jnp.arange(L, dtype=jnp.int32)))
         else:
             # (sparse, dense) pairs: layer idx 2i sparse, 2i+1 dense
             # ((idx+1) % 2 == 0 -> dense, phi3_small.py:196-199)
             sp = jax.tree_util.tree_map(lambda a: a[0::2], params["layers"])
             dn = jax.tree_util.tree_map(lambda a: a[1::2], params["layers"])
 
-            def pair_body(res, xs_):
-                slp, dlp, ks, vs, kd, vd = xs_
-                res, (nks, nvs) = self._ps_layer(slp, res, rope_cos,
-                                                 rope_sin, ks, vs, meta,
+            def pair_body(carry, xs_):
+                res, k_f, v_f = carry
+                slp, dlp, pair = xs_
+                res, (k_f, v_f) = self._ps_layer(slp, res, rope_cos,
+                                                 rope_sin, k_f, v_f, meta,
                                                  is_prefill,
-                                                 self.attn_sparse)
-                res, (nkd, nvd) = self._ps_layer(dlp, res, rope_cos,
-                                                 rope_sin, kd, vd, meta,
+                                                 self.attn_sparse,
+                                                 2 * pair)
+                res, (k_f, v_f) = self._ps_layer(dlp, res, rope_cos,
+                                                 rope_sin, k_f, v_f, meta,
                                                  is_prefill,
-                                                 self.attn_dense)
-                return res, (nks, nvs, nkd, nvd)
+                                                 self.attn_dense,
+                                                 2 * pair + 1)
+                return (res, k_f, v_f), None
 
-            x, (nks, nvs, nkd, nvd) = jax.lax.scan(
-                pair_body, x, (sp, dn, k_stack[0::2], v_stack[0::2],
-                               k_stack[1::2], v_stack[1::2]))
-            L = self.num_layers
-            new_k = jnp.stack([nks, nkd],
-                              axis=1).reshape((L, ) + nks.shape[1:])
-            new_v = jnp.stack([nvs, nvd],
-                              axis=1).reshape((L, ) + nvs.shape[1:])
+            (x, k_flat, v_flat), _ = jax.lax.scan(
+                pair_body, (x, k_flat, v_flat),
+                (sp, dn, jnp.arange(L // 2, dtype=jnp.int32)))
         res = _ln(params.get("final_norm"), x, self.eps)
-        return res, (new_k, new_v)
+        return res, (k_flat.reshape(k_stack.shape),
+                     v_flat.reshape(v_stack.shape))
 
     def compute_logits(self, params, hidden):
         logits = super().compute_logits(hidden=hidden, params=params)

@@ -49,6 +49,40 @@ def write_kv(
     return k_cache, v_cache
 
 
+def write_kv_flat(
+    k_flat: jax.Array,  # [L*nb, kvh, bs, hd] (layer-flattened stacks)
+    v_flat: jax.Array,
+    key: jax.Array,  # [T, kvh, hd]
+    value: jax.Array,
+    slot_mapping: jax.Array,  # [T] int32, -1 = padded (dropped)
+    layer_id: jax.Array,  # scalar int32 (traced: lax.scan layer index)
+    blocks_per_layer: int,
+) -> KVCache:
+    """Scatter one layer's new K/V into the layer-FLATTENED stacks by
+    global flat row index. This exact formulation — a single leading index
+    axis with a full trailing [hd] slice — is what XLA's buffer assignment
+    updates IN PLACE through the layer scan (donated carry, zero temp):
+    the per-layer [nb, kvh, bs, hd] ys-output formulation double-buffered
+    the entire cache every step."""
+    kvh, bs, hd = k_flat.shape[1], k_flat.shape[2], k_flat.shape[3]
+    total_rows = k_flat.shape[0] * kvh * bs
+    T = key.shape[0]
+    slots = slot_mapping
+    blk = slots // bs
+    off = slots % bs
+    h = jnp.arange(kvh, dtype=jnp.int32)
+    idx = ((layer_id * blocks_per_layer + blk[:, None]) * kvh +
+           h[None, :]) * bs + off[:, None]  # [T, kvh]
+    idx = jnp.where((slots < 0)[:, None], total_rows, idx)  # drop padding
+    k2 = k_flat.reshape(total_rows, hd)
+    v2 = v_flat.reshape(total_rows, hd)
+    k2 = k2.at[idx.reshape(-1)].set(
+        key.astype(k_flat.dtype).reshape(T * kvh, hd), mode="drop")
+    v2 = v2.at[idx.reshape(-1)].set(
+        value.astype(v_flat.dtype).reshape(T * kvh, hd), mode="drop")
+    return (k2.reshape(k_flat.shape), v2.reshape(v_flat.shape))
+
+
 # Copy-on-write block copies and swap transfers operate on the
 # layer-stacked caches and live in worker/cache_engine.py
 # (_copy_pages/_gather_pages/_scatter_pages) — the analogues of the
