@@ -29,7 +29,8 @@ BATCH = int(os.environ.get("BENCH_BATCH", "256"))  # 384 exceeds v5e HBM
 PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", "64"))
 DECODE_STEPS = int(os.environ.get("BENCH_DECODE_STEPS", "96"))
 HBM_BW_GBS = float(os.environ.get("BENCH_HBM_BW_GBS", "819"))
-SCHED_STEPS = int(os.environ.get("BENCH_SCHEDULER_STEPS", "16"))
+SCHED_STEPS = int(os.environ.get("BENCH_SCHEDULER_STEPS", "32"))
+KV_DTYPE = os.environ.get("BENCH_KV_DTYPE", "auto")
 
 
 def build_engine():
@@ -61,7 +62,8 @@ def build_engine():
                              max_position_embeddings=8192,
                              torch_dtype="bfloat16")
         quant = "gptq"
-        metric = f"decode_tokens_per_s_llama3-8b_w4a16_bs{BATCH}"
+        metric = (f"decode_tokens_per_s_llama3-8b_w4a16_bs{BATCH}" +
+                  ("_fp8kv" if KV_DTYPE.startswith("fp8") else ""))
         # packed int4 linears (0.5 B/weight) + bf16 embed & lm_head
         per_layer = 4096 * (4096 + 2 * 1024 + 4096) + 3 * 4096 * 14336
         wbytes = int(32 * per_layer * 0.5) + 2 * (128256 * 4096 * 2)
@@ -73,6 +75,7 @@ def build_engine():
     engine_config = EngineConfig(
         model_config=model_config,
         cache_config=CacheConfig(block_size=16, hbm_utilization=0.9,
+                                 cache_dtype=KV_DTYPE,
                                  num_gpu_blocks_override=BATCH *
                                  (PROMPT_LEN + DECODE_STEPS + 64) // 16),
         parallel_config=ParallelConfig(),
