@@ -29,7 +29,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", "256"))  # 384 exceeds v5e HBM
 PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", "64"))
 DECODE_STEPS = int(os.environ.get("BENCH_DECODE_STEPS", "96"))
 HBM_BW_GBS = float(os.environ.get("BENCH_HBM_BW_GBS", "819"))
-SCHED_STEPS = int(os.environ.get("BENCH_SCHEDULER_STEPS", "32"))
+SCHED_STEPS = int(os.environ.get("BENCH_SCHEDULER_STEPS", "16"))
 KV_DTYPE = os.environ.get("BENCH_KV_DTYPE", "auto")
 
 
@@ -77,11 +77,12 @@ def build_engine():
         cache_config=CacheConfig(block_size=16, hbm_utilization=0.9,
                                  cache_dtype=KV_DTYPE,
                                  num_gpu_blocks_override=BATCH *
-                                 (PROMPT_LEN + DECODE_STEPS + 64) // 16),
+                                 (PROMPT_LEN + DECODE_STEPS +
+                                  SCHED_STEPS + 32) // 16),
         parallel_config=ParallelConfig(),
         scheduler_config=SchedulerConfig(
             max_num_seqs=max(BATCH, 8), max_model_len=1024,
-            max_num_batched_tokens=1024,
+            max_num_batched_tokens=2048,  # 32 prompts per prefill dispatch
             num_scheduler_steps=SCHED_STEPS),
         device_config=DeviceConfig(),
         load_config=LoadConfig(load_format="dummy"),
@@ -96,18 +97,20 @@ def main():
     vocab = engine.model_config.get_vocab_size()
 
     rng = np.random.default_rng(0)
-    sp = SamplingParams(temperature=0.0, max_tokens=DECODE_STEPS + 16,
+    sp = SamplingParams(temperature=0.0,
+                        max_tokens=DECODE_STEPS + SCHED_STEPS,
                         ignore_eos=True, detokenize=False)
     for i in range(BATCH):
         ids = rng.integers(1, vocab, size=PROMPT_LEN).tolist()
         engine.add_request(str(i), prompt_token_ids=ids, sampling_params=sp)
 
-    # Prefill + first decode steps include compilation; run until all
-    # sequences are decoding, then time the steady state.
-    warm_steps = 0
-    while warm_steps < 6:
+    # Phase 1: prefill every sequence (compile + prefill excluded from the
+    # timed region). Phase 2: two warm fused-decode dispatches. Phase 3:
+    # timed steady-state decode.
+    sched = engine.scheduler
+    while sched.waiting or sched.swapped:
         engine.step()
-        warm_steps += 1
+    engine.step()  # one warm fused-decode dispatch
 
     t0 = time.perf_counter()
     steps = 0
