@@ -49,17 +49,23 @@ def _make_kernel_fast(bits: int, k_tile: int, groups_per_tile: int,
 
         qw = qw_ref[:]  # [stripe, TN] int32
         xf = x_ref[:]
+        glen = slots_per_group * stripe  # quant-group K extent
         for g in range(groups_per_tile):
-            dot_acc = None
-            rs_acc = None
-            for i in range(g * slots_per_group, (g + 1) * slots_per_group):
-                q = ((qw >> (bits * i)) & mask).astype(jnp.float32).astype(
+            # one MXU dot per GROUP: consecutive slots are consecutive
+            # K-stripes, so their unpacked rows concatenate into the
+            # group's contiguous [glen, TN] weight slab (deeper contraction
+            # feeds the 128-deep MXU far better than per-slot K=stripe dots)
+            slabs = [
+                ((qw >> (bits * i)) & mask).astype(jnp.float32).astype(
                     jnp.bfloat16)  # exact: q < 2^bits
-                x_i = xf[:, i * stripe:(i + 1) * stripe]
-                d = jnp.dot(x_i, q, preferred_element_type=jnp.float32)
-                rs = jnp.sum(x_i.astype(jnp.float32), axis=1, keepdims=True)
-                dot_acc = d if dot_acc is None else dot_acc + d
-                rs_acc = rs if rs_acc is None else rs_acc + rs
+                for i in range(g * slots_per_group,
+                               (g + 1) * slots_per_group)
+            ]
+            qcat = slabs[0] if len(slabs) == 1 else jnp.concatenate(
+                slabs, axis=0)
+            x_g = xf[:, g * glen:(g + 1) * glen]
+            dot_acc = jnp.dot(x_g, qcat, preferred_element_type=jnp.float32)
+            rs_acc = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)
             s_row = s_ref[0, g:g + 1, :]  # [1, TN] f32
             if has_zeros:
                 z_row = z_ref[0, g:g + 1, :]
@@ -142,7 +148,7 @@ def quant_matmul_pallas(x: jax.Array, qweight: jax.Array, scales: jax.Array,
                         zeros: Optional[jax.Array], *, bits: int,
                         k_tile: int, group_size: int,
                         bias: Optional[jax.Array] = None,
-                        tile_n: int = 256) -> jax.Array:
+                        tile_n: int = 512) -> jax.Array:
     """x [M, K] (bf16/f32) @ packed weight -> [M, N] in x.dtype.
     qweight [K//pf, N] int32 (pack_int_tiled layout), scales [G, N],
     zeros optional [G, N]."""
