@@ -29,7 +29,7 @@ from neural_magic_vllm_tpu.ops.attention import (decode_attention_ref,
 
 prefill_attention = prefill_attention_ref
 
-PAGES_PER_CHUNK = 4
+PAGES_PER_CHUNK = 8
 
 
 def _decode_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm, v_hbm,
