@@ -86,45 +86,42 @@ def _decode_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm, v_hbm,
         pos = c * T + jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
         valid = (pos < ctx) & (pos >= first_valid)  # [1, T]
 
-        new_m_list, new_l_list, new_acc_list = [], [], []
-        for h in range(kvh):
-            k_h = kc[:, h].reshape(T, hd).astype(jnp.float32)
-            v_h = vc[:, h].reshape(T, hd).astype(jnp.float32)
-            if kv_scale != 1.0:
-                k_h = k_h * kv_scale
-                v_h = v_h * kv_scale
-            q_h = q[h * group:(h + 1) * group]  # static slice
-            s = jax.lax.dot_general(
-                q_h, k_h, (((1, ), (1, )), ((), ())),
-                preferred_element_type=jnp.float32)  # [group, T]
-            if logit_cap is not None and logit_cap > 0:
-                s = jnp.tanh(s / logit_cap) * logit_cap
-            if alibi_slopes is not None:
-                # static python-float slopes: scalar constants only
-                # (pallas rejects captured array constants)
-                rel = (pos - (ctx - 1)).astype(jnp.float32)  # [1, T]
-                s = s + jnp.concatenate([
-                    float(alibi_slopes[h * group + g]) * rel
-                    for g in range(group)
-                ], axis=0)
-            s = jnp.where(valid, s, -jnp.inf)
-            chunk_m = jnp.max(s, axis=-1, keepdims=True)
-            m_h = m[h]
-            new_m = jnp.maximum(m_h, chunk_m)
-            # guard -inf - -inf when a chunk is fully masked
-            safe_m = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
-            p_ = jnp.exp(jnp.where(jnp.isfinite(s), s - safe_m, -jnp.inf))
-            alpha = jnp.where(jnp.isfinite(m_h), jnp.exp(m_h - safe_m), 0.0)
-            new_l = l[h] * alpha + jnp.sum(p_, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p_, v_h, (((1, ), (0, )), ((), ())),
-                preferred_element_type=jnp.float32)
-            new_acc = acc[h] * alpha + pv
-            new_m_list.append(new_m)
-            new_l_list.append(new_l)
-            new_acc_list.append(new_acc)
-        return (jnp.stack(new_m_list), jnp.stack(new_l_list),
-                jnp.stack(new_acc_list))
+        # ONE batched dot over all kv heads (vs a python per-head loop of
+        # [group, T] dots): k/v relayout to [kvh, T, hd] is a sublane swap
+        # the MXU win pays for
+        k_all = jnp.swapaxes(kc, 0, 1).reshape(kvh, T, hd).astype(
+            jnp.float32)
+        v_all = jnp.swapaxes(vc, 0, 1).reshape(kvh, T, hd).astype(
+            jnp.float32)
+        if kv_scale != 1.0:
+            k_all = k_all * kv_scale
+            v_all = v_all * kv_scale
+        q3 = q.reshape(kvh, group, hd)
+        s = jax.lax.dot_general(
+            q3, k_all, (((2, ), (2, )), ((0, ), (0, ))),
+            preferred_element_type=jnp.float32)  # [kvh, group, T]
+        if logit_cap is not None and logit_cap > 0:
+            s = jnp.tanh(s / logit_cap) * logit_cap
+        if alibi_slopes is not None:
+            # static python-float slopes: scalar constants only
+            # (pallas rejects captured array constants)
+            rel = (pos - (ctx - 1)).astype(jnp.float32)  # [1, T]
+            s = s + jnp.concatenate([
+                float(alibi_slopes[h]) * rel for h in range(kvh * group)
+            ], axis=0).reshape(kvh, group, T)
+        s = jnp.where(valid[None], s, -jnp.inf)
+        chunk_m = jnp.max(s, axis=-1, keepdims=True)  # [kvh, group, 1]
+        new_m = jnp.maximum(m, chunk_m)
+        # guard -inf - -inf when a chunk is fully masked
+        safe_m = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
+        p_ = jnp.exp(jnp.where(jnp.isfinite(s), s - safe_m, -jnp.inf))
+        alpha = jnp.where(jnp.isfinite(m), jnp.exp(m - safe_m), 0.0)
+        new_l = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p_, v_all, (((2, ), (1, )), ((0, ), (0, ))),
+            preferred_element_type=jnp.float32)  # [kvh, group, hd]
+        new_acc = acc * alpha + pv
+        return (new_m, new_l, new_acc)
 
     m, l, acc = jax.lax.fori_loop(first_chunk, needed_chunks, body,
                                   (m0, l0, acc0))
