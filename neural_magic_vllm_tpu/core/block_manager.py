@@ -65,40 +65,50 @@ class CachedBlockAllocator(BlockAllocatorBase):
         self.evictor: Evictor = make_evictor(eviction_policy)
         self.default_hash_ctr = 0  # unique placeholder hashes
 
-    def allocate_block(self, block_hash: int,
-                       num_hashed_tokens: int) -> PhysicalTokenBlock:
-        if self.current_num_blocks == self.num_blocks:
-            block = self.evictor.evict()
-            block.block_hash = block_hash
-            block.num_hashed_tokens = num_hashed_tokens
-            return block
-        block = PhysicalTokenBlock(device=self.device,
-                                   block_number=self.current_num_blocks,
-                                   block_size=self.block_size,
-                                   block_hash=block_hash,
-                                   num_hashed_tokens=num_hashed_tokens)
-        self.current_num_blocks += 1
-        return block
+    def _revive_or_lookup(self,
+                          block_hash: int) -> Optional[PhysicalTokenBlock]:
+        """Find a live or evictor-held block for this hash.
+
+        A hit in the evictor is a prefix-cache revival: the block's KV
+        contents are still intact on device, so pulling it back out is a
+        free cache hit. It rejoins the live table here.
+        """
+        if block_hash in self.evictor:
+            revived = self.evictor.remove(block_hash)
+            assert revived.ref_count == 0 and revived.block_hash == block_hash
+            self.cached_blocks[block_hash] = revived
+            return revived
+        return self.cached_blocks.get(block_hash)
+
+    def _mint_block(self, block_hash: int,
+                    num_hashed_tokens: int) -> PhysicalTokenBlock:
+        """Produce a writable block: a never-used id while any remain,
+        otherwise recycle the evictor's LRU victim under the new hash."""
+        if self.current_num_blocks < self.num_blocks:
+            self.current_num_blocks += 1
+            return PhysicalTokenBlock(device=self.device,
+                                      block_number=self.current_num_blocks - 1,
+                                      block_size=self.block_size,
+                                      block_hash=block_hash,
+                                      num_hashed_tokens=num_hashed_tokens)
+        victim = self.evictor.evict()
+        victim.block_hash = block_hash
+        victim.num_hashed_tokens = num_hashed_tokens
+        return victim
 
     def allocate(self,
                  block_hash: Optional[int] = None,
                  num_hashed_tokens: int = 0) -> PhysicalTokenBlock:
         if block_hash is None:
-            block_hash = -(self.default_hash_ctr + 1)
+            # Tail blocks that are not yet full get a unique placeholder
+            # hash (negative, so it cannot shadow a promoted content hash);
+            # update_hash() promotes them once full.
             self.default_hash_ctr += 1
-        if block_hash in self.evictor:
-            assert block_hash not in self.cached_blocks
-            block = self.evictor.remove(block_hash)
-            assert block.ref_count == 0
+            block_hash = -self.default_hash_ctr
+        block = self._revive_or_lookup(block_hash)
+        if block is None:
+            block = self._mint_block(block_hash, num_hashed_tokens)
             self.cached_blocks[block_hash] = block
-            block.ref_count += 1
-            assert block.block_hash == block_hash
-            return block
-        if block_hash not in self.cached_blocks:
-            self.cached_blocks[block_hash] = self.allocate_block(
-                block_hash, num_hashed_tokens)
-        block = self.cached_blocks[block_hash]
-        assert block.block_hash == block_hash
         block.ref_count += 1
         return block
 
@@ -106,10 +116,12 @@ class CachedBlockAllocator(BlockAllocatorBase):
         if block.ref_count == 0:
             raise ValueError(f"Double free! {block} is already freed.")
         block.ref_count -= 1
-        if block.ref_count == 0:
-            assert block.block_hash not in self.evictor
-            self.evictor.add(block)
-            del self.cached_blocks[block.block_hash]
+        if block.ref_count > 0:
+            return
+        # Last reference gone: the block leaves the live table but keeps
+        # its contents in the evictor, reusable until evicted.
+        del self.cached_blocks[block.block_hash]
+        self.evictor.add(block)
 
     def get_num_free_blocks(self) -> int:
         return (self.num_blocks - self.current_num_blocks +

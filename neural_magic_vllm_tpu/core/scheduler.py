@@ -1,8 +1,9 @@
 """Continuous-batching scheduler.
 
 Semantics follow the reference vllm/core/scheduler.py (1226 LoC):
-waiting/running/swapped queues, a SchedulingBudget capping tokens+seqs per
-step, prefill-first default policy, decode-first chunked-prefill policy,
+waiting/running/swapped queues, a per-step admission ledger (StepBudget)
+capping tokens+seqs, prefill-first default policy, decode-first
+chunked-prefill policy,
 preemption by RECOMPUTE (single seq) or SWAP, swapped re-admission, prompt
 limit rejection, and the artificial-preemption test hook.
 
@@ -16,8 +17,8 @@ import os
 import random
 import time
 from collections import deque
-from dataclasses import dataclass, field
-from typing import Deque, Dict, Iterable, List, Optional, Set, Tuple, Union
+from dataclasses import dataclass
+from typing import Deque, Dict, Iterable, List, Optional, Tuple, Union
 
 from neural_magic_vllm_tpu import envs
 from neural_magic_vllm_tpu.config import CacheConfig, LoRAConfig, \
@@ -25,7 +26,6 @@ from neural_magic_vllm_tpu.config import CacheConfig, LoRAConfig, \
 from neural_magic_vllm_tpu.core.block_manager import PagedBlockSpaceManager
 from neural_magic_vllm_tpu.core.interfaces import AllocStatus, \
     BlockSpaceManager
-from neural_magic_vllm_tpu.core.policy import Policy, PolicyFactory
 from neural_magic_vllm_tpu.logger import init_logger
 from neural_magic_vllm_tpu.sequence import (Sequence, SequenceData,
                                             SequenceGroup,
@@ -49,54 +49,61 @@ class PreemptionMode(enum.Enum):
     RECOMPUTE = enum.auto()
 
 
-@dataclass
-class SchedulingBudget:
-    """Per-step token + seq budget (reference scheduler.py:41)."""
-    token_budget: int
-    max_num_seqs: int
-    _request_ids_num_batched_tokens: Set[str] = field(default_factory=set)
-    _request_ids_num_curr_seqs: Set[str] = field(default_factory=set)
-    _num_batched_tokens: int = 0
-    _num_curr_seqs: int = 0
+def order_by_arrival(queue: Deque[SequenceGroup]) -> Deque[SequenceGroup]:
+    """FCFS ordering: earliest-arrived group first.
 
-    def can_schedule(self, *, num_new_tokens: int, num_new_seqs: int) -> bool:
-        assert num_new_tokens != 0
-        assert num_new_seqs != 0
-        return (self.num_batched_tokens + num_new_tokens <= self.token_budget
-                and self.num_curr_seqs + num_new_seqs <= self.max_num_seqs)
+    This is the only scheduling policy (reference role: vllm/core/policy.py).
+    `sorted` is stable, so same-timestamp groups keep queue order.
+    """
+    return deque(sorted(queue, key=lambda g: g.metrics.arrival_time))
 
-    def remaining_token_budget(self) -> int:
-        return self.token_budget - self.num_batched_tokens
 
-    def add_num_batched_tokens(self, req_id: str, num: int) -> None:
-        if req_id in self._request_ids_num_batched_tokens:
-            return
-        self._request_ids_num_batched_tokens.add(req_id)
-        self._num_batched_tokens += num
+class StepBudget:
+    """Admission ledger for one schedule() step.
 
-    def subtract_num_batched_tokens(self, req_id: str, num: int) -> None:
-        if req_id in self._request_ids_num_batched_tokens:
-            self._request_ids_num_batched_tokens.remove(req_id)
-            self._num_batched_tokens -= num
+    Fills the role of the reference's per-step budget (vllm/core/
+    scheduler.py:41) but keeps an explicit per-request claim ledger instead
+    of set + counter pairs: each request id maps to the (tokens, seqs) it
+    claimed, so a group that gets preempted or bounced hands back exactly
+    its own claim, and re-claiming is an idempotent no-op.
 
-    def add_num_seqs(self, req_id: str, num: int) -> None:
-        if req_id in self._request_ids_num_curr_seqs:
-            return
-        self._request_ids_num_curr_seqs.add(req_id)
-        self._num_curr_seqs += num
+    TPU angle: ``token_limit`` is also the ceiling of the compile-time
+    bucket lattice — whatever fits this ledger must fit a padded executable.
+    """
 
-    def subtract_num_seqs(self, req_id: str, num: int) -> None:
-        if req_id in self._request_ids_num_curr_seqs:
-            self._request_ids_num_curr_seqs.remove(req_id)
-            self._num_curr_seqs -= num
+    def __init__(self, token_limit: int, seq_limit: int) -> None:
+        self.token_limit = token_limit
+        self.seq_limit = seq_limit
+        self._token_claims: Dict[str, int] = {}
+        self._seq_claims: Dict[str, int] = {}
+
+    def fits(self, *, num_new_tokens: int, num_new_seqs: int) -> bool:
+        assert num_new_tokens > 0 and num_new_seqs > 0
+        return (self.used_tokens + num_new_tokens <= self.token_limit
+                and self.used_seqs + num_new_seqs <= self.seq_limit)
+
+    def remaining_tokens(self) -> int:
+        return self.token_limit - self.used_tokens
+
+    def claim_tokens(self, req_id: str, num: int) -> None:
+        self._token_claims.setdefault(req_id, num)
+
+    def release_tokens(self, req_id: str) -> None:
+        self._token_claims.pop(req_id, None)
+
+    def claim_seqs(self, req_id: str, num: int) -> None:
+        self._seq_claims.setdefault(req_id, num)
+
+    def release_seqs(self, req_id: str) -> None:
+        self._seq_claims.pop(req_id, None)
 
     @property
-    def num_batched_tokens(self) -> int:
-        return self._num_batched_tokens
+    def used_tokens(self) -> int:
+        return sum(self._token_claims.values())
 
     @property
-    def num_curr_seqs(self) -> int:
-        return self._num_curr_seqs
+    def used_seqs(self) -> int:
+        return sum(self._seq_claims.values())
 
 
 @dataclass
@@ -271,7 +278,7 @@ class Scheduler:
 
     def _get_num_new_tokens(self, seq_group: SequenceGroup,
                             status: SequenceStatus, enable_chunking: bool,
-                            budget: SchedulingBudget) -> int:
+                            budget: StepBudget) -> int:
         num_new_tokens = 0
         seqs = seq_group.get_seqs(status=status)
         for seq in seqs:
@@ -280,7 +287,7 @@ class Scheduler:
             return 0
         if enable_chunking and len(seqs) == 1:
             num_new_tokens = min(num_new_tokens,
-                                 budget.remaining_token_budget())
+                                 budget.remaining_tokens())
         return num_new_tokens
 
     def _can_append_slots(self, seq_group: SequenceGroup) -> bool:
@@ -372,8 +379,7 @@ class Scheduler:
     def _schedule_running(
         self,
         running_queue: Deque[SequenceGroup],
-        budget: SchedulingBudget,
-        policy: Policy,
+        budget: StepBudget,
         enable_chunking: bool = False,
     ) -> Tuple[Deque[SequenceGroup], SchedulerRunningOutputs]:
         """Schedule groups already RUNNING; preempt from the back of the
@@ -385,8 +391,7 @@ class Scheduler:
         preempted: List[SequenceGroup] = []
         swapped_out: List[SequenceGroup] = []
 
-        now = time.time()
-        running_queue = policy.sort_by_priority(now, running_queue)
+        running_queue = order_by_arrival(running_queue)
 
         while running_queue:
             seq_group = running_queue[0]
@@ -396,11 +401,8 @@ class Scheduler:
                 break
             running_queue.popleft()
             while not self._can_append_slots(seq_group):
-                budget.subtract_num_batched_tokens(seq_group.request_id,
-                                                   num_running_tokens)
-                num_running_seqs = seq_group.get_max_num_running_seqs()
-                budget.subtract_num_seqs(seq_group.request_id,
-                                         num_running_seqs)
+                budget.release_tokens(seq_group.request_id)
+                budget.release_seqs(seq_group.request_id)
                 if running_queue:
                     # Preempt the lowest-priority group.
                     victim = running_queue.pop()
@@ -429,12 +431,11 @@ class Scheduler:
                     decode_seq_groups.append(
                         ScheduledSequenceGroup(seq_group=seq_group,
                                                token_chunk_size=1))
-                budget.add_num_batched_tokens(seq_group.request_id,
-                                              num_running_tokens)
+                budget.claim_tokens(seq_group.request_id,
+                                    num_running_tokens)
                 if enable_chunking:
-                    num_running_seqs = seq_group.get_max_num_running_seqs()
-                    budget.add_num_seqs(seq_group.request_id,
-                                        num_running_seqs)
+                    budget.claim_seqs(seq_group.request_id,
+                                      seq_group.get_max_num_running_seqs())
 
         return running_queue, SchedulerRunningOutputs(
             decode_seq_groups=decode_seq_groups,
@@ -449,8 +450,7 @@ class Scheduler:
     def _schedule_swapped(
         self,
         swapped_queue: Deque[SequenceGroup],
-        budget: SchedulingBudget,
-        policy: Policy,
+        budget: StepBudget,
         enable_chunking: bool = False,
     ) -> Tuple[Deque[SequenceGroup], SchedulerSwappedInOutputs]:
         """Re-admit swapped-out groups when space allows
@@ -461,8 +461,7 @@ class Scheduler:
         prefill_seq_groups: List[ScheduledSequenceGroup] = []
         infeasible_seq_groups: List[SequenceGroup] = []
 
-        now = time.time()
-        swapped_queue = policy.sort_by_priority(now, swapped_queue)
+        swapped_queue = order_by_arrival(swapped_queue)
         leftover_swapped: Deque[SequenceGroup] = deque()
 
         while swapped_queue:
@@ -487,7 +486,7 @@ class Scheduler:
             num_new_tokens = self._get_num_new_tokens(seq_group,
                                                       SequenceStatus.SWAPPED,
                                                       enable_chunking, budget)
-            if (num_new_tokens == 0 or not budget.can_schedule(
+            if (num_new_tokens == 0 or not budget.fits(
                     num_new_tokens=num_new_tokens,
                     num_new_seqs=num_new_seqs)):
                 break
@@ -502,9 +501,8 @@ class Scheduler:
             else:
                 decode_seq_groups.append(
                     ScheduledSequenceGroup(seq_group, token_chunk_size=1))
-            budget.add_num_batched_tokens(seq_group.request_id,
-                                          num_new_tokens)
-            budget.add_num_seqs(seq_group.request_id, num_new_seqs)
+            budget.claim_tokens(seq_group.request_id, num_new_tokens)
+            budget.claim_seqs(seq_group.request_id, num_new_seqs)
 
         swapped_queue.extendleft(leftover_swapped)
         return swapped_queue, SchedulerSwappedInOutputs(
@@ -525,7 +523,7 @@ class Scheduler:
     def _schedule_prefills(
         self,
         waiting_queue: Deque[SequenceGroup],
-        budget: SchedulingBudget,
+        budget: StepBudget,
         enable_chunking: bool = False,
     ) -> Tuple[Deque[SequenceGroup], SchedulerPrefillOutputs]:
         """Admit WAITING groups (reference _schedule_prefills:616)."""
@@ -572,7 +570,7 @@ class Scheduler:
                 continue
 
             num_new_seqs = seq_group.get_max_num_running_seqs()
-            if (num_new_tokens == 0 or not budget.can_schedule(
+            if (num_new_tokens == 0 or not budget.fits(
                     num_new_tokens=num_new_tokens,
                     num_new_seqs=num_new_seqs)):
                 break
@@ -583,9 +581,8 @@ class Scheduler:
             seq_groups.append(
                 ScheduledSequenceGroup(seq_group=seq_group,
                                        token_chunk_size=num_new_tokens))
-            budget.add_num_batched_tokens(seq_group.request_id,
-                                          num_new_tokens)
-            budget.add_num_seqs(seq_group.request_id, num_new_seqs)
+            budget.claim_tokens(seq_group.request_id, num_new_tokens)
+            budget.claim_seqs(seq_group.request_id, num_new_seqs)
 
         waiting_queue.extendleft(leftover_waiting_sequences)
         if seq_groups:
@@ -600,13 +597,13 @@ class Scheduler:
     def _schedule_default(self) -> SchedulerOutputs:
         """Prefill-first batching: schedule all fitting prefills, else
         decodes (reference _schedule_default:752)."""
-        budget = SchedulingBudget(
-            token_budget=self.scheduler_config.max_num_batched_tokens,
-            max_num_seqs=self.scheduler_config.max_num_seqs,
+        budget = StepBudget(
+            token_limit=self.scheduler_config.max_num_batched_tokens,
+            seq_limit=self.scheduler_config.max_num_seqs,
         )
         for seq_group in self.running:
-            budget.add_num_seqs(seq_group.request_id,
-                                seq_group.get_max_num_running_seqs())
+            budget.claim_seqs(seq_group.request_id,
+                              seq_group.get_max_num_running_seqs())
 
         prefills = SchedulerPrefillOutputs.create_empty()
         running_scheduled = SchedulerRunningOutputs.create_empty()
@@ -617,19 +614,18 @@ class Scheduler:
             self.waiting, prefills = self._schedule_prefills(
                 self.waiting, budget, enable_chunking=False)
 
-        fcfs_policy = PolicyFactory.get_policy(policy_name="fcfs")
         # No prefills scheduled -> run decodes (+ swapped re-admission).
         if len(prefills.seq_groups) == 0:
             self.running, running_scheduled = self._schedule_running(
-                self.running, budget, fcfs_policy, enable_chunking=False)
+                self.running, budget, enable_chunking=False)
             if (len(running_scheduled.preempted) +
                     len(running_scheduled.swapped_out) == 0):
                 self.swapped, swapped_in = self._schedule_swapped(
-                    self.swapped, budget, fcfs_policy)
+                    self.swapped, budget)
 
-        assert budget.num_batched_tokens <= \
+        assert budget.used_tokens <= \
             self.scheduler_config.max_num_batched_tokens
-        assert budget.num_curr_seqs <= self.scheduler_config.max_num_seqs
+        assert budget.used_seqs <= self.scheduler_config.max_num_seqs
 
         self.waiting.extendleft(running_scheduled.preempted)
         self.running.extend(
@@ -650,7 +646,7 @@ class Scheduler:
                                   running_scheduled.decode_seq_groups +
                                   swapped_in.decode_seq_groups),
             num_prefill_groups=len(prefills.seq_groups),
-            num_batched_tokens=budget.num_batched_tokens,
+            num_batched_tokens=budget.used_tokens,
             blocks_to_swap_in=swapped_in.blocks_to_swap_in,
             blocks_to_swap_out=running_scheduled.blocks_to_swap_out,
             blocks_to_copy=(running_scheduled.blocks_to_copy +
@@ -665,29 +661,27 @@ class Scheduler:
     def _schedule_chunked_prefill(self) -> SchedulerOutputs:
         """Decode-first policy with prompt chunking
         (reference _schedule_chunked_prefill:846)."""
-        budget = SchedulingBudget(
-            token_budget=self.scheduler_config.max_num_batched_tokens,
-            max_num_seqs=self.scheduler_config.max_num_seqs,
+        budget = StepBudget(
+            token_limit=self.scheduler_config.max_num_batched_tokens,
+            seq_limit=self.scheduler_config.max_num_seqs,
         )
-        fcfs_policy = PolicyFactory.get_policy(policy_name="fcfs")
-
         # Decodes (and in-flight chunked prefills) first.
         self.running, running_scheduled = self._schedule_running(
-            self.running, budget, fcfs_policy, enable_chunking=True)
+            self.running, budget, enable_chunking=True)
 
         swapped_in = SchedulerSwappedInOutputs.create_empty()
         if (len(running_scheduled.preempted) +
                 len(running_scheduled.swapped_out) == 0):
             self.swapped, swapped_in = self._schedule_swapped(
-                self.swapped, budget, fcfs_policy)
+                self.swapped, budget)
 
         # New prefills fill the remaining token budget.
         self.waiting, prefills = self._schedule_prefills(
             self.waiting, budget, enable_chunking=True)
 
-        assert budget.num_batched_tokens <= \
+        assert budget.used_tokens <= \
             self.scheduler_config.max_num_batched_tokens
-        assert budget.num_curr_seqs <= self.scheduler_config.max_num_seqs
+        assert budget.used_seqs <= self.scheduler_config.max_num_seqs
 
         self.waiting.extendleft(running_scheduled.preempted)
         self.running.extend([s.seq_group for s in prefills.seq_groups])
@@ -710,7 +704,7 @@ class Scheduler:
             num_prefill_groups=(len(prefills.seq_groups) +
                                 len(running_scheduled.prefill_seq_groups) +
                                 len(swapped_in.prefill_seq_groups)),
-            num_batched_tokens=budget.num_batched_tokens,
+            num_batched_tokens=budget.used_tokens,
             blocks_to_swap_in=swapped_in.blocks_to_swap_in,
             blocks_to_swap_out=running_scheduled.blocks_to_swap_out,
             blocks_to_copy=(running_scheduled.blocks_to_copy +
