@@ -165,14 +165,20 @@ class ModelConfig:
     def get_num_layers(self, parallel_config: "ParallelConfig") -> int:
         """Number of KV-cached (attention) layers. Hybrid models like
         Jamba interleave attention with recurrent mamba layers — only the
-        attention layers hold paged KV (reference jamba.py cache sizing)."""
+        attention layers hold paged KV (reference jamba.py cache sizing).
+
+        Always the TOTAL layer count: unlike the reference (which divides
+        by pipeline_parallel_size because each PP worker allocates its own
+        slice, vllm/config.py:327), the single-controller design holds
+        GLOBAL-shaped stacks whose layer axis is sharded over the "stage"
+        mesh axis — per-stage memory comes from the sharding."""
         cfg = self.hf_text_config
         total = cfg.num_hidden_layers
         if getattr(cfg, "attn_layer_period", None):
             total = sum(1 for i in range(total)
                         if i % cfg.attn_layer_period ==
                         cfg.attn_layer_offset)
-        return total // parallel_config.pipeline_parallel_size
+        return total
 
     @property
     def is_stateful(self) -> bool:
@@ -237,10 +243,11 @@ class ParallelConfig:
     """Device-mesh parallelism (reference vllm/config.py:653, re-imagined).
 
     The reference builds NCCL process groups; here the same sizes define a
-    jax.sharding.Mesh with axes ("data", "model"). data = replica axis for
-    batch sharding (engine-parallel continuous batching); model = tensor
-    parallel over ICI. PP maps to stage sub-meshes (stage > 1 is wired in a
-    later milestone but validated here).
+    jax.sharding.Mesh. data = replica axis for batch sharding
+    (engine-parallel continuous batching); model = tensor parallel over
+    ICI; pipeline_parallel_size > 1 adds a "stage" axis running in-graph
+    GPipe (parallel/pipeline.py) — one scheduler, one dispatch per step,
+    no per-stage virtual engines.
     """
 
     def __init__(

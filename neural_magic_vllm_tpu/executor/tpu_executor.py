@@ -22,14 +22,22 @@ logger = init_logger(__name__)
 
 def build_mesh(parallel_config) -> Optional[jax.sharding.Mesh]:
     tp = parallel_config.tensor_parallel_size
+    pp = parallel_config.pipeline_parallel_size
     dp = parallel_config.data_parallel_size
-    if tp * dp <= 1:
+    if tp * pp * dp <= 1:
         return None
     devices = jax.devices()
-    if len(devices) < tp * dp:
+    if len(devices) < tp * pp * dp:
         raise ValueError(
-            f"Requested data_parallel={dp} x tensor_parallel={tp} but only "
-            f"{len(devices)} devices are visible.")
+            f"Requested data_parallel={dp} x pipeline_parallel={pp} x "
+            f"tensor_parallel={tp} but only {len(devices)} devices are "
+            "visible.")
+    if pp > 1:
+        # In-graph GPipe: layer stacks shard over "stage"
+        # (parallel/pipeline.py); shard_map is manual over it, "model"
+        # stays automatic for GSPMD TP.
+        mesh_devices = np.array(devices[:dp * pp * tp]).reshape(dp, pp, tp)
+        return jax.sharding.Mesh(mesh_devices, ("data", "stage", "model"))
     mesh_devices = np.array(devices[:dp * tp]).reshape(dp, tp)
     return jax.sharding.Mesh(mesh_devices, ("data", "model"))
 

@@ -132,6 +132,21 @@ class TPUModelRunner:
             logger.info("Quantization: %s", self.quant_config.get_name())
         self.model = get_model_class(arch)(model_config, parallel_config,
                                            self.quant_config)
+        if self.mesh is not None and self.mesh.shape.get("stage", 1) > 1:
+            # In-graph GPipe PP: wrap the model so every step executable
+            # (prefill / batched prefill / fused multi-step decode / spec
+            # decode) pipelines over the "stage" axis transparently.
+            from neural_magic_vllm_tpu.models.llama import LlamaForCausalLM
+            from neural_magic_vllm_tpu.parallel.pipeline import \
+                PipelinedModel
+            if not isinstance(self.model, LlamaForCausalLM):
+                raise NotImplementedError(
+                    "pipeline_parallel_size > 1 currently supports the "
+                    "llama model family (llama/mistral/qwen2/gemma/phi3 "
+                    f"and variants); got {type(self.model).__name__}")
+            if lora_config is not None:
+                raise NotImplementedError("PP + LoRA is not supported")
+            self.model = PipelinedModel(self.model, self.mesh)
         self.params = None
         # request_id -> flat projected image embeddings (multimodal prefill;
         # computed once, reused across chunked-prefill steps)
@@ -278,9 +293,9 @@ class TPUModelRunner:
         from jax.sharding import NamedSharding, PartitionSpec as P
         tp = self.mesh.shape.get("model", 1)
         total_kv = self.model_config.get_total_num_kv_heads()
-        spec = P(None, None, "model", None, None) \
-            if total_kv % tp == 0 else P(None, None, None, None, None)
-        return NamedSharding(self.mesh, spec)
+        kvh = "model" if total_kv % tp == 0 else None
+        stage = "stage" if self.mesh.shape.get("stage", 1) > 1 else None
+        return NamedSharding(self.mesh, P(stage, None, kvh, None, None))
 
     def draft_kv_sharding(self):
         if self.mesh is None or self.draft_model_config is None:

@@ -1,7 +1,8 @@
-"""In-graph GPipe pipeline parallelism: outputs over a pp=4 (and pp=2 x
-tp=2) CPU mesh must exactly match the plain single-device forward, for
-decode batches and microbatched (chunked) prefill; KV caches must end up
-identical."""
+"""In-graph GPipe pipeline parallelism: PipelinedModel.forward over a
+pp=4 (and pp=2 x tp=2) CPU mesh must exactly match the plain
+single-device forward, for decode batches, microbatched (chunked)
+single-sequence prefill, and ragged batched prefill; KV caches must end
+up identical."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,15 +33,13 @@ def _kv(L=4, nb=16, kvh=2, bs=16, hd=16):
             jnp.zeros((L, nb, kvh, bs, hd), jnp.float32))
 
 
-@pytest.mark.parametrize("pp,tp,M", [(4, 1, 4), (2, 2, 2)])
-def test_gpipe_matches_plain(pp, tp, M):
-    from neural_magic_vllm_tpu.parallel.pipeline import (build_pp_mesh,
-                                                         gpipe_forward,
-                                                         stage_params)
+@pytest.mark.parametrize("pp,tp", [(4, 1), (2, 2)])
+def test_pipelined_model_matches_plain(pp, tp):
+    from neural_magic_vllm_tpu.parallel.pipeline import (PipelinedModel,
+                                                         build_pp_mesh)
     model, params = _build_model()
     mesh = build_pp_mesh(pp, tp)
-    staged = stage_params(model, params, pp)
-    pp_fn = gpipe_forward(model, mesh, M)
+    pm = PipelinedModel(model, mesh)
 
     # --- single-sequence prefill (microbatched == chunked) ----------------
     T = 16
@@ -55,8 +54,8 @@ def test_gpipe_matches_plain(pp, tp, M):
     ref_hidden, ref_kv = model.forward(params, tokens, positions, kv,
                                        meta, is_prefill=True)
     kv2 = _kv()
-    pp_hidden, pp_kv = pp_fn(staged, kv2, tokens, positions, meta,
-                             is_prefill=True)
+    pp_hidden, pp_kv = pm.forward(params, tokens, positions, kv2,
+                                  meta, is_prefill=True)
     np.testing.assert_allclose(np.asarray(pp_hidden),
                                np.asarray(ref_hidden), atol=2e-5,
                                rtol=1e-5)
@@ -66,8 +65,6 @@ def test_gpipe_matches_plain(pp, tp, M):
     # --- decode over the prefilled cache ----------------------------------
     B = 8
     dec_tokens = jnp.asarray(rng.integers(1, 256, B), jnp.int32)
-    # all B "sequences" share the prefilled pages for simplicity; each
-    # decodes at position T with its own slot
     dec_meta = AttentionMetadata(
         slot_mapping=jnp.full((B, ), T, jnp.int32).at[1:].set(-1),
         block_tables=jnp.tile(jnp.arange(4, dtype=jnp.int32), (B, 1)),
@@ -75,7 +72,46 @@ def test_gpipe_matches_plain(pp, tp, M):
     dec_pos = jnp.full((B, ), T, jnp.int32)
     ref_h2, _ = model.forward(params, dec_tokens, dec_pos, ref_kv,
                               dec_meta, is_prefill=False)
-    pp_h2, _ = pp_fn(staged, pp_kv, dec_tokens, dec_pos, dec_meta,
-                     is_prefill=False)
+    pp_h2, _ = pm.forward(params, dec_tokens, dec_pos, pp_kv,
+                          dec_meta, is_prefill=False)
     np.testing.assert_allclose(np.asarray(pp_h2), np.asarray(ref_h2),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_pipelined_batched_prefill_matches_plain():
+    """Ragged batched prefill (seq_ids metadata) runs through PP as one
+    microbatch and must match the plain forward exactly."""
+    from neural_magic_vllm_tpu.parallel.pipeline import (PipelinedModel,
+                                                         build_pp_mesh)
+    model, params = _build_model()
+    mesh = build_pp_mesh(2, 1)
+    pm = PipelinedModel(model, mesh)
+
+    rng = np.random.default_rng(1)
+    lens = [5, 11]  # two prompts packed into one flat token stream
+    T = sum(lens)
+    tokens = jnp.asarray(rng.integers(1, 256, T), jnp.int32)
+    positions = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.int32) for n in lens])
+    seq_ids = jnp.concatenate([
+        jnp.full((n, ), i, jnp.int32) for i, n in enumerate(lens)])
+    # seq 0 -> blocks 0..., seq 1 -> blocks 8...
+    slot = jnp.concatenate([
+        jnp.arange(lens[0], dtype=jnp.int32),
+        8 * 16 + jnp.arange(lens[1], dtype=jnp.int32)])
+    meta = AttentionMetadata(
+        slot_mapping=slot,
+        block_tables=jnp.asarray([[0, 1], [8, 9]], jnp.int32),
+        context_lens=jnp.zeros((2, ), jnp.int32),
+        seq_ids=seq_ids, q_pos=positions)
+    kv = _kv()
+    ref_hidden, ref_kv = model.forward(params, tokens, positions, kv,
+                                       meta, is_prefill=True)
+    kv2 = _kv()
+    pp_hidden, pp_kv = pm.forward(params, tokens, positions, kv2,
+                                  meta, is_prefill=True)
+    np.testing.assert_allclose(np.asarray(pp_hidden),
+                               np.asarray(ref_hidden), atol=2e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pp_kv[0]),
+                               np.asarray(ref_kv[0]), atol=2e-5, rtol=1e-5)

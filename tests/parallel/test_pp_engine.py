@@ -1,0 +1,46 @@
+"""Engine-level pipeline parallelism: --pipeline-parallel-size 2 (and
+pp2 x tp2) greedy outputs must exactly match pp1 on the 8-virtual-device
+CPU mesh, through the full stack (scheduler -> executor -> model runner ->
+GPipe step), including batched prefill and fused multi-step decode.
+
+Reference contract: PP serving via virtual engines
+(vllm/engine/llm_engine.py:303-307, vllm/worker/worker_base.py:266-278);
+here a single in-graph GPipe dispatch replaces them.
+"""
+import pytest
+
+from neural_magic_vllm_tpu import LLM, SamplingParams
+
+from ..utils import create_tiny_llama_checkpoint
+
+PROMPTS = [f"Counting up from {i}:" for i in range(6)]
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pp-model")
+    return create_tiny_llama_checkpoint(str(d / "tiny"))
+
+
+def _generate(model_dir, pp, tp, **kw):
+    llm = LLM(model=model_dir, dtype="float32", max_model_len=128,
+              block_size=16, num_gpu_blocks_override=64, max_num_seqs=4,
+              pipeline_parallel_size=pp, tensor_parallel_size=tp,
+              enforce_eager=True, **kw)
+    outs = llm.generate(PROMPTS,
+                        SamplingParams(temperature=0.0, max_tokens=16))
+    return [tuple(o.outputs[0].token_ids) for o in outs]
+
+
+@pytest.mark.parametrize("pp,tp", [(2, 1), (2, 2)])
+def test_pp_engine_matches_pp1(model_dir, pp, tp):
+    baseline = _generate(model_dir, 1, 1)
+    pp_out = _generate(model_dir, pp, tp)
+    assert pp_out == baseline
+
+
+def test_pp_engine_multi_step(model_dir):
+    """PP composes with fused multi-step decode (K iterations/dispatch)."""
+    baseline = _generate(model_dir, 1, 1)
+    pp_out = _generate(model_dir, 2, 1, num_scheduler_steps=4)
+    assert pp_out == baseline
