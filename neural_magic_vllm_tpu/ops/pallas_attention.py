@@ -13,8 +13,9 @@ Design:
 - fp8 KV dequant fuses into the same pass (the reference TPU backend could
   not do FP8 KV at all, pallas.py:109-110).
 
-Prefill currently delegates to the XLA reference implementation (fuses
-well); the decode path is where block-table gathers dominated.
+Context prefill (chunked prefill / prefix-cache hits): the same paged
+pattern with TQ query rows per program — see _ctx_prefill_kernel below
+(reference role: vllm/attention/ops/prefix_prefill.py).
 """
 import functools
 from typing import Optional
@@ -27,16 +28,18 @@ from jax.experimental.pallas import tpu as pltpu
 from neural_magic_vllm_tpu.ops.attention import (decode_attention_ref,
                                                  prefill_attention_ref)
 
-prefill_attention = prefill_attention_ref
-
 PAGES_PER_CHUNK = 8
 
 
 def _decode_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm, v_hbm,
-                   o_ref, k_buf, v_buf, sems, *, kvh: int, group: int,
+                   *rest, kvh: int, group: int,
                    bs: int, hd: int, n_chunks: int, ppc: int,
                    kv_scale: float, logit_cap: Optional[float],
                    alibi_slopes=None):
+    if alibi_slopes is not None:
+        slopes_ref, o_ref, k_buf, v_buf, sems = rest
+    else:
+        o_ref, k_buf, v_buf, sems = rest
     b = pl.program_id(0)
     ctx = ctx_ref[b]
     window = win_ref[0]
@@ -103,12 +106,11 @@ def _decode_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm, v_hbm,
         if logit_cap is not None and logit_cap > 0:
             s = jnp.tanh(s / logit_cap) * logit_cap
         if alibi_slopes is not None:
-            # static python-float slopes: scalar constants only
-            # (pallas rejects captured array constants)
+            # slopes ride a [kvh, group] VMEM input (pallas rejects
+            # captured array constants); one broadcast multiply, no
+            # per-head materialization
             rel = (pos - (ctx - 1)).astype(jnp.float32)  # [1, T]
-            s = s + jnp.concatenate([
-                float(alibi_slopes[h]) * rel for h in range(kvh * group)
-            ], axis=0).reshape(kvh, group, T)
+            s = s + slopes_ref[...][:, :, None] * rel[None]
         s = jnp.where(valid[None], s, -jnp.inf)
         chunk_m = jnp.max(s, axis=-1, keepdims=True)  # [kvh, group, 1]
         new_m = jnp.maximum(m, chunk_m)
@@ -157,15 +159,21 @@ def _decode_attention_pallas(q, k_cache, v_cache, block_tables,
         window = jnp.full((1, ), 2**30, jnp.int32)
     else:
         window = jnp.asarray(window, jnp.int32).reshape(1)
+    in_specs = [
+        pl.BlockSpec((1, nqh, hd), lambda b, *_: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # k_cache stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [q_scaled, k_cache, v_cache]
+    if alibi_slopes is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(jnp.asarray(alibi_slopes,
+                                  jnp.float32).reshape(kvh, group))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, ),
-        in_specs=[
-            pl.BlockSpec((1, nqh, hd), lambda b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # k_cache stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nqh, hd), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -182,7 +190,7 @@ def _decode_attention_pallas(q, k_cache, v_cache, block_tables,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", )),
         interpret=interpret,
-    )(block_tables, context_lens, window, q_scaled, k_cache, v_cache)
+    )(block_tables, context_lens, window, *inputs)
     return out
 
 
@@ -208,3 +216,214 @@ def decode_attention(q, k_cache, v_cache, block_tables, context_lens, *,
                                     scale=scale, kv_scale=kv_scale,
                                     logit_cap=logit_cap,
                                     alibi_slopes=alibi_slopes)
+
+
+# --- context-attended prefill (chunked prefill / prefix-cache hits) ----------
+#
+# The reference has a dedicated 807-LoC Triton kernel for exactly this
+# (vllm/attention/ops/prefix_prefill.py; varlen-over-paged-cache path
+# flash_attn.py:336-352). TPU-native design: the engine writes the current
+# chunk's KV into the paged cache BEFORE attention (write-then-attend,
+# layers/attention.py), so cached context and current chunk live in the SAME
+# pages — one paged flash loop with per-row causal masking (j <= q_pos)
+# covers both. The kernel is the multi-query-row generalization of
+# _decode_kernel: grid (q_tiles,), each program owns TQ query rows and
+# DMAs the pages its rows can see (double-buffered), skipping chunks
+# outside [first row's window, last row's position].
+
+Q_TILE = 128
+
+
+def _ctx_prefill_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm, v_hbm,
+                        *rest, kvh: int, group: int, bs: int, hd: int,
+                        ppc: int, TQ: int, kv_scale: float,
+                        logit_cap: Optional[float], has_alibi: bool):
+    if has_alibi:
+        slopes_ref, o_ref, k_buf, v_buf, sems = rest
+    else:
+        o_ref, k_buf, v_buf, sems = rest
+    t = pl.program_id(0)
+    ctx = ctx_ref[0]
+    window = win_ref[0]
+    q0 = t * TQ  # first query row of this tile; its position is ctx + q0
+    R = TQ * group
+    T = ppc * bs
+
+    last_pos = ctx + q0 + TQ - 1
+    n_pages_needed = (last_pos + 1 + bs - 1) // bs
+    needed_chunks = (n_pages_needed + ppc - 1) // ppc
+    # earliest key any row of this tile may attend (first row's window)
+    first_valid = jnp.maximum(ctx + q0 - (window - 1), 0)
+    first_chunk = first_valid // T
+
+    def start_chunk(c, slot):
+        for p in range(ppc):
+            page = tables_ref[c * ppc + p]
+            pltpu.make_async_copy(k_hbm.at[page], k_buf.at[slot, p],
+                                  sems.at[slot, p, 0]).start()
+            pltpu.make_async_copy(v_hbm.at[page], v_buf.at[slot, p],
+                                  sems.at[slot, p, 1]).start()
+
+    def wait_chunk(slot):
+        for p in range(ppc):
+            pltpu.make_async_copy(k_hbm.at[0], k_buf.at[slot, p],
+                                  sems.at[slot, p, 0]).wait()
+            pltpu.make_async_copy(v_hbm.at[0], v_buf.at[slot, p],
+                                  sems.at[slot, p, 1]).wait()
+
+    start_chunk(first_chunk, 0)
+    # [TQ, nqh, hd] -> [kvh, TQ*group, hd]: group rows by kv head so ONE
+    # batched dot per chunk feeds the MXU (transpose paid once per program)
+    q4 = q_ref[...].astype(jnp.float32).reshape(TQ, kvh, group, hd)
+    q3 = jnp.transpose(q4, (1, 0, 2, 3)).reshape(kvh, R, hd)
+    # row r -> query row i = r // group, key-position bound ctx + q0 + i
+    pos_r = (ctx + q0 +
+             jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) // group)
+
+    m0 = jnp.full((kvh, R, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((kvh, R, 1), jnp.float32)
+    acc0 = jnp.zeros((kvh, R, hd), jnp.float32)
+
+    def body(c, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(c - first_chunk, 2)
+
+        @pl.when(c + 1 < needed_chunks)
+        def _():
+            start_chunk(c + 1, jax.lax.rem(c + 1 - first_chunk, 2))
+
+        wait_chunk(slot)
+        kc = k_buf[pl.ds(slot, 1)].reshape(ppc, kvh, bs, hd)
+        vc = v_buf[pl.ds(slot, 1)].reshape(ppc, kvh, bs, hd)
+        k_all = jnp.swapaxes(kc, 0, 1).reshape(kvh, T, hd).astype(
+            jnp.float32)
+        v_all = jnp.swapaxes(vc, 0, 1).reshape(kvh, T, hd).astype(
+            jnp.float32)
+        if kv_scale != 1.0:
+            k_all = k_all * kv_scale
+            v_all = v_all * kv_scale
+        s = jax.lax.dot_general(
+            q3, k_all, (((2, ), (2, )), ((0, ), (0, ))),
+            preferred_element_type=jnp.float32)  # [kvh, R, T]
+        if logit_cap is not None and logit_cap > 0:
+            s = jnp.tanh(s / logit_cap) * logit_cap
+        j = c * T + jax.lax.broadcasted_iota(jnp.int32, (R, T), 1)
+        if has_alibi:
+            # slopes arrive pre-expanded [kvh, R] (Mosaic cannot collapse
+            # a tiled [kvh, TQ, group] across the lane dim in-kernel)
+            s = s + slopes_ref[...][:, :, None] * \
+                (j - pos_r).astype(jnp.float32)[None]
+        valid = (j <= pos_r) & (j > pos_r - window)  # causal + window
+        s = jnp.where(valid[None], s, -jnp.inf)
+        chunk_m = jnp.max(s, axis=-1, keepdims=True)
+        new_m = jnp.maximum(m, chunk_m)
+        safe_m = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
+        p_ = jnp.exp(jnp.where(jnp.isfinite(s), s - safe_m, -jnp.inf))
+        alpha = jnp.where(jnp.isfinite(m), jnp.exp(m - safe_m), 0.0)
+        new_l = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p_, v_all, (((2, ), (1, )), ((0, ), (0, ))),
+            preferred_element_type=jnp.float32)  # [kvh, R, hd]
+        new_acc = acc * alpha + pv
+        return (new_m, new_l, new_acc)
+
+    m, l, acc = jax.lax.fori_loop(first_chunk, needed_chunks, body,
+                                  (m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-30)  # [kvh, R, hd]
+    out = jnp.transpose(out.reshape(kvh, TQ, group, hd),
+                        (1, 0, 2, 3)).reshape(TQ, kvh * group, hd)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "kv_scale",
+                                             "logit_cap", "alibi_slopes"))
+def _context_prefill_pallas(q, k_cache, v_cache, block_table, context_len,
+                            window=None, *, scale: float,
+                            kv_scale: float = 1.0,
+                            logit_cap: Optional[float] = None,
+                            alibi_slopes=None):
+    S, nqh, hd = q.shape
+    nb, kvh, bs, _ = k_cache.shape
+    group = nqh // kvh
+    W = block_table.shape[0]
+    ppc = PAGES_PER_CHUNK
+    if W % ppc != 0:
+        pad = ppc - W % ppc
+        block_table = jnp.pad(block_table, (0, pad))
+        W += pad
+    TQ = min(S, Q_TILE)
+
+    q_scaled = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    kernel = functools.partial(
+        _ctx_prefill_kernel, kvh=kvh, group=group, bs=bs, hd=hd, ppc=ppc,
+        TQ=TQ, kv_scale=kv_scale, logit_cap=logit_cap,
+        has_alibi=alibi_slopes is not None)
+
+    if window is None:
+        window = jnp.full((1, ), 2**30, jnp.int32)
+    else:
+        window = jnp.asarray(window, jnp.int32).reshape(1)
+    context_len = jnp.asarray(context_len, jnp.int32).reshape(1)
+    in_specs = [
+        pl.BlockSpec((TQ, nqh, hd), lambda t, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # caches stay in HBM
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [q_scaled, k_cache, v_cache]
+    if alibi_slopes is not None:
+        import numpy as np
+        sl = np.asarray(alibi_slopes, np.float32).reshape(kvh, 1, group)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(jnp.asarray(
+            np.broadcast_to(sl, (kvh, TQ, group)).reshape(kvh, TQ * group)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S // TQ, ),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TQ, nqh, hd), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, ppc, kvh, bs, hd), k_cache.dtype),
+            pltpu.VMEM((2, ppc, kvh, bs, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, ppc, 2)),
+        ],
+    )
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, nqh, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", )),
+        interpret=interpret,
+    )(block_table, context_len, window, *inputs)
+    return out
+
+
+def prefill_attention(q, k, v, k_cache, v_cache, block_table, context_len,
+                      *, scale: float, sliding_window: Optional[int] = None,
+                      logit_cap: Optional[float] = None,
+                      alibi_slopes=None, blocksparse=None,
+                      kv_scale: float = 1.0):
+    """Context-attended prefill over the paged cache. The current chunk's
+    KV (k, v args) is ALREADY in the cache (write-then-attend), so the
+    paged kernel serves both cached context and the causal current chunk.
+    XLA reference fallback for odd head sizes / tiny blocks / blocksparse /
+    ragged chunk lengths."""
+    nb, kvh, bs, hd = k_cache.shape
+    S, nqh, _ = q.shape
+    TQ = min(S, Q_TILE)
+    if (blocksparse is not None or hd % 128 != 0 or nqh % kvh != 0
+            or bs % 8 != 0 or S % TQ != 0):
+        return prefill_attention_ref(q, k, v, k_cache, v_cache,
+                                     block_table, context_len, scale=scale,
+                                     sliding_window=sliding_window,
+                                     logit_cap=logit_cap,
+                                     alibi_slopes=alibi_slopes,
+                                     blocksparse=blocksparse)
+    return _context_prefill_pallas(q, k_cache, v_cache, block_table,
+                                   context_len, window=sliding_window,
+                                   scale=scale, kv_scale=kv_scale,
+                                   logit_cap=logit_cap,
+                                   alibi_slopes=alibi_slopes)

@@ -1,0 +1,95 @@
+"""Pallas context-attended prefill kernel vs the jnp reference
+(prefill_attention_ref) across (ctx_len, chunk, GQA, window) — the
+reference's tests/kernels/test_prefix_prefill.py role.
+
+The kernel assumes write-then-attend (the current chunk's KV is already in
+the paged cache, as layers/attention.py guarantees), so the test writes
+the chunk into its pages before calling both implementations."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from neural_magic_vllm_tpu.ops.attention import (get_alibi_slopes,
+                                                 prefill_attention_ref)
+from neural_magic_vllm_tpu.ops.pallas_attention import prefill_attention
+
+
+def _setup(S, ctx_len, nqh, kvh, hd, bs, rng, dtype=jnp.float32):
+    total = ctx_len + S
+    W = (total + bs - 1) // bs + 1
+    nb = W + 3
+    q = jnp.asarray(rng.standard_normal((S, nqh, hd)), dtype)
+    k_cur = jnp.asarray(rng.standard_normal((S, kvh, hd)) * 0.3, dtype)
+    v_cur = jnp.asarray(rng.standard_normal((S, kvh, hd)) * 0.3, dtype)
+    k_cache = np.asarray(rng.standard_normal((nb, kvh, bs, hd)) * 0.3,
+                         np.float32)
+    v_cache = np.asarray(rng.standard_normal((nb, kvh, bs, hd)) * 0.3,
+                         np.float32)
+    table = rng.permutation(nb)[:W].astype(np.int32)
+    # write-then-attend: current chunk rows land at positions
+    # [ctx_len, ctx_len + S) of this sequence's pages
+    for i in range(S):
+        p = ctx_len + i
+        k_cache[table[p // bs], :, p % bs] = np.asarray(k_cur[i])
+        v_cache[table[p // bs], :, p % bs] = np.asarray(v_cur[i])
+    return (q, k_cur, v_cur, jnp.asarray(k_cache, dtype),
+            jnp.asarray(v_cache, dtype), jnp.asarray(table),
+            jnp.int32(ctx_len))
+
+
+@pytest.mark.parametrize("S,ctx_len,nqh,kvh,window", [
+    (16, 0, 8, 2, None),     # fresh prefill, GQA (no cached context)
+    (16, 40, 8, 2, None),    # prefix-cache hit, GQA
+    (128, 100, 8, 8, None),  # chunked continuation, MHA, multi-tile S
+    (256, 37, 16, 4, None),  # unaligned context
+    (64, 200, 8, 2, 48),     # sliding window smaller than context
+    (32, 5, 4, 1, 16),       # window + tiny context, single kv head
+])
+def test_pallas_context_prefill_matches_ref(S, ctx_len, nqh, kvh, window):
+    hd, bs = 128, 16
+    rng = np.random.default_rng(42 + S + ctx_len)
+    q, k, v, kc, vc, table, ctx = _setup(S, ctx_len, nqh, kvh, hd, bs, rng)
+    scale = hd**-0.5
+    ref = prefill_attention_ref(q, k, v, kc, vc, table, ctx, scale=scale,
+                                sliding_window=window)
+    out = prefill_attention(q, k, v, kc, vc, table, ctx, scale=scale,
+                            sliding_window=window)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_context_prefill_logit_cap_and_alibi():
+    hd, bs, S, ctx_len, nqh, kvh = 128, 16, 32, 21, 8, 2
+    rng = np.random.default_rng(7)
+    q, k, v, kc, vc, table, ctx = _setup(S, ctx_len, nqh, kvh, hd, bs, rng)
+    scale = hd**-0.5
+    ref = prefill_attention_ref(q, k, v, kc, vc, table, ctx, scale=scale,
+                                logit_cap=30.0)
+    out = prefill_attention(q, k, v, kc, vc, table, ctx, scale=scale,
+                            logit_cap=30.0)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    slopes = get_alibi_slopes(nqh)
+    ref = prefill_attention_ref(q, k, v, kc, vc, table, ctx, scale=scale,
+                                alibi_slopes=slopes)
+    out = prefill_attention(q, k, v, kc, vc, table, ctx, scale=scale,
+                            alibi_slopes=slopes)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_context_prefill_odd_shapes_fall_back():
+    """Non-128 head size routes to the reference implementation."""
+    hd, bs, S, ctx_len, nqh, kvh = 64, 16, 16, 8, 8, 2
+    rng = np.random.default_rng(3)
+    q, k, v, kc, vc, table, ctx = _setup(S, ctx_len, nqh, kvh, hd, bs, rng)
+    scale = hd**-0.5
+    ref = prefill_attention_ref(q, k, v, kc, vc, table, ctx, scale=scale)
+    out = prefill_attention(q, k, v, kc, vc, table, ctx, scale=scale)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
