@@ -6,7 +6,8 @@ worker_base.py start_worker_execution_loop): on a multi-host pod slice,
 every host runs the SAME jitted step over the global mesh (GSPMD handles
 ICI/DCN collectives); only host 0 runs the scheduler, and the per-step
 batch metadata (token ids, positions, block tables, sampling tensors —
-small host arrays) is broadcast over DCN with zmq + msgpack.
+small host arrays) is broadcast over DCN with zmq, using a fixed
+length-prefixed json+raw-bytes schema (never pickle).
 
 Design contract (single-controller continuous batching across hosts):
   host 0:  schedule() -> StepPayload -> broadcast -> run jitted step
@@ -19,9 +20,10 @@ needed, matching the reference's one-way metadata broadcast).
 The TPU pod runtime (jax.distributed) must be initialized by the launcher;
 this module only provides the metadata plane + the follower loop.
 """
-import pickle
+import json
+import struct
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import numpy as np
 
@@ -30,6 +32,13 @@ from neural_magic_vllm_tpu.logger import init_logger
 logger = init_logger(__name__)
 
 _SHUTDOWN = b"__shutdown__"
+
+# Wire format: a fixed schema, NOT pickle — a DCN control plane must never
+# deserialize arbitrary objects. Layout:
+#   <u32 header_len> <json header> <raw array bytes, concatenated>
+# header = {"kind", "scalars" (json-safe), "arrays": [[name, dtype, shape]]}
+_DTYPES = {"int32", "int64", "float32", "float64", "uint32", "bool",
+           "bfloat16", "uint16", "uint8"}
 
 
 @dataclass
@@ -42,13 +51,49 @@ class StepPayload:
     scalars: Dict[str, Any] = field(default_factory=dict)
 
     def to_bytes(self) -> bytes:
-        return pickle.dumps(self, protocol=pickle.HIGHEST_PROTOCOL)
+        names = sorted(self.arrays)
+        metas = []
+        blobs = []
+        for n in names:
+            a = np.ascontiguousarray(self.arrays[n])
+            dt = "bfloat16" if a.dtype.name == "bfloat16" else a.dtype.name
+            assert dt in _DTYPES, dt
+            metas.append([n, dt, list(a.shape)])
+            blobs.append(a.tobytes())
+        head = json.dumps({
+            "kind": self.kind,
+            "scalars": self.scalars,
+            "arrays": metas
+        }).encode()
+        return b"".join([struct.pack("<I", len(head)), head] + blobs)
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "StepPayload":
-        obj = pickle.loads(data)
-        assert isinstance(obj, StepPayload)
-        return obj
+        (hlen, ) = struct.unpack_from("<I", data, 0)
+        head = json.loads(data[4:4 + hlen].decode())
+        if not isinstance(head.get("kind"), str):
+            raise ValueError("malformed StepPayload header")
+        off = 4 + hlen
+        arrays: Dict[str, np.ndarray] = {}
+        for name, dt, shape in head["arrays"]:
+            if dt not in _DTYPES:
+                raise ValueError(f"disallowed dtype {dt!r}")
+            if dt == "bfloat16":
+                import ml_dtypes
+                dtype = np.dtype(ml_dtypes.bfloat16)
+            else:
+                dtype = np.dtype(dt)
+            n = int(np.prod(shape)) if shape else 1
+            nbytes = n * dtype.itemsize
+            arrays[name] = np.frombuffer(
+                data, dtype=dtype, count=n, offset=off).reshape(shape)
+            off += nbytes
+        # json cannot carry tuples: _get_fn cache keys use tuple scalars
+        scalars = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in head["scalars"].items()
+        }
+        return cls(kind=head["kind"], arrays=arrays, scalars=scalars)
 
 
 class HostControlPlane:
@@ -91,43 +136,70 @@ class HostControlPlane:
         self._sock.close(0)
 
 
-def follower_loop(control: HostControlPlane, runner,
-                  cache_engine) -> None:
-    """Follower-host execution loop (analogue of the reference
-    start_worker_execution_loop, worker_base.py:57-66): replay each
-    broadcast step against the local runner so every host enters the same
-    global-mesh executable."""
+def follower_step(payload: StepPayload, runner, cache_engine) -> None:
+    """Replay ONE broadcast dispatch against the local runner, mirroring
+    exactly the driver's jitted call in worker/model_runner.py (same kind,
+    same arrays) so every host enters the same global-mesh executable."""
     import jax.numpy as jnp
 
     from neural_magic_vllm_tpu.layers.attention import AttentionMetadata
     from neural_magic_vllm_tpu.ops.sampling import SamplingTensors
+
+    a = {k: jnp.asarray(v) for k, v in payload.arrays.items()}
+    kind = payload.kind
+    nlp = payload.scalars["num_logprobs"]
+    samp = None
+    if "samp_temperature" in a:
+        samp = SamplingTensors(**{
+            f: a[f"samp_{f}"] for f in SamplingTensors._fields
+            if f"samp_{f}" in a
+        })
+    fn = runner._get_fn(kind, nlp)
+    params, kv = runner.params, cache_engine.kv_caches
+    if kind == "prefill_batch":
+        meta = AttentionMetadata(
+            slot_mapping=a["slot_mapping"],
+            block_tables=jnp.zeros((1, 4), jnp.int32),  # unused; matches
+            context_lens=jnp.zeros((1, ), jnp.int32),  # the driver's dummy
+            seq_ids=a["seq_ids"], q_pos=a["q_pos"])
+        new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
+                       a["sample_idx"], samp, None, None)
+    elif kind in ("prefill_sample", "prefill_logits"):
+        meta = AttentionMetadata(slot_mapping=a["slot_mapping"],
+                                 block_tables=a["block_tables"],
+                                 context_lens=a["context_lens"])
+        if kind == "prefill_sample":
+            new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
+                           a["sample_idx"], samp, None, None, None)
+        else:
+            new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
+                           None, None, None)
+    elif kind in ("decode_sample", "decode_logits"):
+        meta = AttentionMetadata(slot_mapping=a["slot_mapping"],
+                                 block_tables=a["block_tables"],
+                                 context_lens=a["context_lens"])
+        if kind == "decode_sample":
+            new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
+                           samp, None, None)
+        else:
+            new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
+                           None, None)
+    elif kind == "decode_multi":
+        new_kv, _ = fn(params, kv, a["tokens"], a["positions"],
+                       a["block_tables"], a["valid"], samp, None, None)
+    else:
+        raise ValueError(f"unknown step kind {kind!r}")
+    cache_engine.kv_caches = new_kv
+
+
+def follower_loop(control: HostControlPlane, runner,
+                  cache_engine) -> None:
+    """Follower-host execution loop (analogue of the reference
+    start_worker_execution_loop, worker_base.py:57-66): replay each
+    broadcast step until shutdown."""
     while True:
         payload = control.recv()
         if payload is None:
             logger.info("follower loop: shutdown")
             return
-        a = {k: jnp.asarray(v) for k, v in payload.arrays.items()}
-        meta = AttentionMetadata(
-            slot_mapping=a["slot_mapping"],
-            block_tables=a["block_tables"],
-            context_lens=a["context_lens"],
-            seq_ids=a.get("seq_ids"),
-            q_pos=a.get("q_pos"))
-        samp = SamplingTensors(**{
-            f: a[f"samp_{f}"] for f in SamplingTensors._fields
-            if f"samp_{f}" in a
-        })
-        fn = runner._get_fn(payload.kind, payload.scalars["num_logprobs"])
-        if payload.kind == "decode_sample":
-            new_kv, _ = fn(runner.params, cache_engine.kv_caches,
-                           a["tokens"], a["positions"], meta, samp, None,
-                           None)
-        elif payload.kind == "decode_multi":
-            new_kv, _ = fn(runner.params, cache_engine.kv_caches,
-                           a["tokens"], a["positions"], a["block_tables"],
-                           a["valid"], samp, None, None)
-        else:  # prefill kinds
-            new_kv, _ = fn(runner.params, cache_engine.kv_caches,
-                           a["tokens"], a["positions"], meta,
-                           a["sample_idx"], samp, None, None)
-        cache_engine.kv_caches = new_kv
+        follower_step(payload, runner, cache_engine)

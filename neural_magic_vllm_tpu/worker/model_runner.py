@@ -177,6 +177,30 @@ class TPUModelRunner:
             0, 2**31))
         # (kind, bucket-independent static opts) -> jitted fn
         self._fns: Dict[Tuple, Any] = {}
+        # Multi-host: attached by the launcher on the driver host. When
+        # set, every jitted dispatch is preceded by a StepPayload broadcast
+        # so follower hosts enter the same global-mesh executable
+        # (parallel/multihost.py; reference worker_base.py:215-282).
+        self.control_plane = None
+
+    def _bcast(self, kind: str, nlp, arrays: Dict[str, Any],
+               samp=None) -> None:
+        """Publish one dispatch's host inputs to follower hosts."""
+        if self.control_plane is None:
+            return
+        from neural_magic_vllm_tpu.ops.sampling import SamplingTensors
+        from neural_magic_vllm_tpu.parallel.multihost import StepPayload
+        arr = {k: np.asarray(v) for k, v in arrays.items()
+               if v is not None}
+        if samp is not None:
+            for f in SamplingTensors._fields:
+                v = getattr(samp, f)
+                if v is not None:
+                    arr[f"samp_{f}"] = np.asarray(v)
+        self.control_plane.broadcast(StepPayload(
+            kind=kind, arrays=arr,
+            scalars={"num_logprobs": list(nlp) if isinstance(nlp, tuple)
+                     else nlp}))
 
     # --- model loading ----------------------------------------------------------
     def load_model(self) -> None:
@@ -887,6 +911,10 @@ class TPUModelRunner:
             lidx_flat = jnp.asarray(li)
         else:
             lora, lidx_flat = None, None
+        self._bcast("prefill_batch", nlp,
+                    dict(tokens=tokens, positions=positions,
+                         slot_mapping=slots, seq_ids=seq_ids,
+                         q_pos=positions, sample_idx=sample_idx), samp)
         new_kv, out = fn(self.params, cache_engine.kv_caches,
                          jnp.asarray(tokens), jnp.asarray(positions), meta,
                          jnp.asarray(sample_idx), samp, lora, lidx_flat)
@@ -975,6 +1003,11 @@ class TPUModelRunner:
                                      spans=[S])
         if host:
             fn = self._get_fn("prefill_logits", 0)
+            self._bcast("prefill_logits", 0,
+                        dict(tokens=tokens, positions=positions,
+                             slot_mapping=slots,
+                             block_tables=meta.block_tables,
+                             context_lens=meta.context_lens))
             new_kv, logits = fn(self.params, cache_engine.kv_caches,
                                 jnp.asarray(tokens), jnp.asarray(positions),
                                 meta, lora, lidx, mm)
@@ -1009,6 +1042,12 @@ class TPUModelRunner:
         nlp = self.max_logprobs if num_logprobs else 0
         fn = self._get_fn("prefill_sample", nlp)
         samp = self._samp_tensors([(sgm, seq_id)])
+        self._bcast("prefill_sample", nlp,
+                    dict(tokens=tokens, positions=positions,
+                         slot_mapping=slots,
+                         block_tables=meta.block_tables,
+                         context_lens=meta.context_lens,
+                         sample_idx=np.int32(S - 1)), samp)
         new_kv, out = fn(self.params, cache_engine.kv_caches,
                          jnp.asarray(tokens), jnp.asarray(positions), meta,
                          jnp.int32(S - 1), samp, lora, lidx, mm)
@@ -1121,6 +1160,9 @@ class TPUModelRunner:
         samp = self._samp_tensors(pad_rows)
         lora, lidx = self._lora_args([sgm.lora_request for sgm, _ in rows],
                                      b_pad)
+        self._bcast("decode_multi", (K, nlp),
+                    dict(tokens=tokens, positions=positions,
+                         block_tables=tables, valid=valid), samp)
         new_kv, ys = fn(self.params, cache_engine.kv_caches,
                         jnp.asarray(tokens), jnp.asarray(positions),
                         jnp.asarray(tables), jnp.asarray(valid), samp,
@@ -1589,6 +1631,10 @@ class TPUModelRunner:
                                      b_pad)
         if host:
             fn = self._get_fn("decode_logits", 0)
+            self._bcast("decode_logits", 0,
+                        dict(tokens=tokens, positions=positions,
+                             slot_mapping=slots, block_tables=tables,
+                             context_lens=ctx_lens))
             new_kv, logits = fn(self.params, cache_engine.kv_caches,
                                 jnp.asarray(tokens), jnp.asarray(positions),
                                 meta, lora, lidx)
@@ -1608,6 +1654,10 @@ class TPUModelRunner:
             fn = self._get_fn("decode_sample", nlp)
             pad_rows = rows + [rows[-1]] * (b_pad - B)
             samp = self._samp_tensors(pad_rows)
+            self._bcast("decode_sample", nlp,
+                        dict(tokens=tokens, positions=positions,
+                             slot_mapping=slots, block_tables=tables,
+                             context_lens=ctx_lens), samp)
             new_kv, out = fn(self.params, cache_engine.kv_caches,
                              jnp.asarray(tokens), jnp.asarray(positions),
                              meta, samp, lora, lidx)
