@@ -64,6 +64,7 @@ class _SamplingMixin(BaseModel):
     guided_json: Optional[Union[str, dict]] = None
     guided_regex: Optional[str] = None
     guided_choice: Optional[List[str]] = None
+    guided_grammar: Optional[str] = None
 
     def _stops(self) -> List[str]:
         if self.stop is None:

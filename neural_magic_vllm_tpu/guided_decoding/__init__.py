@@ -85,10 +85,28 @@ def _get_fsm(pattern: str, tokenizer) -> RegexFSM:
     return fsm
 
 
+_CFG_CACHE: Dict[tuple, object] = {}
+
+
 def get_guided_decoding_logits_processors(request, tokenizer
                                           ) -> Optional[list]:
     """Build processors from a request carrying guided_json / guided_regex /
-    guided_choice (reference guided_decoding/__init__.py:13)."""
+    guided_choice / guided_grammar (reference
+    guided_decoding/__init__.py:13; CFG backend
+    outlines_logits_processors.py:126)."""
+    if getattr(request, "guided_grammar", None):
+        if tokenizer is None:
+            raise ValueError("guided decoding requires a tokenizer")
+        from neural_magic_vllm_tpu.guided_decoding.cfg import (
+            CFGLogitsProcessor, CFGuide)
+        strings = _vocab_strings(tokenizer)
+        key = (request.guided_grammar, id(tokenizer))
+        guide = _CFG_CACHE.get(key)
+        if guide is None:
+            guide = CFGuide(request.guided_grammar, strings)
+            _CFG_CACHE[key] = guide
+        eos = getattr(tokenizer, "eos_token_id", None)
+        return [CFGLogitsProcessor(guide, strings, eos)]
     pattern = None
     if getattr(request, "guided_json", None):
         pattern = schema_to_regex(request.guided_json)

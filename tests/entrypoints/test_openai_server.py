@@ -173,6 +173,25 @@ def test_guided_choice(app_and_engine):
     assert run(engine, go)
 
 
+def test_guided_grammar(app_and_engine):
+    """CFG backend over the server (reference CFGLogitsProcessor role)."""
+    engine = app_and_engine
+    grammar = 'expr: num | expr "+" num\nnum: [0-9]+'
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "model": MODEL_NAME, "prompt": "calc", "max_tokens": 12,
+            "temperature": 1.0, "seed": 3, "guided_grammar": grammar})
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        text = body["choices"][0]["text"]
+        import re as _re
+        assert _re.fullmatch(r"[0-9]+(\+[0-9]+)*", text), text
+        return True
+
+    assert run(engine, go)
+
+
 def test_embeddings_endpoint(tmp_path_factory, tiny_llama_dir):
     """/v1/embeddings over a bare-backbone (embedding) model."""
     import json
