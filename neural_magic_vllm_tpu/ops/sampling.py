@@ -35,6 +35,14 @@ class SamplingTensors(NamedTuple):
     # when no request in the batch uses penalties (the common fast path).
     output_token_counts: Optional[jax.Array] = None
     prompt_token_mask: Optional[jax.Array] = None  # [B, V] bool
+    # OR: raw padded token-history buffers (pad sentinel = vocab_size,
+    # dropped by the in-graph bincount). The runner ships these instead of
+    # the [B, V] maps — O(hist) bytes over PCIe, counts built on device
+    # (the reference builds its penalty tensors on-GPU the same way,
+    # sampler.py:155-221).
+    prompt_tokens: Optional[jax.Array] = None  # [B, P] i32
+    output_tokens: Optional[jax.Array] = None  # [B, O] i32
+    output_len: Optional[jax.Array] = None  # [B] i32 (multi-step append)
 
 
 def apply_penalties(logits: jax.Array, prompt_mask: jax.Array,
@@ -125,7 +133,16 @@ def sample(
     """Full sampling pipeline. Returns (token_ids [B], logprob_of_token [B],
     topk_logprob_vals [B, max_logprobs], topk_token_ids [B, max_logprobs])."""
     logits = logits.astype(jnp.float32)
-    if t.output_token_counts is not None:
+    if t.output_tokens is not None:
+        V = logits.shape[-1]
+        counts = jax.vmap(lambda x: jnp.bincount(x, length=V))(
+            t.output_tokens)
+        pmask = jax.vmap(lambda x: jnp.bincount(x, length=V))(
+            t.prompt_tokens) > 0
+        logits = apply_penalties(logits, pmask, counts,
+                                 t.presence_penalty, t.frequency_penalty,
+                                 t.repetition_penalty)
+    elif t.output_token_counts is not None:
         logits = apply_penalties(logits, t.prompt_token_mask,
                                  t.output_token_counts, t.presence_penalty,
                                  t.frequency_penalty, t.repetition_penalty)

@@ -49,11 +49,17 @@ def _fold_position(samp: SamplingTensors, positions) -> SamplingTensors:
 
 
 def _needs_host_sampling(sp: SamplingParams) -> bool:
-    return (bool(sp.logits_processors)
-            or abs(sp.presence_penalty) >= _SAMPLING_EPS
+    """Host fallback is reserved for genuinely host-side features; the
+    penalty family runs IN-GRAPH (token-history buffers shipped per step,
+    counts built on device — ops/sampling.apply_penalties)."""
+    return (bool(sp.logits_processors) or sp.min_tokens > 0
+            or sp.use_beam_search)
+
+
+def _uses_penalties(sp: SamplingParams) -> bool:
+    return (abs(sp.presence_penalty) >= _SAMPLING_EPS
             or abs(sp.frequency_penalty) >= _SAMPLING_EPS
-            or abs(sp.repetition_penalty - 1.0) >= _SAMPLING_EPS
-            or sp.min_tokens > 0 or sp.use_beam_search)
+            or abs(sp.repetition_penalty - 1.0) >= _SAMPLING_EPS)
 
 
 class TPUModelRunner:
@@ -447,9 +453,16 @@ class TPUModelRunner:
 
             def fn(params, kv_caches, tokens, positions, tables, valid,
                    samp, lora, lora_idx):
+                # Penalty requests: the output-token history buffer rides
+                # the scan carry so iteration k's penalties see tokens
+                # sampled at iterations < k (in-graph append).
+                has_pen = samp.output_tokens is not None
 
                 def body(carry, _):
-                    kv, toks, pos = carry
+                    if has_pen:
+                        kv, toks, pos, obuf, widx = carry
+                    else:
+                        kv, toks, pos = carry
                     blk = jnp.take_along_axis(tables, (pos // bs)[:, None],
                                               axis=1)[:, 0]
                     slots = jnp.where(valid, blk * bs + pos % bs, -1)
@@ -461,14 +474,22 @@ class TPUModelRunner:
                                                   lora=lora,
                                                   lora_idx=lora_idx)
                     logits = model.compute_logits(params, hidden)
-                    out = sample(logits, _fold_position(samp, pos),
-                                 max_logprobs=nlp)
+                    samp_k = _fold_position(samp, pos)
+                    if has_pen:
+                        samp_k = samp_k._replace(output_tokens=obuf)
+                    out = sample(logits, samp_k, max_logprobs=nlp)
                     tid = out[0]
+                    if has_pen:
+                        obuf = obuf.at[jnp.arange(obuf.shape[0]),
+                                       widx].set(tid, mode="drop")
+                        return (newkv, tid, pos + 1, obuf, widx + 1), out
                     return (newkv, tid, pos + 1), out
 
-                (new_caches, _, _), ys = jax.lax.scan(
-                    body, (kv_caches, tokens, positions), None, length=K)
-                return new_caches, ys
+                init = (kv_caches, tokens, positions)
+                if has_pen:
+                    init = init + (samp.output_tokens, samp.output_len)
+                carry_out, ys = jax.lax.scan(body, init, None, length=K)
+                return carry_out[0], ys
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
@@ -709,31 +730,67 @@ class TPUModelRunner:
         k1 = np.uint32((seq_index * 97 + 1) & 0xFFFFFFFF)
         return np.array([k0, k1], np.uint32)
 
-    def _samp_tensors(self, sgms_and_seqs) -> SamplingTensors:
+    def _samp_tensors(self, sgms_and_seqs,
+                      lookahead: int = 0) -> SamplingTensors:
         B = len(sgms_and_seqs)
         temp = np.zeros((B, ), np.float32)
         top_k = np.zeros((B, ), np.int32)
         top_p = np.ones((B, ), np.float32)
         min_p = np.zeros((B, ), np.float32)
+        pres = np.zeros((B, ), np.float32)
+        freq = np.zeros((B, ), np.float32)
+        rep = np.ones((B, ), np.float32)
         keys = np.zeros((B, 2), np.uint32)
         V = self.model_config.get_vocab_size()
+        any_penalty = False
         for i, (sgm, seq_id) in enumerate(sgms_and_seqs):
             sp = sgm.sampling_params
             temp[i] = sp.temperature
             top_k[i] = sp.top_k if sp.top_k > 0 else V
             top_p[i] = sp.top_p
             min_p[i] = sp.min_p
+            pres[i] = sp.presence_penalty
+            freq[i] = sp.frequency_penalty
+            rep[i] = sp.repetition_penalty
+            any_penalty = any_penalty or _uses_penalties(sp)
             keys[i] = self._seq_key(sgm, seq_id)
-        zeros = np.zeros((B, ), np.float32)
+        prompt_tokens = output_tokens = output_len = None
+        if any_penalty:
+            # Padded token-history buffers (pad sentinel = V, dropped by
+            # the in-graph bincount); widths on a pow2 bucket so the
+            # executable count stays bounded.
+            datas = [sgm.seq_data[sid] for sgm, sid in sgms_and_seqs]
+
+            def pow2(n):  # pow2 width bucket, floor 64
+                w = 64
+                while w < n:
+                    w *= 2
+                return w
+
+            P = pow2(max(len(d.prompt_token_ids) for d in datas))
+            olens = [len(d.output_token_ids) for d in datas]
+            O = pow2(max(olens) + lookahead + 1)
+            pt = np.full((B, P), V, np.int32)
+            ot = np.full((B, O), V, np.int32)
+            ol = np.zeros((B, ), np.int32)
+            for i, d in enumerate(datas):
+                pt[i, :len(d.prompt_token_ids)] = d.prompt_token_ids
+                ot[i, :olens[i]] = d.output_token_ids
+                ol[i] = olens[i]
+            prompt_tokens = jnp.asarray(pt)
+            output_tokens = jnp.asarray(ot)
+            output_len = jnp.asarray(ol)
         return SamplingTensors(temperature=jnp.asarray(temp),
                                top_k=jnp.asarray(top_k),
                                top_p=jnp.asarray(top_p),
                                min_p=jnp.asarray(min_p),
-                               presence_penalty=jnp.asarray(zeros),
-                               frequency_penalty=jnp.asarray(zeros),
-                               repetition_penalty=jnp.asarray(
-                                   np.ones((B, ), np.float32)),
-                               keys=jnp.asarray(keys))
+                               presence_penalty=jnp.asarray(pres),
+                               frequency_penalty=jnp.asarray(freq),
+                               repetition_penalty=jnp.asarray(rep),
+                               keys=jnp.asarray(keys),
+                               prompt_tokens=prompt_tokens,
+                               output_tokens=output_tokens,
+                               output_len=output_len)
 
     def _logprob_dict(self, token: int, chosen_lp: float,
                       top_vals: Optional[np.ndarray],
@@ -791,7 +848,9 @@ class TPUModelRunner:
                 return self._execute_decode_spec_mlp(
                     [m for _, m in decodes], cache_engine)
 
-        if self._spec_proposer is not None and all_single_decode:
+        if self._spec_proposer is not None and all_single_decode and \
+                not any(_uses_penalties(m.sampling_params)
+                        for _, m in decodes):
             sc = self.speculative_config
             disable_bs = sc.speculative_disable_by_batch_size
             if disable_bs is None or len(decodes) < disable_bs:
@@ -1157,7 +1216,7 @@ class TPUModelRunner:
         nlp = self.max_logprobs if any_logprobs else 0
         fn = self._get_fn("decode_multi", (K, nlp))
         pad_rows = rows + [rows[-1]] * (b_pad - B)
-        samp = self._samp_tensors(pad_rows)
+        samp = self._samp_tensors(pad_rows, lookahead=K)
         lora, lidx = self._lora_args([sgm.lora_request for sgm, _ in rows],
                                      b_pad)
         self._bcast("decode_multi", (K, nlp),
@@ -1192,7 +1251,7 @@ class TPUModelRunner:
         graph; rows needing top-k/p/min-p fall back to regular decode."""
         V_off = sp.top_k <= 0
         return ((not V_off and sp.top_k < 2**30) or sp.top_p < 1.0
-                or sp.min_p > 0.0)
+                or sp.min_p > 0.0 or _uses_penalties(sp))
 
     def _draft_prefill(self, tokens, positions, meta, draft_cache_engine,
                        seq_id: int, prompt_len: int) -> None:
