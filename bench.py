@@ -69,7 +69,22 @@ def build_engine():
         wbytes = int(32 * per_layer * 0.5) + 2 * (128256 * 4096 * 2)
     hf_cfg.architectures = ["LlamaForCausalLM"]
 
-    model_config = ModelConfig(model=f"{MODEL}-bench", dtype="bfloat16",
+    # Cache the packed dummy checkpoint on disk: init_params + quant
+    # packing for 8B costs ~5 min; the orbax reload ~30 s. Weights are
+    # seed-deterministic either way, so the numbers are identical.
+    state_dir = os.environ.get(
+        "BENCH_STATE_DIR", os.path.expanduser(f"~/.cache/nmv_tpu/{MODEL}"))
+    save_state = False
+    load_format = "dummy"
+    model_path = f"{MODEL}-bench"
+    if state_dir:
+        if os.path.isdir(os.path.join(state_dir, "nmv_state")):
+            load_format = "nmv"
+            model_path = state_dir
+        else:
+            save_state = True
+
+    model_config = ModelConfig(model=model_path, dtype="bfloat16",
                                max_model_len=1024, hf_config=hf_cfg,
                                quantization=quant, skip_tokenizer_init=True)
     engine_config = EngineConfig(
@@ -85,9 +100,13 @@ def build_engine():
             max_num_batched_tokens=2048,  # 32 prompts per prefill dispatch
             num_scheduler_steps=SCHED_STEPS),
         device_config=DeviceConfig(),
-        load_config=LoadConfig(load_format="dummy"),
+        load_config=LoadConfig(load_format=load_format),
     )
-    return LLMEngine(engine_config, log_stats=False), metric, wbytes
+    engine = LLMEngine(engine_config, log_stats=False)
+    if save_state:
+        os.makedirs(state_dir, exist_ok=True)
+        engine.model_executor.save_state(state_dir)
+    return engine, metric, wbytes
 
 
 def main():

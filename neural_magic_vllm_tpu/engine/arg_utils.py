@@ -79,11 +79,56 @@ class EngineArgs:
     otlp_traces_endpoint: Optional[str] = None
     disable_log_stats: bool = False
 
+    # per-flag help (reference arg_utils.py help strings); flags not
+    # listed get a generated stub
+    _HELP = {
+        "model": "HF model directory (or name) to serve.",
+        "tokenizer": "tokenizer path; defaults to --model.",
+        "load_format": "weight source: auto|safetensors|pt|dummy|nmv|"
+                       "bitsandbytes.",
+        "dtype": "model dtype: auto|bfloat16|float16|float32.",
+        "kv_cache_dtype": "KV cache dtype: auto|fp8|fp8_e4m3|fp8_e5m2.",
+        "quantization_param_path": "JSON with per-layer KV scales.",
+        "max_model_len": "max sequence length (prompt+generation).",
+        "pipeline_parallel_size": "GPipe stages over the 'stage' mesh axis.",
+        "tensor_parallel_size": "TP degree over the 'model' mesh axis.",
+        "data_parallel_size": "replica axis for batch sharding.",
+        "block_size": "paged-KV block size in tokens.",
+        "enable_prefix_caching": "hash-based prefix cache reuse.",
+        "swap_space": "GiB of host KV swap space per chip.",
+        "gpu_memory_utilization": "fraction of HBM usable (0, 1].",
+        "num_gpu_blocks_override": "skip profiling; force KV block count.",
+        "max_num_batched_tokens": "per-step token budget.",
+        "max_num_seqs": "per-step sequence cap (decode batch ceiling).",
+        "enable_chunked_prefill": "split long prompts across steps.",
+        "num_scheduler_steps": "fused decode steps per dispatch.",
+        "preemption_mode": "recompute|swap (default: auto).",
+        "quantization": "weight quantization method (auto-detected from "
+                        "the checkpoint when omitted).",
+        "enforce_eager": "skip AOT bucket warmup (debug/testing only).",
+        "speculative_model": "draft model for speculative decoding.",
+        "num_speculative_tokens": "proposal length k.",
+        "guided_decoding_backend": "constrained-decoding backend.",
+        "otlp_traces_endpoint": "OTLP gRPC endpoint for request traces.",
+    }
+    _CHOICES = {
+        "tokenizer_mode": ("auto", "slow"),
+        "dtype": ("auto", "half", "float16", "bfloat16", "float", "float32"),
+        "kv_cache_dtype": ("auto", "fp8", "fp8_e4m3", "fp8_e5m2"),
+        "load_format": ("auto", "safetensors", "pt", "dummy", "npcache",
+                        "nmv", "sharded_state", "bitsandbytes"),
+        "preemption_mode": ("recompute", "swap"),
+        "spec_decoding_acceptance_method": ("rejection_sampler",
+                                            "typical_acceptance_sampler"),
+    }
+
     @classmethod
     def add_cli_args(cls, parser: argparse.ArgumentParser
                      ) -> argparse.ArgumentParser:
         for f in dataclasses.fields(cls):
             name = "--" + f.name.replace("_", "-")
+            help_text = cls._HELP.get(
+                f.name, f.name.replace("_", " ") + ".")
             # Field types may be classes (int) or strings ("Optional[int]")
             # depending on annotation evaluation; normalize to a name.
             t = f.type
@@ -97,11 +142,53 @@ class EngineArgs:
                 "Optional[", "").rstrip("]")
             if tname == "bool":
                 parser.add_argument(name, action="store_true",
-                                    default=f.default)
+                                    default=f.default, help=help_text)
             else:
                 tp = {"int": int, "float": float, "str": str}.get(tname, str)
-                parser.add_argument(name, type=tp, default=f.default)
+                parser.add_argument(name, type=tp, default=f.default,
+                                    choices=cls._CHOICES.get(f.name),
+                                    help=help_text)
         return parser
+
+    def _verify(self) -> None:
+        """Reject hostile values before they reach the configs
+        (reference: per-flag checks in vllm/engine/arg_utils.py)."""
+        def positive(name):
+            v = getattr(self, name)
+            if v is not None and v <= 0:
+                raise ValueError(f"{name} must be positive, got {v}")
+
+        def non_negative(name):
+            v = getattr(self, name)
+            if v is not None and v < 0:
+                raise ValueError(f"{name} must be >= 0, got {v}")
+
+        for n in ("max_model_len", "max_num_seqs", "block_size",
+                  "num_scheduler_steps", "max_num_batched_tokens",
+                  "tensor_parallel_size", "pipeline_parallel_size",
+                  "data_parallel_size", "max_loras", "max_lora_rank",
+                  "num_gpu_blocks_override"):
+            positive(n)
+        for n in ("swap_space", "scheduler_delay_factor",
+                  "num_lookahead_slots", "max_logprobs",
+                  "lora_extra_vocab_size"):
+            non_negative(n)
+        if self.block_size not in (8, 16, 32, 64, 128):
+            raise ValueError(
+                f"block_size must be one of 8/16/32/64/128, got "
+                f"{self.block_size}")
+        util = self.hbm_utilization if self.hbm_utilization is not None \
+            else self.gpu_memory_utilization
+        if not 0.0 < util <= 1.0:
+            raise ValueError(
+                f"gpu_memory_utilization must be in (0, 1], got {util}")
+        if self.preemption_mode not in (None, "recompute", "swap"):
+            raise ValueError(
+                f"preemption_mode must be recompute|swap, got "
+                f"{self.preemption_mode!r}")
+        if self.kv_cache_dtype not in self._CHOICES["kv_cache_dtype"]:
+            raise ValueError(
+                f"unknown kv_cache_dtype {self.kv_cache_dtype!r}")
 
     @classmethod
     def from_cli_args(cls, args: argparse.Namespace) -> "EngineArgs":
@@ -109,6 +196,7 @@ class EngineArgs:
         return cls(**{a: getattr(args, a) for a in attrs if hasattr(args, a)})
 
     def create_engine_config(self) -> EngineConfig:
+        self._verify()
         model_config = ModelConfig(
             model=self.model,
             tokenizer=self.tokenizer,

@@ -263,4 +263,14 @@ def get_attention_backend(backend: Optional[str] = None):
         from neural_magic_vllm_tpu.ops import pallas_attention
         return (pallas_attention.prefill_attention,
                 pallas_attention.decode_attention)
+    if backend == "null":
+        # PROFILING ONLY: skip attention math/page DMAs (KV writes still
+        # happen upstream). Output is garbage; used by
+        # benchmarks/decode_profile.py to isolate attention cost by
+        # subtraction.
+        def _null_prefill(q, k, v, *a, **kw):
+            return q
+        def _null_decode(q, *a, **kw):
+            return q
+        return _null_prefill, _null_decode
     return prefill_attention_ref, decode_attention_ref

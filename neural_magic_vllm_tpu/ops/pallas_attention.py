@@ -204,13 +204,22 @@ def decode_attention(q, k_cache, v_cache, block_tables, context_lens, *,
     kernel. XLA reference fallback only for odd head sizes / tiny
     blocks."""
     nb, kvh, bs, hd = k_cache.shape
-    nqh = q.shape[1]
+    B, nqh, _ = q.shape
     if hd % 128 != 0 or nqh % kvh != 0 or bs % 8 != 0:
         return decode_attention_ref(q, k_cache, v_cache, block_tables,
                                     context_lens, scale=scale,
                                     sliding_window=sliding_window,
                                     logit_cap=logit_cap,
                                     alibi_slopes=alibi_slopes)
+    if B <= 16 and alibi_slopes is None:
+        # small-batch/long-context regime: R sequences share one program
+        # (prologue + DMA-pipeline fill amortized; the reference's
+        # v2-partitioning role, attention_kernels.cu:89)
+        return _decode_attention_multiseq(q, k_cache, v_cache,
+                                          block_tables, context_lens,
+                                          window=sliding_window,
+                                          scale=scale, kv_scale=kv_scale,
+                                          logit_cap=logit_cap)
     return _decode_attention_pallas(q, k_cache, v_cache, block_tables,
                                     context_lens, window=sliding_window,
                                     scale=scale, kv_scale=kv_scale,
@@ -231,7 +240,24 @@ def decode_attention(q, k_cache, v_cache, block_tables, context_lens, *,
 # DMAs the pages its rows can see (double-buffered), skipping chunks
 # outside [first row's window, last row's position].
 
-Q_TILE = 128
+
+def _pick_q_tile(S: int, nqh: int, kvh: int, hd: int,
+                 ppc: int, bs: int) -> Optional[int]:
+    """Largest query tile whose VMEM footprint fits the ~16 MiB budget
+    (q/q3/out bf16, acc + scores f32, double-buffered page stage)."""
+    T = ppc * bs
+    group = nqh // kvh
+    for tq in (256, 128, 64, 32, 16):
+        if S % tq:
+            continue
+        est = (3 * tq * nqh * hd * 2  # q, q3, out (bf16)
+               + tq * nqh * hd * 4  # acc (f32)
+               + 2 * kvh * tq * group * T * 4  # s + exp (f32)
+               + kvh * tq * group * T * 2  # p_ (bf16)
+               + 4 * ppc * kvh * bs * hd * 2)  # k/v double buffers
+        if est <= 10 * 2**20:
+            return tq
+    return None
 
 
 def _ctx_prefill_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm, v_hbm,
@@ -273,8 +299,10 @@ def _ctx_prefill_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm, v_hbm,
 
     start_chunk(first_chunk, 0)
     # [TQ, nqh, hd] -> [kvh, TQ*group, hd]: group rows by kv head so ONE
-    # batched dot per chunk feeds the MXU (transpose paid once per program)
-    q4 = q_ref[...].astype(jnp.float32).reshape(TQ, kvh, group, hd)
+    # batched dot per chunk feeds the MXU (transpose paid once per
+    # program). Dots run in bf16 with f32 accumulation — halves the VMEM
+    # footprint vs f32 operands, which is what lets TQ=64+ tiles fit.
+    q4 = q_ref[...].reshape(TQ, kvh, group, hd)
     q3 = jnp.transpose(q4, (1, 0, 2, 3)).reshape(kvh, R, hd)
     # row r -> query row i = r // group, key-position bound ctx + q0 + i
     pos_r = (ctx + q0 +
@@ -295,16 +323,16 @@ def _ctx_prefill_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm, v_hbm,
         wait_chunk(slot)
         kc = k_buf[pl.ds(slot, 1)].reshape(ppc, kvh, bs, hd)
         vc = v_buf[pl.ds(slot, 1)].reshape(ppc, kvh, bs, hd)
-        k_all = jnp.swapaxes(kc, 0, 1).reshape(kvh, T, hd).astype(
-            jnp.float32)
-        v_all = jnp.swapaxes(vc, 0, 1).reshape(kvh, T, hd).astype(
-            jnp.float32)
-        if kv_scale != 1.0:
-            k_all = k_all * kv_scale
-            v_all = v_all * kv_scale
+        k_all = jnp.swapaxes(kc, 0, 1).reshape(kvh, T, hd)
+        v_all = jnp.swapaxes(vc, 0, 1).reshape(kvh, T, hd)
+        if k_all.dtype != jnp.bfloat16:  # fp8 KV: dequant dtype only;
+            k_all = k_all.astype(jnp.bfloat16)  # scales fold algebraically
+            v_all = v_all.astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q3, k_all, (((2, ), (2, )), ((0, ), (0, ))),
             preferred_element_type=jnp.float32)  # [kvh, R, T]
+        if kv_scale != 1.0:
+            s = s * kv_scale
         if logit_cap is not None and logit_cap > 0:
             s = jnp.tanh(s / logit_cap) * logit_cap
         j = c * T + jax.lax.broadcasted_iota(jnp.int32, (R, T), 1)
@@ -322,8 +350,11 @@ def _ctx_prefill_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm, v_hbm,
         alpha = jnp.where(jnp.isfinite(m), jnp.exp(m - safe_m), 0.0)
         new_l = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p_, v_all, (((2, ), (1, )), ((0, ), (0, ))),
+            p_.astype(jnp.bfloat16), v_all,
+            (((2, ), (1, )), ((0, ), (0, ))),
             preferred_element_type=jnp.float32)  # [kvh, R, hd]
+        if kv_scale != 1.0:
+            pv = pv * kv_scale
         new_acc = acc * alpha + pv
         return (new_m, new_l, new_acc)
 
@@ -351,7 +382,7 @@ def _context_prefill_pallas(q, k_cache, v_cache, block_table, context_len,
         pad = ppc - W % ppc
         block_table = jnp.pad(block_table, (0, pad))
         W += pad
-    TQ = min(S, Q_TILE)
+    TQ = _pick_q_tile(S, nqh, kvh, hd, ppc, bs)
 
     q_scaled = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
     kernel = functools.partial(
@@ -413,9 +444,9 @@ def prefill_attention(q, k, v, k_cache, v_cache, block_table, context_len,
     ragged chunk lengths."""
     nb, kvh, bs, hd = k_cache.shape
     S, nqh, _ = q.shape
-    TQ = min(S, Q_TILE)
-    if (blocksparse is not None or hd % 128 != 0 or nqh % kvh != 0
-            or bs % 8 != 0 or S % TQ != 0):
+    TQ = _pick_q_tile(S, nqh, kvh, hd, PAGES_PER_CHUNK, bs) \
+        if (hd % 128 == 0 and nqh % kvh == 0 and bs % 8 == 0) else None
+    if blocksparse is not None or TQ is None:
         return prefill_attention_ref(q, k, v, k_cache, v_cache,
                                      block_table, context_len, scale=scale,
                                      sliding_window=sliding_window,
@@ -427,3 +458,160 @@ def prefill_attention(q, k, v, k_cache, v_cache, block_table, context_len,
                                    scale=scale, kv_scale=kv_scale,
                                    logit_cap=logit_cap,
                                    alibi_slopes=alibi_slopes)
+
+
+# --- multi-sequence-per-program decode variant -------------------------------
+#
+# Small-batch/long-context regime (reference role: paged_attention_v2's
+# partitioned kernel, csrc/attention/attention_kernels.cu:89 — the regime
+# where few seqs x heads underfill the machine). On a single-TensorCore TPU
+# the grid is sequential, so the lever is program-count amortization and
+# DMA-pipeline depth, not parallelism: each program owns R sequences and
+# streams their pages back to back through the shared double buffer, so the
+# per-program prologue/epilogue and the pipeline fill cost are paid once
+# per R sequences instead of once per sequence.
+
+SEQS_PER_PROGRAM = 8
+
+
+def _decode_multiseq_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm,
+                            v_hbm, *rest, kvh: int, group: int, bs: int,
+                            hd: int, ppc: int, R: int, kv_scale: float,
+                            logit_cap: Optional[float]):
+    (o_ref, k_buf, v_buf, sems) = rest
+    g = pl.program_id(0)
+    window = win_ref[0]
+    T = ppc * bs
+
+    def start_chunk(r, c, slot):
+        for p in range(ppc):
+            page = tables_ref[g * R + r, c * ppc + p]
+            pltpu.make_async_copy(k_hbm.at[page], k_buf.at[slot, p],
+                                  sems.at[slot, p, 0]).start()
+            pltpu.make_async_copy(v_hbm.at[page], v_buf.at[slot, p],
+                                  sems.at[slot, p, 1]).start()
+
+    def wait_chunk(slot):
+        for p in range(ppc):
+            pltpu.make_async_copy(k_hbm.at[0], k_buf.at[slot, p],
+                                  sems.at[slot, p, 0]).wait()
+            pltpu.make_async_copy(v_hbm.at[0], v_buf.at[slot, p],
+                                  sems.at[slot, p, 1]).wait()
+
+    for r in range(R):  # static unroll: R sequences share the buffers
+        ctx = ctx_ref[g * R + r]
+        n_pages_needed = (ctx + bs - 1) // bs
+        needed_chunks = (n_pages_needed + ppc - 1) // ppc
+        first_valid = jnp.maximum(ctx - window, 0)
+        first_chunk = first_valid // T
+
+        start_chunk(r, first_chunk, 0)
+        q = q_ref[r].astype(jnp.float32)  # [nqh, hd]
+        m0 = jnp.full((kvh, group, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((kvh, group, 1), jnp.float32)
+        acc0 = jnp.zeros((kvh, group, hd), jnp.float32)
+
+        def body(c, carry, r=r, ctx=ctx, first_valid=first_valid,
+                 first_chunk=first_chunk, needed_chunks=needed_chunks,
+                 q=q):
+            m, l, acc = carry
+            slot = jax.lax.rem(c - first_chunk, 2)
+
+            @pl.when(c + 1 < needed_chunks)
+            def _():
+                start_chunk(r, c + 1, jax.lax.rem(c + 1 - first_chunk, 2))
+
+            wait_chunk(slot)
+            kc = k_buf[pl.ds(slot, 1)].reshape(ppc, kvh, bs, hd)
+            vc = v_buf[pl.ds(slot, 1)].reshape(ppc, kvh, bs, hd)
+            pos = c * T + jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+            valid = (pos < ctx) & (pos >= first_valid)
+            k_all = jnp.swapaxes(kc, 0, 1).reshape(kvh, T, hd).astype(
+                jnp.float32)
+            v_all = jnp.swapaxes(vc, 0, 1).reshape(kvh, T, hd).astype(
+                jnp.float32)
+            if kv_scale != 1.0:
+                k_all = k_all * kv_scale
+                v_all = v_all * kv_scale
+            s = jax.lax.dot_general(
+                q.reshape(kvh, group, hd), k_all,
+                (((2, ), (2, )), ((0, ), (0, ))),
+                preferred_element_type=jnp.float32)
+            if logit_cap is not None and logit_cap > 0:
+                s = jnp.tanh(s / logit_cap) * logit_cap
+            s = jnp.where(valid[None], s, -jnp.inf)
+            chunk_m = jnp.max(s, axis=-1, keepdims=True)
+            new_m = jnp.maximum(m, chunk_m)
+            safe_m = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
+            p_ = jnp.exp(jnp.where(jnp.isfinite(s), s - safe_m, -jnp.inf))
+            alpha = jnp.where(jnp.isfinite(m), jnp.exp(m - safe_m), 0.0)
+            new_l = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p_, v_all, (((2, ), (1, )), ((0, ), (0, ))),
+                preferred_element_type=jnp.float32)
+            return (new_m, new_l, acc * alpha + pv)
+
+        m, l, acc = jax.lax.fori_loop(first_chunk, needed_chunks, body,
+                                      (m0, l0, acc0))
+        out = acc / jnp.maximum(l, 1e-30)
+        o_ref[r] = out.reshape(kvh * group, hd).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "kv_scale",
+                                             "logit_cap"))
+def _decode_attention_multiseq(q, k_cache, v_cache, block_tables,
+                               context_lens, window=None, *, scale: float,
+                               kv_scale: float = 1.0,
+                               logit_cap: Optional[float] = None):
+    B, nqh, hd = q.shape
+    nb, kvh, bs, _ = k_cache.shape
+    group = nqh // kvh
+    W = block_tables.shape[1]
+    ppc = PAGES_PER_CHUNK
+    R = min(SEQS_PER_PROGRAM, B)
+    if W % ppc != 0:
+        pad = ppc - W % ppc
+        block_tables = jnp.pad(block_tables, ((0, 0), (0, pad)))
+        W += pad
+    b_pad = ((B + R - 1) // R) * R
+    if b_pad != B:
+        q = jnp.pad(q, ((0, b_pad - B), (0, 0), (0, 0)))
+        block_tables = jnp.pad(block_tables, ((0, b_pad - B), (0, 0)))
+        context_lens = jnp.pad(context_lens, (0, b_pad - B),
+                               constant_values=1)
+
+    q_scaled = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    kernel = functools.partial(
+        _decode_multiseq_kernel, kvh=kvh, group=group, bs=bs, hd=hd,
+        ppc=ppc, R=R, kv_scale=kv_scale, logit_cap=logit_cap)
+    if window is None:
+        window = jnp.full((1, ), 2**30, jnp.int32)
+    else:
+        window = jnp.asarray(window, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b_pad // R, ),
+        in_specs=[
+            pl.BlockSpec((R, nqh, hd), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((R, nqh, hd), lambda g, *_: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, ppc, kvh, bs, hd), k_cache.dtype),
+            pltpu.VMEM((2, ppc, kvh, bs, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, ppc, 2)),
+        ],
+    )
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, nqh, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", )),
+        interpret=interpret,
+    )(block_tables, context_lens, window, q_scaled, k_cache, v_cache)
+    return out[:B]

@@ -95,3 +95,46 @@ def test_sliding_window_kernel(window):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), rtol=2e-2,
                                atol=2e-2)
+
+
+def test_multiseq_variant_matches_ref():
+    """Multi-seq-per-program kernel (small-batch regime) vs reference,
+    including a batch that is not a multiple of SEQS_PER_PROGRAM and
+    long ragged contexts."""
+    from neural_magic_vllm_tpu.ops.pallas_attention import \
+        _decode_attention_multiseq
+    rng = np.random.default_rng(5)
+    B, nqh, kvh, hd, bs, W = 5, 8, 2, 128, 16, 16
+    nb = B * W + 2
+    q, k, v, tables, ctx = _setup(B, nqh, kvh, hd, bs, nb, W, rng)
+    scale = hd**-0.5
+    ref = decode_attention_ref(q, k, v, tables, ctx, scale=scale)
+    out = _decode_attention_multiseq(q, k, v, tables, ctx, scale=scale)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    # sliding window through the same kernel
+    ref = decode_attention_ref(q, k, v, tables, ctx, scale=scale,
+                               sliding_window=40)
+    out = _decode_attention_multiseq(q, k, v, tables, ctx, scale=scale,
+                                     window=40)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_per_seq_variant_matches_ref_large_batch():
+    """The per-seq kernel still serves the large-batch regime (the
+    dispatcher gate is B > 16); exercise it explicitly."""
+    from neural_magic_vllm_tpu.ops.pallas_attention import \
+        _decode_attention_pallas
+    rng = np.random.default_rng(6)
+    B, nqh, kvh, hd, bs, W = 4, 8, 2, 128, 16, 8
+    nb = 40
+    q, k, v, tables, ctx = _setup(B, nqh, kvh, hd, bs, nb, W, rng)
+    scale = hd**-0.5
+    ref = decode_attention_ref(q, k, v, tables, ctx, scale=scale)
+    out = _decode_attention_pallas(q, k, v, tables, ctx, scale=scale)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
