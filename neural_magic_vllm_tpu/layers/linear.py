@@ -43,6 +43,29 @@ class LinearMethod:
     def apply(self, params: Dict[str, Any], x: jax.Array) -> jax.Array:
         raise NotImplementedError
 
+    # Output-axis concat rule per canonical param key; methods whose
+    # canonical params follow these rules can fuse several same-input
+    # linears (qkv, gate_up) into ONE kernel dispatch — the TPU analogue of
+    # the reference's MergedColumnParallel/QKVParallelLinear (linear.py:
+    # 341,490), motivated here by per-dispatch overhead, not TP loading.
+    _MERGE_AXIS = {"weight": 1, "qweight": 1, "scales": 1, "zeros": 1,
+                   "bias": 0}
+
+    def merge_params(self, parts) -> Optional[Dict[str, Any]]:
+        """Concatenate canonical param dicts along the output axis, or
+        None when this method/these params cannot be merged (per-tensor
+        scales, act-order input permutations, unknown keys)."""
+        keys = set(parts[0])
+        if any(set(p) != keys for p in parts):
+            return None
+        if not keys.issubset(self._MERGE_AXIS):
+            return None  # e.g. input_perm (act-order), codebooks
+        return {
+            k: np.concatenate([np.asarray(p[k]) for p in parts],
+                              axis=self._MERGE_AXIS[k])
+            for k in keys
+        }
+
 
 class UnquantizedLinearMethod(LinearMethod):
     """bf16/fp32 dense matmul (reference UnquantizedLinearMethod,

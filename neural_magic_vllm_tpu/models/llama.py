@@ -100,6 +100,18 @@ class LlamaForCausalLM:
                              getattr(cfg, "max_position_embeddings", 2048),
                              self.rope_theta, True, rope_scaling)
         self.linear_method: LinearMethod = get_linear_method(quant_config)
+        # Fused same-input linears (qkv, gate_up): 7 -> 4 kernel dispatches
+        # per layer (reference MergedColumnParallel/QKVParallelLinear role,
+        # linear.py:341,490; here the motive is per-dispatch overhead in
+        # the decode step). Disabled per-method when params can't N-concat
+        # (act-order, per-tensor scales), and by the runner for LoRA
+        # (adapters address q/k/v/gate/up individually).
+        import os as _os
+        self.merged = bool(int(_os.getenv("NMV_TPU_MERGE_LINEARS", "1"))) \
+            and all(getattr(type(self), m) is getattr(LlamaForCausalLM, m)
+                    for m in ("_init_layer", "_layer", "_mlp",
+                              "_finalize_layers", "_layer_specs",
+                              "_load_into_layers"))
         self.attn = Attention(self.num_heads, self.head_dim,
                               self.num_kv_heads,
                               scale=self.head_dim**-0.5,
@@ -110,7 +122,7 @@ class LlamaForCausalLM:
         lm = self.linear_method
         H, I = self.hidden_size, self.intermediate_size
         nh, kvh, hd = self.num_heads, self.num_kv_heads, self.head_dim
-        return {
+        layer = {
             "input_norm": np.ones((H, ), np.float32),
             "post_norm": np.ones((H, ), np.float32),
             "q": lm.create_params(rng, H, nh * hd, self.qkv_bias),
@@ -121,6 +133,25 @@ class LlamaForCausalLM:
             "up": lm.create_params(rng, H, I, False),
             "down": lm.create_params(rng, I, H, False),
         }
+        self._merge_layer(layer)
+        return layer
+
+    def _merge_layer(self, layer: Dict[str, Any]) -> None:
+        """Fuse q/k/v -> qkv and gate/up -> gate_up in place when enabled
+        and the linear method's params N-concat; flips self.merged off on
+        the first unmergeable layer (act-order etc.)."""
+        if not self.merged:
+            return
+        lm = self.linear_method
+        qkv = lm.merge_params([layer["q"], layer["k"], layer["v"]])
+        gate_up = lm.merge_params([layer["gate"], layer["up"]])
+        if qkv is None or gate_up is None:
+            self.merged = False
+            return
+        for k in ("q", "k", "v", "gate", "up"):
+            del layer[k]
+        layer["qkv"] = qkv
+        layer["gate_up"] = gate_up
 
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         """Random init (DummyModelLoader analogue, loader.py:309).
@@ -156,18 +187,25 @@ class LlamaForCausalLM:
 
     def _layer_specs(self) -> Dict[str, Any]:
         lm = self.linear_method
-        return {
+        specs = {
             "kv_scales": P(None),
             "input_norm": P(None),
             "post_norm": P(None),
-            "q": lm.param_specs("column", self.qkv_bias),
-            "k": lm.param_specs("column", self.qkv_bias),
-            "v": lm.param_specs("column", self.qkv_bias),
             "o": lm.param_specs("row", False),
-            "gate": lm.param_specs("column", False),
-            "up": lm.param_specs("column", False),
             "down": lm.param_specs("row", False),
         }
+        if self.merged:
+            specs["qkv"] = lm.param_specs("column", self.qkv_bias)
+            specs["gate_up"] = lm.param_specs("column", False)
+        else:
+            specs.update({
+                "q": lm.param_specs("column", self.qkv_bias),
+                "k": lm.param_specs("column", self.qkv_bias),
+                "v": lm.param_specs("column", self.qkv_bias),
+                "gate": lm.param_specs("column", False),
+                "up": lm.param_specs("column", False),
+            })
+        return specs
 
     def param_specs(self) -> Dict[str, Any]:
         """PartitionSpec tree parallel to params. Layer-stacked arrays get a
@@ -246,7 +284,9 @@ class LlamaForCausalLM:
 
     def _finalize_layers(self, layers: List[Dict]) -> None:
         """Post-load hook: convert each linear's raw HF tensors to device
-        params (MoE models additionally stack expert tensors here)."""
+        params (MoE models additionally stack expert tensors here), then
+        fuse qkv / gate_up (all layers or none, so the layer stack stays
+        uniform)."""
         lm = self.linear_method
         if any("kv_scales" in layer for layer in layers):
             for layer in layers:  # uniform keys for layer stacking
@@ -255,6 +295,69 @@ class LlamaForCausalLM:
             for key in self._LINEAR_KEYS:
                 if key in layer and isinstance(layer[key], dict):
                     layer[key] = lm.convert_hf(layer[key])
+        if self.merged:
+            merged = [(lm.merge_params([l["q"], l["k"], l["v"]]),
+                       lm.merge_params([l["gate"], l["up"]]))
+                      for l in layers]
+            if any(a is None or b is None for a, b in merged):
+                self.merged = False  # e.g. act-order input perms
+                return
+            for layer, (qkv, gate_up) in zip(layers, merged):
+                for k in ("q", "k", "v", "gate", "up"):
+                    del layer[k]
+                layer["qkv"] = qkv
+                layer["gate_up"] = gate_up
+
+    # merged-linear split points on the output axis (shared by every
+    # mergeable param key: weight/qweight/scales/zeros/bias all carry N
+    # as their last axis once layer-stacked)
+    def _merge_splits(self, name: str) -> List[int]:
+        if name == "qkv":
+            nq = self.num_heads * self.head_dim
+            nkv = self.num_kv_heads * self.head_dim
+            return [nq, nq + nkv]
+        return [self.intermediate_size]
+
+    def adopt_state(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """Reconcile a restored nmv_state tree with this instance's
+        merged-linear setting (states saved by either variant load into
+        the other: concat or split along the output axis)."""
+        layers = params.get("layers")
+        if not isinstance(layers, dict):
+            return params
+        has_merged = "qkv" in layers
+        if any("input_perm" in layers.get(k, {}) for k in
+               ("q", "k", "v", "gate", "up")):
+            self.merged = False  # act-order states cannot merge
+            return params
+        import numpy as _np
+
+        def concat(parts):
+            keys = set(parts[0])
+            if any(set(p) != keys for p in parts):
+                return None
+            return {k: jnp.concatenate([p[k] for p in parts], axis=-1)
+                    for k in keys}
+
+        if self.merged and not has_merged:
+            qkv = concat([layers["q"], layers["k"], layers["v"]])
+            gate_up = concat([layers["gate"], layers["up"]])
+            if qkv is None or gate_up is None:
+                self.merged = False
+                return params
+            for k in ("q", "k", "v", "gate", "up"):
+                del layers[k]
+            layers["qkv"], layers["gate_up"] = qkv, gate_up
+        elif not self.merged and has_merged:
+            for name, outs in (("qkv", ("q", "k", "v")),
+                               ("gate_up", ("gate", "up"))):
+                merged = layers.pop(name)
+                splits = self._merge_splits(name)
+                for key, arr in merged.items():
+                    pieces = jnp.split(arr, splits, axis=-1)
+                    for out, piece in zip(outs, pieces):
+                        layers.setdefault(out, {})[key] = piece
+        return params
 
     def load_params(self, model_dir: str) -> Dict[str, Any]:
         from neural_magic_vllm_tpu.models.weight_utils import \
@@ -289,8 +392,12 @@ class LlamaForCausalLM:
         return out
 
     def _mlp(self, lp, x, lora_ctx=None):
-        gate = self._linear(lp, "gate", x, lora_ctx)
-        up = self._linear(lp, "up", x, lora_ctx)
+        if "gate_up" in lp:
+            gu = self._linear(lp, "gate_up", x, lora_ctx)
+            gate, up = jnp.split(gu, [self.intermediate_size], axis=-1)
+        else:
+            gate = self._linear(lp, "gate", x, lora_ctx)
+            up = self._linear(lp, "up", x, lora_ctx)
         return self._linear(lp, "down", silu_and_mul(gate, up), lora_ctx)
 
     def _layer(self, lp, res, rope_cos, rope_sin, k_cache, v_cache, meta,
@@ -298,12 +405,21 @@ class LlamaForCausalLM:
         off = self.norm_weight_offset
         T = res.shape[0]
         normed = rms_norm(res, lp["input_norm"], self.rms_eps, off)
-        q = self._linear(lp, "q", normed,
-                         lora_ctx).reshape(T, self.num_heads, self.head_dim)
-        k = self._linear(lp, "k", normed, lora_ctx).reshape(
-            T, self.num_kv_heads, self.head_dim)
-        v = self._linear(lp, "v", normed, lora_ctx).reshape(
-            T, self.num_kv_heads, self.head_dim)
+        if "qkv" in lp:
+            qkv = self._linear(lp, "qkv", normed, lora_ctx)
+            nq = self.num_heads * self.head_dim
+            nkv = self.num_kv_heads * self.head_dim
+            q, k, v = jnp.split(qkv, [nq, nq + nkv], axis=-1)
+            q = q.reshape(T, self.num_heads, self.head_dim)
+            k = k.reshape(T, self.num_kv_heads, self.head_dim)
+            v = v.reshape(T, self.num_kv_heads, self.head_dim)
+        else:
+            q = self._linear(lp, "q", normed, lora_ctx).reshape(
+                T, self.num_heads, self.head_dim)
+            k = self._linear(lp, "k", normed, lora_ctx).reshape(
+                T, self.num_kv_heads, self.head_dim)
+            v = self._linear(lp, "v", normed, lora_ctx).reshape(
+                T, self.num_kv_heads, self.head_dim)
         q, k = self.rope.apply(rope_cos, rope_sin, q, k)
         attn_out, new_cache = self.attn(q, k, v, (k_cache, v_cache), meta,
                                         is_prefill=is_prefill,

@@ -153,6 +153,9 @@ class TPUModelRunner:
             if lora_config is not None:
                 raise NotImplementedError("PP + LoRA is not supported")
             self.model = PipelinedModel(self.model, self.mesh)
+        if lora_config is not None and getattr(self.model, "merged", False):
+            # LoRA adapters address q/k/v/gate/up individually
+            self.model.merged = False
         self.params = None
         # request_id -> flat projected image embeddings (multimodal prefill;
         # computed once, reused across chunked-prefill steps)
@@ -223,6 +226,9 @@ class TPUModelRunner:
             path = os.path.join(os.path.abspath(self.model_config.model),
                                 "nmv_state")
             params = ocp.StandardCheckpointer().restore(path)
+            if hasattr(self.model, "adopt_state"):
+                # states saved merged/unmerged load into either variant
+                params = self.model.adopt_state(params)
         else:
             params = self.model.load_params(self.model_config.model)
         params = self._maybe_inject_kv_scales(params)
