@@ -211,7 +211,9 @@ def decode_attention(q, k_cache, v_cache, block_tables, context_lens, *,
                                     sliding_window=sliding_window,
                                     logit_cap=logit_cap,
                                     alibi_slopes=alibi_slopes)
-    if B <= 16 and alibi_slopes is None:
+    import os
+    multiseq_max = int(os.getenv("NMV_TPU_DECODE_MULTISEQ_MAX_BATCH", "16"))
+    if B <= multiseq_max and alibi_slopes is None:
         # small-batch/long-context regime: R sequences share one program
         # (prologue + DMA-pipeline fill amortized; the reference's
         # v2-partitioning role, attention_kernels.cu:89)

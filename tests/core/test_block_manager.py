@@ -222,3 +222,51 @@ def test_sliding_window_ring():
     assert bm.get_num_free_gpu_blocks() == free_before
     bm.free(seq)
     assert bm.get_num_free_gpu_blocks() == 16
+
+
+def test_computed_block_tracking_multi_seq():
+    """get_common_computed_block_ids over forked multi-seq groups
+    (reference prefix_caching_block.py:542): full shared-prefix blocks,
+    never the last block, intersection stops at the first divergence."""
+    bm = PagedBlockSpaceManager(block_size=4, num_gpu_blocks=16,
+                                num_cpu_blocks=0, enable_caching=True)
+    group = make_seq_group(prompt_len=12, block_size=4)  # 3 full blocks
+    parent = group.get_seqs()[0]
+    bm.allocate(group)
+    bm.mark_blocks_as_computed(group)
+    # Last block is never reported: even when full, at least one query
+    # token must re-run so sampling has a position.
+    assert bm.get_common_computed_block_ids([parent]) == \
+        [b.block_number for b in bm.block_tables[parent.seq_id][:-1]]
+
+    # Fork (n>1): child shares every block; common prefix = parent's.
+    child = Sequence(seq_id=99, prompt=None,
+                     prompt_token_ids=list(range(12)), block_size=4)
+    bm.fork(parent, child)
+    common = bm.get_common_computed_block_ids([parent, child])
+    assert common == bm.get_common_computed_block_ids([parent])
+
+    # Diverge: both sequences grow into NEW (different) fourth blocks.
+    # The three original shared blocks become common (block 2 stops being
+    # the last block), the divergent fourth blocks never do.
+    for seq, tok in ((parent, 100), (child, 200)):
+        seq.status = SequenceStatus.RUNNING
+        for t in (tok, tok + 1, tok + 2, tok + 3, tok + 4):
+            from neural_magic_vllm_tpu.sequence import Logprob
+            seq.append_token_id(t, {t: Logprob(0.0)})
+            bm.append_slots(seq, 0)
+    bm.mark_blocks_as_computed(group)
+    bm.compute_full_blocks_in_seq(child)
+    common2 = bm.get_common_computed_block_ids([parent, child])
+    parent_blocks = [b.block_number for b in bm.block_tables[parent.seq_id]]
+    child_blocks = [b.block_number for b in bm.block_tables[child.seq_id]]
+    assert common2 == parent_blocks[:3] == child_blocks[:3]
+    assert parent_blocks[3] != child_blocks[3]  # divergence excluded
+
+    # Disabled caching reports nothing.
+    bm2 = PagedBlockSpaceManager(block_size=4, num_gpu_blocks=16,
+                                 num_cpu_blocks=0, enable_caching=False)
+    g2 = make_seq_group(prompt_len=12, block_size=4, request_id="1")
+    bm2.allocate(g2)
+    bm2.mark_blocks_as_computed(g2)
+    assert bm2.get_common_computed_block_ids(g2.get_seqs()) == []
