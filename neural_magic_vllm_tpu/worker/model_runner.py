@@ -1154,6 +1154,10 @@ class TPUModelRunner:
                                    ) -> EmbeddingSequenceGroupOutput:
         """Prefill an embedding request and pool the last token's hidden
         state (pooling type LAST; reference layers/pooler.py)."""
+        if self.control_plane is not None:
+            raise NotImplementedError(
+                "multi-host serving does not broadcast embedding "
+                "dispatches yet")
         seq_id = next(iter(sgm.seq_data))
         seq_data = sgm.seq_data[seq_id]
         token_ids = seq_data.get_token_ids()
@@ -1274,6 +1278,10 @@ class TPUModelRunner:
                                    ) -> List[SamplerOutput]:
         """One fused draft-propose + target-verify + rejection dispatch
         (spec_decode/draft_model.py)."""
+        if self.control_plane is not None:
+            raise NotImplementedError(
+                "multi-host serving does not broadcast speculative "
+                "dispatches yet")
         k = self.speculative_config.num_speculative_tokens
         dce = self.draft_cache_engine
         rows = [(sgm, next(iter(sgm.seq_data))) for sgm in sgms]
@@ -1367,6 +1375,10 @@ class TPUModelRunner:
         hidden state for the next step's proposals. The first decode step
         of each sequence (no hidden yet) runs unspeculated and just
         collects its hidden state."""
+        if self.control_plane is not None:
+            raise NotImplementedError(
+                "multi-host serving does not broadcast speculative "
+                "dispatches yet")
         k = min(self.speculative_config.num_speculative_tokens,
                 self.mlp_speculator.n_predict)
         rows = [(sgm, next(iter(sgm.seq_data))) for sgm in sgms]
@@ -1539,6 +1551,10 @@ class TPUModelRunner:
         incremental context_lens — exactly the decode executable's shape
         contract, so no batch-expansion machinery is needed. Rejection
         sampling runs host-side on the returned logits."""
+        if self.control_plane is not None:
+            raise NotImplementedError(
+                "multi-host serving does not broadcast speculative "
+                "dispatches yet")
         k = self.speculative_config.num_speculative_tokens
         S = k + 1
         rows = [(sgm, next(iter(sgm.seq_data))) for sgm in sgms]
