@@ -42,8 +42,11 @@ def _rate(dtype, acc, m, k, n, iters=32):
 
     out = run(a, b)
     jax.block_until_ready(out)
+    # the timed call must carry DIFFERENT data: the tunnel dedups a
+    # repeat of an identical dispatch (PERF.md caveats)
+    a2 = (a + 1).astype(a.dtype) if a.dtype != jnp.int8 else a ^ 1
     t0 = time.perf_counter()
-    out = run(a, b)
+    out = run(a2, b)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     flops = 2 * m * k * n * iters

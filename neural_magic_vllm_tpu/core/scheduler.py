@@ -106,6 +106,42 @@ class StepBudget:
         return sum(self._seq_claims.values())
 
 
+class LoraLedger:
+    """Refcount of distinct LoRA adapters held by in-batch groups.
+
+    Serving may only keep ``max_loras`` distinct adapters resident in the
+    batched apply (lora/manager slot stack); the scheduler must therefore
+    not admit a group whose adapter would exceed that (reference role:
+    the ``curr_loras`` set threaded through vllm/core/scheduler.py:389-589).
+    A refcount (not a set) so that preempting one of two groups sharing an
+    adapter does not free the slot early.
+    """
+
+    def __init__(self, max_loras: int) -> None:
+        self.max_loras = max_loras
+        self._refs: Dict[int, int] = {}
+
+    @classmethod
+    def unlimited(cls) -> "LoraLedger":
+        return cls(max_loras=0)
+
+    def admits(self, lora_int_id: int) -> bool:
+        if self.max_loras <= 0 or lora_int_id <= 0:
+            return True
+        return (lora_int_id in self._refs
+                or len(self._refs) < self.max_loras)
+
+    def acquire(self, lora_int_id: int) -> None:
+        if lora_int_id > 0:
+            self._refs[lora_int_id] = self._refs.get(lora_int_id, 0) + 1
+
+    def release(self, lora_int_id: int) -> None:
+        if lora_int_id > 0 and lora_int_id in self._refs:
+            self._refs[lora_int_id] -= 1
+            if self._refs[lora_int_id] <= 0:
+                del self._refs[lora_int_id]
+
+
 @dataclass
 class ScheduledSequenceGroup:
     seq_group: SequenceGroup
@@ -376,10 +412,20 @@ class Scheduler:
             seq.status = SequenceStatus.SWAPPED
 
     # --- sub-schedulers ---------------------------------------------------------
+    def _lora_ledger(self) -> LoraLedger:
+        """Ledger seeded with the adapters the RUNNING queue already holds."""
+        if not self.lora_config:
+            return LoraLedger.unlimited()
+        ledger = LoraLedger(self.lora_config.max_loras)
+        for seq_group in self.running:
+            ledger.acquire(seq_group.lora_int_id)
+        return ledger
+
     def _schedule_running(
         self,
         running_queue: Deque[SequenceGroup],
         budget: StepBudget,
+        loras: LoraLedger,
         enable_chunking: bool = False,
     ) -> Tuple[Deque[SequenceGroup], SchedulerRunningOutputs]:
         """Schedule groups already RUNNING; preempt from the back of the
@@ -406,6 +452,7 @@ class Scheduler:
                 if running_queue:
                     # Preempt the lowest-priority group.
                     victim = running_queue.pop()
+                    loras.release(victim.lora_int_id)
                     mode = self._preempt(victim, blocks_to_swap_out)
                     if mode == PreemptionMode.RECOMPUTE:
                         preempted.append(victim)
@@ -413,6 +460,7 @@ class Scheduler:
                         swapped_out.append(victim)
                 else:
                     # Preempt the current group itself.
+                    loras.release(seq_group.lora_int_id)
                     mode = self._preempt(seq_group, blocks_to_swap_out)
                     if mode == PreemptionMode.RECOMPUTE:
                         preempted.append(seq_group)
@@ -451,6 +499,7 @@ class Scheduler:
         self,
         swapped_queue: Deque[SequenceGroup],
         budget: StepBudget,
+        loras: LoraLedger,
         enable_chunking: bool = False,
     ) -> Tuple[Deque[SequenceGroup], SchedulerSwappedInOutputs]:
         """Re-admit swapped-out groups when space allows
@@ -482,6 +531,14 @@ class Scheduler:
                 swapped_queue.popleft()
                 continue
 
+            if not loras.admits(seq_group.lora_int_id):
+                # Adapter slots exhausted: bounce just this group so
+                # groups behind it (other adapters / no adapter) still
+                # get considered.
+                leftover_swapped.appendleft(seq_group)
+                swapped_queue.popleft()
+                continue
+
             num_new_seqs = seq_group.get_max_num_running_seqs()
             num_new_tokens = self._get_num_new_tokens(seq_group,
                                                       SequenceStatus.SWAPPED,
@@ -492,6 +549,7 @@ class Scheduler:
                 break
 
             swapped_queue.popleft()
+            loras.acquire(seq_group.lora_int_id)
             self._swap_in(seq_group, blocks_to_swap_in)
             self._append_slots(seq_group, blocks_to_copy)
             if seq_group.is_prefill():
@@ -524,6 +582,7 @@ class Scheduler:
         self,
         waiting_queue: Deque[SequenceGroup],
         budget: StepBudget,
+        loras: LoraLedger,
         enable_chunking: bool = False,
     ) -> Tuple[Deque[SequenceGroup], SchedulerPrefillOutputs]:
         """Admit WAITING groups (reference _schedule_prefills:616)."""
@@ -569,6 +628,11 @@ class Scheduler:
                 waiting_queue.popleft()
                 continue
 
+            if not loras.admits(seq_group.lora_int_id):
+                leftover_waiting_sequences.appendleft(seq_group)
+                waiting_queue.popleft()
+                continue
+
             num_new_seqs = seq_group.get_max_num_running_seqs()
             if (num_new_tokens == 0 or not budget.fits(
                     num_new_tokens=num_new_tokens,
@@ -576,6 +640,7 @@ class Scheduler:
                 break
 
             waiting_queue.popleft()
+            loras.acquire(seq_group.lora_int_id)
             self._allocate_and_set_running(seq_group)
             seq_group.maybe_set_first_scheduled_time(time.time())
             seq_groups.append(
@@ -609,19 +674,21 @@ class Scheduler:
         running_scheduled = SchedulerRunningOutputs.create_empty()
         swapped_in = SchedulerSwappedInOutputs.create_empty()
 
+        loras = self._lora_ledger()
+
         # Prefill new requests only when nothing is swapped out.
         if not self.swapped:
             self.waiting, prefills = self._schedule_prefills(
-                self.waiting, budget, enable_chunking=False)
+                self.waiting, budget, loras, enable_chunking=False)
 
         # No prefills scheduled -> run decodes (+ swapped re-admission).
         if len(prefills.seq_groups) == 0:
             self.running, running_scheduled = self._schedule_running(
-                self.running, budget, enable_chunking=False)
+                self.running, budget, loras, enable_chunking=False)
             if (len(running_scheduled.preempted) +
                     len(running_scheduled.swapped_out) == 0):
                 self.swapped, swapped_in = self._schedule_swapped(
-                    self.swapped, budget)
+                    self.swapped, budget, loras)
 
         assert budget.used_tokens <= \
             self.scheduler_config.max_num_batched_tokens
@@ -665,19 +732,21 @@ class Scheduler:
             token_limit=self.scheduler_config.max_num_batched_tokens,
             seq_limit=self.scheduler_config.max_num_seqs,
         )
+        loras = self._lora_ledger()
+
         # Decodes (and in-flight chunked prefills) first.
         self.running, running_scheduled = self._schedule_running(
-            self.running, budget, enable_chunking=True)
+            self.running, budget, loras, enable_chunking=True)
 
         swapped_in = SchedulerSwappedInOutputs.create_empty()
         if (len(running_scheduled.preempted) +
                 len(running_scheduled.swapped_out) == 0):
             self.swapped, swapped_in = self._schedule_swapped(
-                self.swapped, budget)
+                self.swapped, budget, loras)
 
         # New prefills fill the remaining token budget.
         self.waiting, prefills = self._schedule_prefills(
-            self.waiting, budget, enable_chunking=True)
+            self.waiting, budget, loras, enable_chunking=True)
 
         assert budget.used_tokens <= \
             self.scheduler_config.max_num_batched_tokens

@@ -58,6 +58,7 @@ class _SamplingMixin(BaseModel):
     max_tokens: Optional[int] = 16
     min_tokens: int = 0
     logprobs: Optional[int] = None
+    logit_bias: Optional[Dict[str, float]] = None
     skip_special_tokens: bool = True
     spaces_between_special_tokens: bool = True
     # guided decoding
@@ -71,9 +72,33 @@ class _SamplingMixin(BaseModel):
             return []
         return [self.stop] if isinstance(self.stop, str) else list(self.stop)
 
+    def _logit_bias_processor(self):
+        """OpenAI ``logit_bias``: additive per-token-id bias clamped to
+        [-100, 100] (reference protocol.py:258-277), applied as a logits
+        processor on the host sampling path."""
+        if not self.logit_bias:
+            return None
+        try:
+            bias = {int(tok): min(100.0, max(-100.0, float(b)))
+                    for tok, b in self.logit_bias.items()}
+        except ValueError as e:
+            raise ValueError(
+                f"logit_bias keys must be token ids: {e}") from e
+
+        def apply_bias(token_ids, logits):
+            for tok, b in bias.items():
+                if 0 <= tok < len(logits):
+                    logits[tok] += b
+            return logits
+
+        return apply_bias
+
     def to_sampling_params(self, logprobs: Optional[int],
                            prompt_logprobs: Optional[int] = None,
                            logits_processors=None) -> SamplingParams:
+        bias_proc = self._logit_bias_processor()
+        if bias_proc is not None:
+            logits_processors = (list(logits_processors or []) + [bias_proc])
         return SamplingParams(
             n=self.n,
             best_of=self.best_of,

@@ -211,3 +211,65 @@ def test_swapped_readmission_after_swap_preemption():
     meta, out = scheduler.schedule()
     assert out.blocks_to_swap_in
     assert len(meta) == 1
+
+
+def test_lora_cap_defers_excess_adapters():
+    """No more than max_loras distinct adapters may be in the batch at
+    once (reference curr_loras threading, vllm/core/scheduler.py:566-589);
+    non-LoRA groups behind a bounced one are still admitted."""
+    from neural_magic_vllm_tpu.config import LoRAConfig
+    from neural_magic_vllm_tpu.lora import LoRARequest
+
+    sched_cfg = SchedulerConfig(max_num_batched_tokens=None, max_num_seqs=8,
+                                max_model_len=128)
+    cache_cfg = CacheConfig(block_size=4)
+    cache_cfg.num_gpu_blocks = 64
+    cache_cfg.num_cpu_blocks = 16
+    scheduler = Scheduler(sched_cfg, cache_cfg,
+                          lora_config=LoRAConfig(max_loras=1,
+                                                 max_lora_rank=8))
+
+    g1 = make_group("l1", prompt_len=4)
+    g1.lora_request = LoRARequest("a1", 1, "/nonexistent/a1")
+    g2 = make_group("l2", prompt_len=4)
+    g2.lora_request = LoRARequest("a2", 2, "/nonexistent/a2")
+    g3 = make_group("l3", prompt_len=4)  # no adapter
+    for g in (g1, g2, g3):
+        scheduler.add_seq_group(g)
+
+    meta, out = scheduler.schedule()
+    scheduled = {m.request_id for m in meta}
+    # adapter a1 admits; a2 would be a 2nd distinct adapter -> bounced;
+    # the adapter-less group still gets in.
+    assert scheduled == {"l1", "l3"}
+
+    # Finish g1 -> its adapter slot frees -> a2 admits next step.
+    for seq in g1.get_seqs():
+        seq.status = SequenceStatus.FINISHED_STOPPED
+    scheduler.free_finished_seq_groups()
+    append_one_token([g3], scheduler)
+    meta, out = scheduler.schedule()
+    assert "l2" in {m.request_id for m in meta}
+
+
+def test_lora_cap_shared_adapter_counts_once():
+    """Two groups with the SAME adapter occupy one slot."""
+    from neural_magic_vllm_tpu.config import LoRAConfig
+    from neural_magic_vllm_tpu.lora import LoRARequest
+
+    sched_cfg = SchedulerConfig(max_num_batched_tokens=None, max_num_seqs=8,
+                                max_model_len=128)
+    cache_cfg = CacheConfig(block_size=4)
+    cache_cfg.num_gpu_blocks = 64
+    cache_cfg.num_cpu_blocks = 16
+    scheduler = Scheduler(sched_cfg, cache_cfg,
+                          lora_config=LoRAConfig(max_loras=1,
+                                                 max_lora_rank=8))
+    g1 = make_group("s1", prompt_len=4)
+    g1.lora_request = LoRARequest("a1", 1, "/nonexistent/a1")
+    g2 = make_group("s2", prompt_len=4)
+    g2.lora_request = LoRARequest("a1", 1, "/nonexistent/a1")
+    for g in (g1, g2):
+        scheduler.add_seq_group(g)
+    meta, out = scheduler.schedule()
+    assert {m.request_id for m in meta} == {"s1", "s2"}

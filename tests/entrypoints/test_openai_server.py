@@ -95,6 +95,30 @@ def test_completion(app_and_engine):
     assert run(engine, go)
 
 
+def test_completion_logit_bias(app_and_engine):
+    """logit_bias (+100 on one token id) must dominate greedy argmax and
+    route through the host sampling path (reference protocol.py:258)."""
+    engine = app_and_engine
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "model": MODEL_NAME, "prompt": "abc", "max_tokens": 4,
+            "temperature": 0.0, "ignore_eos": True,
+            "logprobs": 1, "logit_bias": {"42": 100}})
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        toks = body["choices"][0]["logprobs"]["tokens"]
+        assert len(set(toks)) == 1, toks  # +100 bias wins every step
+        # bad key -> 400
+        r2 = await client.post("/v1/completions", json={
+            "model": MODEL_NAME, "prompt": "abc", "max_tokens": 2,
+            "logit_bias": {"not-an-int": 5}})
+        assert r2.status == 400
+        return True
+
+    assert run(engine, go)
+
+
 def test_completion_streaming(app_and_engine):
     engine = app_and_engine
 
