@@ -68,11 +68,14 @@ async def _maybe_stream(request: web.Request, result) -> web.StreamResponse:
 
 
 def build_app(engine: AsyncLLMEngine, served_model_names,
-              chat_template: Optional[str] = None) -> web.Application:
+              chat_template: Optional[str] = None,
+              lora_modules=None) -> web.Application:
     from neural_magic_vllm_tpu.entrypoints.openai.serving_embedding import \
         OpenAIServingEmbedding
-    completion = OpenAIServingCompletion(engine, served_model_names)
-    chat = OpenAIServingChat(engine, served_model_names, chat_template)
+    completion = OpenAIServingCompletion(engine, served_model_names,
+                                         lora_modules=lora_modules)
+    chat = OpenAIServingChat(engine, served_model_names, chat_template,
+                             lora_modules=lora_modules)
     embedding = OpenAIServingEmbedding(engine, served_model_names)
     app = web.Application()
 
@@ -158,6 +161,11 @@ def make_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--chat-template", type=str, default=None)
     parser.add_argument("--api-key", type=str, default=None)
+    parser.add_argument(
+        "--lora-modules", type=str, nargs="+", default=None,
+        metavar="NAME=PATH",
+        help="LoRA adapters servable by model name "
+             "(reference --lora-modules).")
     AsyncEngineArgs.add_cli_args(parser)
     return parser
 
@@ -170,7 +178,16 @@ async def run_server(args) -> None:
         served = [engine_args.model]
     elif isinstance(served, str):
         served = [served]
-    app = build_app(engine, served, args.chat_template)
+    lora_modules = None
+    if getattr(args, "lora_modules", None):
+        lora_modules = []
+        for item in args.lora_modules:
+            name, sep, path = item.partition("=")
+            if not sep or not name or not path:
+                raise ValueError(
+                    f"--lora-modules entries must be NAME=PATH, got {item!r}")
+            lora_modules.append((name, path))
+    app = build_app(engine, served, args.chat_template, lora_modules)
 
     if args.api_key:
         @web.middleware

@@ -43,6 +43,9 @@ class UsageInfo(BaseModel):
 class _SamplingMixin(BaseModel):
     n: int = 1
     best_of: Optional[int] = None
+    use_beam_search: bool = False
+    length_penalty: float = 1.0
+    early_stopping: Union[bool, str] = False
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
@@ -102,6 +105,9 @@ class _SamplingMixin(BaseModel):
         return SamplingParams(
             n=self.n,
             best_of=self.best_of,
+            use_beam_search=self.use_beam_search,
+            length_penalty=self.length_penalty,
+            early_stopping=self.early_stopping,
             presence_penalty=self.presence_penalty,
             frequency_penalty=self.frequency_penalty,
             repetition_penalty=self.repetition_penalty,

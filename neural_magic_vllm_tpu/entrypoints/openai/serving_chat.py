@@ -21,8 +21,10 @@ _FALLBACK_TEMPLATE_NOTE = (
 class OpenAIServingChat(OpenAIServing):
 
     def __init__(self, engine, served_model_names,
-                 chat_template: Optional[str] = None) -> None:
-        super().__init__(engine, served_model_names)
+                 chat_template: Optional[str] = None,
+                 lora_modules=None) -> None:
+        super().__init__(engine, served_model_names,
+                         lora_modules=lora_modules)
         self.chat_template = chat_template
         if chat_template is not None and self.tokenizer is not None:
             self.tokenizer.chat_template = chat_template
@@ -69,7 +71,9 @@ class OpenAIServingChat(OpenAIServing):
         request_id = f"chatcmpl-{random_uuid()}"
         generator = self.engine.generate(prompt=prompt,
                                          sampling_params=sampling_params,
-                                         request_id=request_id)
+                                         request_id=request_id,
+                                         lora_request=self._maybe_get_lora(
+                                             request.model))
         if request.stream:
             return await self._stream(request, request_id, generator)
         return await self._full(request, request_id, generator)

@@ -58,6 +58,8 @@ class OpenAIServingCompletion(OpenAIServing):
             generators.append(
                 self.engine.generate(sampling_params=sampling_params,
                                      request_id=f"{request_id}-{i}",
+                                     lora_request=self._maybe_get_lora(
+                                         request.model),
                                      **kwargs))
 
         if request.stream:

@@ -13,18 +13,36 @@ logger = init_logger(__name__)
 
 class OpenAIServing:
 
-    def __init__(self, engine: AsyncLLMEngine, served_model_names: List[str]
-                 ) -> None:
+    def __init__(self, engine: AsyncLLMEngine, served_model_names: List[str],
+                 lora_modules: Optional[List] = None) -> None:
+        """``lora_modules``: (name, path) pairs servable by model name
+        (reference serving_engine.py LoRAModulePath / --lora-modules)."""
         self.engine = engine
         self.served_model_names = served_model_names
         self.max_model_len = engine.engine.model_config.max_model_len
         self.tokenizer = engine.tokenizer
+        self.lora_requests = []
+        if lora_modules:
+            from neural_magic_vllm_tpu.lora import LoRARequest
+            self.lora_requests = [
+                LoRARequest(lora_name=name, lora_int_id=i + 1,
+                            lora_local_path=path)
+                for i, (name, path) in enumerate(lora_modules)
+            ]
 
     async def show_available_models(self) -> ModelList:
-        return ModelList(data=[
-            ModelCard(id=name, root=self.served_model_names[0])
-            for name in self.served_model_names
-        ])
+        cards = [ModelCard(id=name, root=self.served_model_names[0])
+                 for name in self.served_model_names]
+        cards += [ModelCard(id=lora.lora_name, root=lora.lora_local_path)
+                  for lora in self.lora_requests]
+        return ModelList(data=cards)
+
+    def _maybe_get_lora(self, model: Optional[str]):
+        """LoRARequest when `model` names a served adapter, else None."""
+        for lora in self.lora_requests:
+            if model == lora.lora_name:
+                return lora
+        return None
 
     def create_error_response(self, message: str,
                               err_type: str = "BadRequestError",
@@ -33,10 +51,12 @@ class OpenAIServing:
                              code=status_code)
 
     def _check_model(self, model: Optional[str]) -> Optional[ErrorResponse]:
-        if model is not None and model not in self.served_model_names:
-            return self.create_error_response(
-                f"The model `{model}` does not exist.", "NotFoundError", 404)
-        return None
+        if model is None or model in self.served_model_names:
+            return None
+        if self._maybe_get_lora(model) is not None:
+            return None
+        return self.create_error_response(
+            f"The model `{model}` does not exist.", "NotFoundError", 404)
 
     def _validate_prompt_len(self, n_tokens: int,
                              max_tokens: Optional[int]
