@@ -343,6 +343,27 @@ class TPUModelRunner:
             if total_kv % tp == 0 else P(None, None, None, None, None)
         return NamedSharding(self.mesh, spec)
 
+    def _dp_batch_constraint(self):
+        """Constraint fn sharding a [B, ...] array's batch dim over the
+        mesh "data" axis — real data parallelism for the decode stack:
+        GSPMD splits the GEMM rows, sampling, and lm_head per data shard
+        (weights and KV stay replicated over "data"). Identity when
+        dp == 1. Reference role: DP replica serving; here it is one
+        engine whose decode batch is row-sharded across the mesh."""
+        if self.mesh is None or self.mesh.shape.get("data", 1) == 1:
+            return lambda x: x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = self.mesh
+
+        def constrain(x):
+            if getattr(x, "ndim", 0) < 1:
+                return x
+            spec = P(*(("data",) + (None,) * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec))
+
+        return constrain
+
     # --- step executables -----------------------------------------------------
     def _get_fn(self, kind: str, num_logprobs: int):
         key = (kind, num_logprobs)
@@ -434,9 +455,12 @@ class TPUModelRunner:
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
         elif kind == "decode_sample":
+            dp_shard = self._dp_batch_constraint()
 
             def fn(params, kv_caches, tokens, positions, meta, samp, lora,
                    lora_idx):
+                tokens = dp_shard(tokens)
+                positions = dp_shard(positions)
                 hidden, new_caches = model.forward(params, tokens, positions,
                                                    kv_caches, meta,
                                                    is_prefill=False,
@@ -456,9 +480,14 @@ class TPUModelRunner:
             # reference's multi-step scheduling / CUDA-graph trick).
             K, nlp = num_logprobs
             bs = self.block_size
+            dp_shard = self._dp_batch_constraint()
 
             def fn(params, kv_caches, tokens, positions, tables, valid,
                    samp, lora, lora_idx):
+                tokens = dp_shard(tokens)
+                positions = dp_shard(positions)
+                tables = dp_shard(tables)
+                valid = dp_shard(valid)
                 # Penalty requests: the output-token history buffer rides
                 # the scan carry so iteration k's penalties see tokens
                 # sampled at iterations < k (in-graph append).
