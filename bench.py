@@ -25,10 +25,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 MODEL = os.environ.get("BENCH_MODEL", "llama3-8b-w4a16")
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))  # 384 exceeds v5e HBM
+# 512 is the measured sweet spot (PERF.md round-2 matrix): the dequant-GEMM
+# tile_m=256 lattice pads 384 to 512 anyway, and 512 amortizes the per-op
+# floor best while still fitting HBM at this prompt/decode budget.
+BATCH = int(os.environ.get("BENCH_BATCH", "512"))
 PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", "64"))
 DECODE_STEPS = int(os.environ.get("BENCH_DECODE_STEPS", "96"))
 HBM_BW_GBS = float(os.environ.get("BENCH_HBM_BW_GBS", "819"))
+MXU_TFLOPS = float(os.environ.get("BENCH_MXU_TFLOPS", "197"))  # v5e bf16
+FLOPS_PER_TOKEN = 1.0  # set by build_engine per model
 SCHED_STEPS = int(os.environ.get("BENCH_SCHEDULER_STEPS", "16"))
 KV_DTYPE = os.environ.get("BENCH_KV_DTYPE", "auto")
 
@@ -42,6 +47,7 @@ def build_engine():
                                               SchedulerConfig)
     from neural_magic_vllm_tpu.engine.llm_engine import LLMEngine
 
+    global FLOPS_PER_TOKEN
     if MODEL == "tinyllama":
         hf_cfg = LlamaConfig(vocab_size=32000, hidden_size=2048,
                              intermediate_size=5632, num_hidden_layers=22,
@@ -51,9 +57,10 @@ def build_engine():
         quant = None
         metric = f"decode_tokens_per_s_tinyllama1.1b_bf16_bs{BATCH}"
         # bf16: 2 bytes/weight
-        wbytes = 2 * (32000 * 2048 * 2 + 22 * (2048 *
-                                               (2048 + 2 * 256 + 2048) +
-                                               3 * 2048 * 5632))
+        lin_params = 22 * (2048 * (2048 + 2 * 256 + 2048) +
+                           3 * 2048 * 5632)
+        wbytes = 2 * (32000 * 2048 * 2 + lin_params)
+        FLOPS_PER_TOKEN = 2.0 * (lin_params + 32000 * 2048)
     else:
         # Llama-3-8B architecture
         hf_cfg = LlamaConfig(vocab_size=128256, hidden_size=4096,
@@ -67,6 +74,9 @@ def build_engine():
         # packed int4 linears (0.5 B/weight) + bf16 embed & lm_head
         per_layer = 4096 * (4096 + 2 * 1024 + 4096) + 3 * 4096 * 14336
         wbytes = int(32 * per_layer * 0.5) + 2 * (128256 * 4096 * 2)
+        # decode matmul FLOPs/token: the full linear stack (dequantized
+        # bf16 dots on the MXU) + the bf16 lm_head
+        FLOPS_PER_TOKEN = 2.0 * (32 * per_layer + 128256 * 4096)
     hf_cfg.architectures = ["LlamaForCausalLM"]
 
     # Cache the packed dummy checkpoint on disk: init_params + quant
@@ -139,9 +149,13 @@ def main():
     dt = time.perf_counter() - t0
     tok_per_s = BATCH * steps / dt
 
-    # Speed of light: every decode step streams all weights once (batch
-    # amortizes); ignores KV reads (small at this context).
-    sol_tok_per_s = HBM_BW_GBS * 1e9 / wbytes * BATCH
+    # Speed of light = the binding roofline. Weight-stream: every decode
+    # step reads all packed weights once (batch rows amortize). Compute:
+    # the MXU must push 2*active-params FLOPs per token regardless of
+    # batch, so past ~bs128 W4A16 decode is MXU-bound, not BW-bound.
+    sol_bw_tok_per_s = HBM_BW_GBS * 1e9 / wbytes * BATCH
+    sol_mxu_tok_per_s = MXU_TFLOPS * 1e12 / FLOPS_PER_TOKEN
+    sol_tok_per_s = min(sol_bw_tok_per_s, sol_mxu_tok_per_s)
     print(json.dumps({
         "metric": metric,
         "value": round(tok_per_s, 2),
