@@ -117,6 +117,11 @@ def check_dequant_gemm(rng):
     out = quant_matmul_pallas(x, packed, scales, zeros, bits=bits,
                               k_tile=k_tile, group_size=group)
     check("fused dequant-GEMM w4a16", out, ref, rtol=5e-2, atol=5e-1)
+    # W4A8 opt-in: int8-activation MXU dots (act-quant noise bounded)
+    out8 = quant_matmul_pallas(x, packed, scales, zeros, bits=bits,
+                               k_tile=k_tile, group_size=group,
+                               act_int8=True)
+    check("fused dequant-GEMM w4a8", out8, ref, rtol=8e-2, atol=8e-1)
 
 
 def main():

@@ -39,6 +39,12 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # MoE token chunking (reference: VLLM_FUSED_MOE_CHUNK_SIZE).
     "NMV_TPU_FUSED_MOE_CHUNK_SIZE":
     lambda: int(os.getenv("NMV_TPU_FUSED_MOE_CHUNK_SIZE", "32768")),
+
+    # opt-in W4A8: quantize activations per-row to int8 inside the fused
+    # dequant-GEMM and contract in native int8 on the MXU (2x bf16 rate
+    # on real TPUs). Changes numerics vs W4A16; off by default.
+    "NMV_TPU_W4A8":
+    lambda: bool(int(os.getenv("NMV_TPU_W4A8", "0"))),
 }
 
 

@@ -80,6 +80,61 @@ def _make_kernel_fast(bits: int, k_tile: int, groups_per_tile: int,
     return kernel
 
 
+def _make_kernel_w4a8(bits: int, k_tile: int, groups_per_tile: int,
+                      n_k: int, has_zeros: bool):
+    """W4A8 fast path: activations arrive pre-quantized to int8 (per-row
+    dynamic symmetric scale applied OUTSIDE the kernel, so it factors out
+    of both the dot and the rowsum), and the per-group dots run as native
+    int8 x int8 -> int32 MXU contractions — 2x the bf16 MXU rate on real
+    TPU hardware (394 vs 197 TOPS on v5e). Same zero-point fold as the
+    bf16 fast path, done in integer space:
+        s * (x8 @ (q - z)) = s * (x8 @ q) - s * z * rowsum(x8)
+    Reference role: Marlin QQQ / cutlass w8a8 int8 epilogues
+    (csrc/quantization/cutlass_w8a8)."""
+    pf = 32 // bits
+    mask = (1 << bits) - 1
+    sym_zero = float(1 << (bits - 1))
+    stripe = k_tile // pf
+    slots_per_group = pf // groups_per_tile
+
+    def kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref):
+        k_step = pl.program_id(2)
+
+        @pl.when(k_step == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        qw = qw_ref[:]  # [stripe, TN] int32
+        x8 = x_ref[:]   # [TM, KT] int8
+        glen = slots_per_group * stripe
+        for g in range(groups_per_tile):
+            slabs = [
+                ((qw >> (bits * i)) & mask).astype(jnp.int8)
+                for i in range(g * slots_per_group,
+                               (g + 1) * slots_per_group)
+            ]
+            qcat = slabs[0] if len(slabs) == 1 else jnp.concatenate(
+                slabs, axis=0)  # [glen, TN] int8, values < 2^bits
+            x_g = x8[:, g * glen:(g + 1) * glen]
+            dot_i32 = jnp.dot(x_g, qcat,
+                              preferred_element_type=jnp.int32)
+            rs_i32 = jnp.sum(x_g.astype(jnp.int32), axis=1, keepdims=True)
+            s_row = s_ref[0, g:g + 1, :]  # [1, TN] f32
+            dot_f = dot_i32.astype(jnp.float32)
+            rs_f = rs_i32.astype(jnp.float32)
+            if has_zeros:
+                z_row = z_ref[0, g:g + 1, :]
+                acc_ref[:] += (dot_f - rs_f * z_row) * s_row
+            else:
+                acc_ref[:] += (dot_f - rs_f * sym_zero) * s_row
+
+        @pl.when(k_step == n_k - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    return kernel
+
+
 def _make_kernel(bits: int, k_tile: int, groups_per_tile: int,
                  n_k: int, has_zeros: bool):
     pf = 32 // bits
@@ -143,15 +198,18 @@ def _tile_groups(arr: jax.Array, n_k: int, k_tile: int, gs: int,
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "k_tile", "group_size",
-                                             "tile_n"))
+                                             "tile_n", "act_int8"))
 def quant_matmul_pallas(x: jax.Array, qweight: jax.Array, scales: jax.Array,
                         zeros: Optional[jax.Array], *, bits: int,
                         k_tile: int, group_size: int,
                         bias: Optional[jax.Array] = None,
-                        tile_n: int = 512) -> jax.Array:
+                        tile_n: int = 512,
+                        act_int8: bool = False) -> jax.Array:
     """x [M, K] (bf16/f32) @ packed weight -> [M, N] in x.dtype.
     qweight [K//pf, N] int32 (pack_int_tiled layout), scales [G, N],
-    zeros optional [G, N]."""
+    zeros optional [G, N]. ``act_int8`` quantizes activations per-row to
+    int8 and contracts in native int8 on the MXU (W4A8; opt-in via
+    NMV_TPU_W4A8=1 — changes numerics, 2x MXU rate on real hardware)."""
     orig_shape = x.shape
     x2 = x.reshape(-1, orig_shape[-1])
     M, K = x2.shape
@@ -161,8 +219,24 @@ def quant_matmul_pallas(x: jax.Array, qweight: jax.Array, scales: jax.Array,
     n_k = K // k_tile
     assert n_k * k_tile == K, (K, k_tile)
 
-    x2 = x2.astype(jnp.bfloat16)
-    tile_m = min(256, round_up(M, 16))
+    pf_chk = 32 // bits
+    stripe_chk = k_tile // pf_chk
+    gs_chk = K if group_size in (-1, None) else group_size
+    use_a8 = act_int8 and (gs_chk >= k_tile or
+                           (k_tile % gs_chk == 0
+                            and gs_chk % stripe_chk == 0))
+    if use_a8:
+        # per-row dynamic symmetric int8 (the rowsum fold needs the scale
+        # to factor out of the whole row, hence per-row not per-group)
+        absmax = jnp.max(jnp.abs(x2.astype(jnp.float32)), axis=1,
+                         keepdims=True)
+        a_scale = jnp.maximum(absmax, 1e-8) / 127.0
+        x2 = jnp.clip(jnp.round(x2.astype(jnp.float32) / a_scale),
+                      -127, 127).astype(jnp.int8)
+    else:
+        x2 = x2.astype(jnp.bfloat16)
+    # int8 VMEM tiles are (32, 128): keep the M tile sublane-aligned
+    tile_m = min(256, round_up(M, 32 if use_a8 else 16))
     m_pad = round_up(M, tile_m)
     if m_pad != M:
         x2 = jnp.pad(x2, ((0, m_pad - M), (0, 0)))
@@ -190,7 +264,12 @@ def quant_matmul_pallas(x: jax.Array, qweight: jax.Array, scales: jax.Array,
     has_zeros = zeros is not None
     stripe = k_tile // pf
     fast = gs >= k_tile or (k_tile % gs == 0 and gs % stripe == 0)
-    make = _make_kernel_fast if fast else _make_kernel
+    if use_a8:
+        make = _make_kernel_w4a8
+    elif fast:
+        make = _make_kernel_fast
+    else:
+        make = _make_kernel
     kernel = make(bits, k_tile, gpt, n_k, has_zeros)
     if has_zeros:
         z_tiled = _tile_groups(zeros.astype(jnp.float32), n_k, k_tile, gs,
@@ -224,6 +303,8 @@ def quant_matmul_pallas(x: jax.Array, qweight: jax.Array, scales: jax.Array,
     )(x2, qweight, s_tiled, z_tiled)
 
     out = out[:M]
+    if use_a8:
+        out = (out.astype(jnp.float32) * a_scale[:M]).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.reshape(orig_shape[:-1] + (N, ))

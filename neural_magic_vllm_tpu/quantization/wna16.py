@@ -106,11 +106,18 @@ class WNA16LinearMethod(LinearMethod):
         zeros = params.get("zeros")
         bias = params.get("bias")
         if _use_pallas():
+            from neural_magic_vllm_tpu import envs
             from neural_magic_vllm_tpu.ops.pallas_quant import \
                 quant_matmul_pallas
+            # opt-in W4A8: int8-activation MXU dots (2x bf16 rate on real
+            # hardware); per-row dynamic act quant changes numerics, so it
+            # is gated on an explicit env (accuracy_delta.py measures it)
+            act_int8 = bool(envs.NMV_TPU_W4A8) and self.bits == 4 \
+                and "input_perm" not in params
             out = quant_matmul_pallas(x, params["qweight"], params["scales"],
                                       zeros, bits=self.bits, k_tile=kt,
-                                      group_size=self.group_size, bias=bias)
+                                      group_size=self.group_size, bias=bias,
+                                      act_int8=act_int8)
         else:
             out = quant_matmul_ref(x, params["qweight"], params["scales"],
                                    zeros, self.bits, kt, self.group_size,

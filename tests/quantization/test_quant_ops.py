@@ -198,3 +198,55 @@ def test_fused_moe_quant_vs_dense():
     out_d = fused_moe(x, gd, ud, dd, weights, ids)
     np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_d),
                                rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("gs,K,N,M,zeros", [
+    (128, 1024, 512, 8, True),
+    (128, 512, 256, 64, False),
+    (-1, 512, 256, 33, False),
+])
+def test_quant_matmul_w4a8_vs_golden(gs, K, N, M, zeros):
+    """W4A8 path (act_int8=True): int8-activation integer dots must match
+    the exact integer-math golden (same per-row quant simulated in numpy),
+    and stay close to the bf16 dequant product."""
+    bits = 4
+    rng = np.random.default_rng(7)
+    kt = select_k_tile(K, gs, bits)
+    gse = K if gs == -1 else gs
+    G = K // gse
+    q = rng.integers(0, 2**bits, (K, N)).astype(np.uint32)
+    packed = jnp.asarray(pack_int_tiled(q, bits, kt))
+    scales = (rng.uniform(0.5, 1.5, (G, N)) * 0.01).astype(np.float32)
+    z = rng.integers(0, 2**bits, (G, N)).astype(np.float32) if zeros \
+        else np.full((G, N), 8.0, np.float32)
+    x = rng.standard_normal((M, K)).astype(np.float32)
+
+    # integer-math golden with the SAME per-row symmetric act quant
+    import ml_dtypes
+    xb = x.astype(ml_dtypes.bfloat16).astype(np.float32)
+    a_scale = np.maximum(np.abs(xb).max(axis=1, keepdims=True), 1e-8) / 127.0
+    x8 = np.clip(np.round(xb / a_scale), -127, 127).astype(np.int64)
+    wq = (q.astype(np.int64).reshape(G, gse, N) -
+          z.astype(np.int64).reshape(G, 1, N))
+    gold = np.zeros((M, N), np.float64)
+    for g in range(G):
+        dot = x8[:, g * gse:(g + 1) * gse] @ wq[g]
+        gold += dot.astype(np.float64) * scales[g][None, :]
+    gold *= a_scale.astype(np.float64)
+
+    zj = jnp.asarray(z) if zeros else None
+    out = quant_matmul_pallas(jnp.asarray(x, jnp.bfloat16), packed,
+                              jnp.asarray(scales), zj, bits=bits, k_tile=kt,
+                              group_size=gs, act_int8=True)
+    norm = np.abs(gold).max()
+    rel = np.abs(np.asarray(out, np.float64) - gold).max() / norm
+    assert rel < 5e-3, rel  # f32 accum vs f64 golden only
+
+    # and the a8 result is close to the bf16 dequant product (act-quant
+    # noise bounded)
+    w = ((q.reshape(G, gse, N) - z.reshape(G, 1, N)) *
+         scales.reshape(G, 1, N)).reshape(K, N)
+    dense = x @ w
+    rel_d = np.abs(np.asarray(out, np.float64) - dense).max() / \
+        np.abs(dense).max()
+    assert rel_d < 0.05, rel_d
