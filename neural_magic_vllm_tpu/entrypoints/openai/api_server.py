@@ -173,6 +173,13 @@ def make_arg_parser() -> argparse.ArgumentParser:
 async def run_server(args) -> None:
     engine_args = AsyncEngineArgs.from_cli_args(args)
     engine = AsyncLLMEngine.from_engine_args(engine_args)
+    await serve_engine(engine, args)
+
+
+async def serve_engine(engine: AsyncLLMEngine, args) -> None:
+    """Serve a pre-built engine (shared by run_server and the multi-host
+    launcher, which needs to wire the control plane before serving)."""
+    engine_args = AsyncEngineArgs.from_cli_args(args)
     served = engine_args.served_model_name
     if served is None:
         served = [engine_args.model]

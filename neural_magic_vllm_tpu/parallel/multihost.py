@@ -55,10 +55,14 @@ class StepPayload:
         metas = []
         blobs = []
         for n in names:
-            a = np.ascontiguousarray(self.arrays[n])
+            src = np.asarray(self.arrays[n])
+            a = np.ascontiguousarray(src)
             dt = "bfloat16" if a.dtype.name == "bfloat16" else a.dtype.name
             assert dt in _DTYPES, dt
-            metas.append([n, dt, list(a.shape)])
+            # note list(src.shape), not a.shape: ascontiguousarray promotes
+            # 0-d scalars to (1,), but scalar-vs-vector is a different jit
+            # signature (dynamic_slice indices must stay 0-d)
+            metas.append([n, dt, list(src.shape)])
             blobs.append(a.tobytes())
         head = json.dumps({
             "kind": self.kind,
@@ -154,8 +158,41 @@ def follower_step(payload: StepPayload, runner, cache_engine) -> None:
             f: a[f"samp_{f}"] for f in SamplingTensors._fields
             if f"samp_{f}" in a
         })
-    fn = runner._get_fn(kind, nlp)
+    # optional extras that change the jit signature: multimodal features
+    # and mamba state slots must replay exactly as dispatched
+    mm = (a["mm_flat"], a["mm_idx"]) if "mm_flat" in a else None
+    ss = a.get("state_slots")
     params, kv = runner.params, cache_engine.kv_caches
+    if kind == "spec_draft":
+        # fused draft-propose + verify + rejection (two KV caches)
+        dce = runner.draft_cache_engine
+        out = runner._get_spec_fn()(
+            params, runner.draft_params, kv, dce.kv_caches,
+            a["cu_tok"], a["cu_pos"], a["cu_valid"], a["last_tokens"],
+            a["positions"], a["block_tables"], a["valid"],
+            a["temperature"], a["keys"])
+        cache_engine.kv_caches = out[0]
+        dce.kv_caches = out[1]
+        return
+    fn = runner._get_fn(kind, nlp)
+    if kind == "mlp_propose":
+        fn(runner.mlp_spec_params, a["last_tokens"], a["hidden"])
+        return
+    if kind == "draft_prefill":
+        dce = runner.draft_cache_engine
+        if "seq_ids" in a:  # ragged batched-prefill segment metadata
+            meta = AttentionMetadata(
+                slot_mapping=a["slot_mapping"],
+                block_tables=jnp.zeros((1, 4), jnp.int32),
+                context_lens=jnp.zeros((1, ), jnp.int32),
+                seq_ids=a["seq_ids"], q_pos=a["q_pos"])
+        else:
+            meta = AttentionMetadata(slot_mapping=a["slot_mapping"],
+                                     block_tables=a["block_tables"],
+                                     context_lens=a["context_lens"])
+        dce.kv_caches = fn(runner.draft_params, dce.kv_caches,
+                           a["tokens"], a["positions"], meta)
+        return
     if kind == "prefill_batch":
         meta = AttentionMetadata(
             slot_mapping=a["slot_mapping"],
@@ -164,20 +201,23 @@ def follower_step(payload: StepPayload, runner, cache_engine) -> None:
             seq_ids=a["seq_ids"], q_pos=a["q_pos"])
         new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
                        a["sample_idx"], samp, None, None)
-    elif kind in ("prefill_sample", "prefill_logits"):
+    elif kind in ("prefill_sample", "prefill_logits", "prefill_hidden"):
         meta = AttentionMetadata(slot_mapping=a["slot_mapping"],
                                  block_tables=a["block_tables"],
-                                 context_lens=a["context_lens"])
+                                 context_lens=a["context_lens"],
+                                 state_slots=ss)
         if kind == "prefill_sample":
             new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
-                           a["sample_idx"], samp, None, None, None)
+                           a["sample_idx"], samp, None, None, mm)
         else:
             new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
-                           None, None, None)
-    elif kind in ("decode_sample", "decode_logits"):
+                           None, None, mm)
+    elif kind in ("decode_sample", "decode_logits",
+                  "decode_logits_hidden"):
         meta = AttentionMetadata(slot_mapping=a["slot_mapping"],
                                  block_tables=a["block_tables"],
-                                 context_lens=a["context_lens"])
+                                 context_lens=a["context_lens"],
+                                 state_slots=ss)
         if kind == "decode_sample":
             new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
                            samp, None, None)

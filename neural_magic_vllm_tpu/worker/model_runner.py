@@ -725,6 +725,11 @@ class TPUModelRunner:
         through its adapter."""
         if self.lora_manager is None:
             return None, None
+        if self.control_plane is not None and lora_requests and \
+                any(r is not None for r in lora_requests):
+            raise NotImplementedError(
+                "multi-host serving does not broadcast LoRA adapter "
+                "state; follower hosts would enter a different executable")
         idx = np.zeros((n, ), np.int32)
         if lora_requests is not None:
             slots = self.lora_manager.slots_for(lora_requests)
@@ -736,6 +741,19 @@ class TPUModelRunner:
                     idx[cursor:cursor + span] = slot
                     cursor += span
         return self.lora_manager.lora_params(), jnp.asarray(idx)
+
+    def _get_spec_fn(self):
+        """Fused draft-propose + verify + rejection executable (built once;
+        shared by the driver dispatch and the multi-host follower replay)."""
+        if self._spec_fn is None:
+            from neural_magic_vllm_tpu.spec_decode.draft_model import \
+                build_spec_step
+            k = self.speculative_config.num_speculative_tokens
+            self._spec_fn = jax.jit(
+                build_spec_step(self.model, self.draft_model,
+                                self.block_size, k),
+                donate_argnums=(2, 3))
+        return self._spec_fn
 
     def _table_width(self, tables: List[List[int]]) -> int:
         # On TPU the Pallas decode kernel reads only the pages covered by
@@ -979,6 +997,10 @@ class TPUModelRunner:
 
         if self.draft_model is not None:
             fn_d = self._get_fn("draft_prefill", 0)
+            self._bcast("draft_prefill", 0,
+                        dict(tokens=tokens, positions=positions,
+                             slot_mapping=slots, seq_ids=seq_ids,
+                             q_pos=positions))
             self.draft_cache_engine.kv_caches = fn_d(
                 self.draft_params, self.draft_cache_engine.kv_caches,
                 jnp.asarray(tokens), jnp.asarray(positions), meta)
@@ -1095,13 +1117,19 @@ class TPUModelRunner:
 
         lora, lidx = self._lora_args([sgm.lora_request], s_pad,
                                      spans=[S])
+        # multimodal features ride the broadcast so follower hosts trace
+        # the same executable (mm=None vs mm=(flat, idx) are different
+        # jit signatures)
+        mm_arrs = {} if mm is None else dict(mm_flat=mm[0], mm_idx=mm[1])
+        if state_slots is not None:
+            mm_arrs["state_slots"] = state_slots
         if host:
             fn = self._get_fn("prefill_logits", 0)
             self._bcast("prefill_logits", 0,
                         dict(tokens=tokens, positions=positions,
                              slot_mapping=slots,
                              block_tables=meta.block_tables,
-                             context_lens=meta.context_lens))
+                             context_lens=meta.context_lens, **mm_arrs))
             new_kv, logits = fn(self.params, cache_engine.kv_caches,
                                 jnp.asarray(tokens), jnp.asarray(positions),
                                 meta, lora, lidx, mm)
@@ -1141,7 +1169,7 @@ class TPUModelRunner:
                          slot_mapping=slots,
                          block_tables=meta.block_tables,
                          context_lens=meta.context_lens,
-                         sample_idx=np.int32(S - 1)), samp)
+                         sample_idx=np.int32(S - 1), **mm_arrs), samp)
         new_kv, out = fn(self.params, cache_engine.kv_caches,
                          jnp.asarray(tokens), jnp.asarray(positions), meta,
                          jnp.int32(S - 1), samp, lora, lidx, mm)
@@ -1183,10 +1211,6 @@ class TPUModelRunner:
                                    ) -> EmbeddingSequenceGroupOutput:
         """Prefill an embedding request and pool the last token's hidden
         state (pooling type LAST; reference layers/pooler.py)."""
-        if self.control_plane is not None:
-            raise NotImplementedError(
-                "multi-host serving does not broadcast embedding "
-                "dispatches yet")
         seq_id = next(iter(sgm.seq_data))
         seq_data = sgm.seq_data[seq_id]
         token_ids = seq_data.get_token_ids()
@@ -1216,6 +1240,11 @@ class TPUModelRunner:
         lora, lidx = self._lora_args([sgm.lora_request], s_pad,
                                      spans=[S])
         fn = self._get_fn("prefill_hidden", 0)
+        self._bcast("prefill_hidden", 0,
+                    dict(tokens=tokens, positions=positions,
+                         slot_mapping=slots,
+                         block_tables=meta.block_tables,
+                         context_lens=meta.context_lens))
         new_kv, hidden = fn(self.params, cache_engine.kv_caches,
                             jnp.asarray(tokens), jnp.asarray(positions),
                             meta, lora, lidx)
@@ -1297,6 +1326,11 @@ class TPUModelRunner:
         """Mirror a prompt into the draft model's KV cache (the
         MultiStepWorker's first pass, reference multi_step_worker.py)."""
         fn = self._get_fn("draft_prefill", 0)
+        self._bcast("draft_prefill", 0,
+                    dict(tokens=tokens, positions=positions,
+                         slot_mapping=meta.slot_mapping,
+                         block_tables=meta.block_tables,
+                         context_lens=meta.context_lens))
         new_kv = fn(self.draft_params, draft_cache_engine.kv_caches,
                     tokens, positions, meta)
         draft_cache_engine.kv_caches = new_kv
@@ -1307,10 +1341,6 @@ class TPUModelRunner:
                                    ) -> List[SamplerOutput]:
         """One fused draft-propose + target-verify + rejection dispatch
         (spec_decode/draft_model.py)."""
-        if self.control_plane is not None:
-            raise NotImplementedError(
-                "multi-host serving does not broadcast speculative "
-                "dispatches yet")
         k = self.speculative_config.num_speculative_tokens
         dce = self.draft_cache_engine
         rows = [(sgm, next(iter(sgm.seq_data))) for sgm in sgms]
@@ -1346,16 +1376,14 @@ class TPUModelRunner:
                 cu_pos[i, j] = idx
                 cu_valid[i, j] = True
 
-        if self._spec_fn is None:
-            from neural_magic_vllm_tpu.spec_decode.draft_model import \
-                build_spec_step
-            self._spec_fn = jax.jit(
-                build_spec_step(self.model, self.draft_model,
-                                self.block_size, k),
-                donate_argnums=(2, 3))
         pad_rows = rows + [rows[-1]] * (b_pad - B)
         samp = self._samp_tensors(pad_rows)
-        new_kv, new_dkv, out_tokens, n_out, chosen_lp = self._spec_fn(
+        self._bcast("spec_draft", 0,
+                    dict(cu_tok=cu_tok, cu_pos=cu_pos, cu_valid=cu_valid,
+                         last_tokens=last_tokens, positions=positions,
+                         block_tables=tables, valid=valid,
+                         temperature=samp.temperature, keys=samp.keys))
+        new_kv, new_dkv, out_tokens, n_out, chosen_lp = self._get_spec_fn()(
             self.params, self.draft_params, cache_engine.kv_caches,
             dce.kv_caches, jnp.asarray(cu_tok), jnp.asarray(cu_pos),
             jnp.asarray(cu_valid), jnp.asarray(last_tokens),
@@ -1404,10 +1432,6 @@ class TPUModelRunner:
         hidden state for the next step's proposals. The first decode step
         of each sequence (no hidden yet) runs unspeculated and just
         collects its hidden state."""
-        if self.control_plane is not None:
-            raise NotImplementedError(
-                "multi-host serving does not broadcast speculative "
-                "dispatches yet")
         k = min(self.speculative_config.num_speculative_tokens,
                 self.mlp_speculator.n_predict)
         rows = [(sgm, next(iter(sgm.seq_data))) for sgm in sgms]
@@ -1440,6 +1464,10 @@ class TPUModelRunner:
             fn = self._get_fn("decode_logits_hidden", 0)
             lora, lidx = self._lora_args(
                 [sgm.lora_request for sgm, _ in rows], b_pad)
+            self._bcast("decode_logits_hidden", 0,
+                        dict(tokens=tokens, positions=positions,
+                             slot_mapping=slots, block_tables=tables,
+                             context_lens=ctx_lens))
             new_kv, (logits, hidden) = fn(
                 self.params, cache_engine.kv_caches, jnp.asarray(tokens),
                 jnp.asarray(positions), meta, lora, lidx)
@@ -1465,6 +1493,9 @@ class TPUModelRunner:
                          for sgm, sid in rows], np.int32)
         hid = np.stack([self._spec_hidden[sid] for _, sid in rows])
         fnp = self._get_fn("mlp_propose", k)
+        self._bcast("mlp_propose", k,
+                    dict(last_tokens=last,
+                         hidden=hid.astype(np.float32)))
         props = np.asarray(fnp(self.mlp_spec_params, jnp.asarray(last),
                                jnp.asarray(hid, np.float32)))  # [B, k]
 
@@ -1503,6 +1534,10 @@ class TPUModelRunner:
         fn = self._get_fn("decode_logits_hidden", 0)
         spec_reqs = [sgm.lora_request for sgm, _ in rows for _ in range(S)]
         lora, lidx = self._lora_args(spec_reqs, b_pad)
+        self._bcast("decode_logits_hidden", 0,
+                    dict(tokens=tokens, positions=positions,
+                         slot_mapping=slots, block_tables=tables,
+                         context_lens=ctx_lens))
         new_kv, (logits, hidden) = fn(
             self.params, cache_engine.kv_caches, jnp.asarray(tokens),
             jnp.asarray(positions), meta, lora, lidx)
@@ -1580,10 +1615,6 @@ class TPUModelRunner:
         incremental context_lens — exactly the decode executable's shape
         contract, so no batch-expansion machinery is needed. Rejection
         sampling runs host-side on the returned logits."""
-        if self.control_plane is not None:
-            raise NotImplementedError(
-                "multi-host serving does not broadcast speculative "
-                "dispatches yet")
         k = self.speculative_config.num_speculative_tokens
         S = k + 1
         rows = [(sgm, next(iter(sgm.seq_data))) for sgm in sgms]
@@ -1631,6 +1662,10 @@ class TPUModelRunner:
         spec_reqs = [sgm.lora_request for sgm, _ in rows
                      for _ in range(S)]
         lora, lidx = self._lora_args(spec_reqs, b_pad)
+        self._bcast("decode_logits", 0,
+                    dict(tokens=tokens, positions=positions,
+                         slot_mapping=slots, block_tables=tables,
+                         context_lens=ctx_lens))
         new_kv, logits = fn(self.params, cache_engine.kv_caches,
                             jnp.asarray(tokens), jnp.asarray(positions),
                             meta, lora, lidx)
@@ -1739,12 +1774,14 @@ class TPUModelRunner:
 
         lora, lidx = self._lora_args([sgm.lora_request for sgm, _ in rows],
                                      b_pad)
+        ss_arrs = {} if state_slots is None else dict(
+            state_slots=state_slots)
         if host:
             fn = self._get_fn("decode_logits", 0)
             self._bcast("decode_logits", 0,
                         dict(tokens=tokens, positions=positions,
                              slot_mapping=slots, block_tables=tables,
-                             context_lens=ctx_lens))
+                             context_lens=ctx_lens, **ss_arrs))
             new_kv, logits = fn(self.params, cache_engine.kv_caches,
                                 jnp.asarray(tokens), jnp.asarray(positions),
                                 meta, lora, lidx)
@@ -1767,7 +1804,7 @@ class TPUModelRunner:
             self._bcast("decode_sample", nlp,
                         dict(tokens=tokens, positions=positions,
                              slot_mapping=slots, block_tables=tables,
-                             context_lens=ctx_lens), samp)
+                             context_lens=ctx_lens, **ss_arrs), samp)
             new_kv, out = fn(self.params, cache_engine.kv_caches,
                              jnp.asarray(tokens), jnp.asarray(positions),
                              meta, samp, lora, lidx)

@@ -63,3 +63,17 @@ def test_payload_serialization():
     assert p2.kind == p.kind
     np.testing.assert_array_equal(p2.arrays["tables"], p.arrays["tables"])
     assert p2.scalars == p.scalars
+
+
+def test_payload_scalar_shape_preserved():
+    """0-d arrays must stay 0-d across the wire: scalar-vs-(1,) is a
+    different jit signature (dynamic_slice indices must be scalars)."""
+    from neural_magic_vllm_tpu.parallel.multihost import StepPayload
+    p = StepPayload(kind="prefill_sample",
+                    arrays={"sample_idx": np.int32(7),
+                            "vec": np.arange(3, dtype=np.int32)},
+                    scalars={"num_logprobs": 0})
+    p2 = StepPayload.from_bytes(p.to_bytes())
+    assert p2.arrays["sample_idx"].shape == ()
+    assert int(p2.arrays["sample_idx"]) == 7
+    assert p2.arrays["vec"].shape == (3, )

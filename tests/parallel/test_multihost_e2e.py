@@ -100,3 +100,65 @@ def test_two_process_serving_matches_single(tmp_path):
 
     got = json.loads(out_path.read_text())
     assert got == golden
+
+
+def test_multihost_serve_launcher(tmp_path):
+    """The production launcher (entrypoints/multihost_serve): rank 0 serves
+    the OpenAI API with the control plane attached, rank 1 follows; a
+    streamed completion through HTTP must match the single-process engine."""
+    import time
+    import urllib.request
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from utils import create_tiny_llama_checkpoint
+    model_dir = create_tiny_llama_checkpoint(str(tmp_path / "tiny"))
+
+    from neural_magic_vllm_tpu import LLM, SamplingParams
+    llm = LLM(model=model_dir, dtype="float32", max_model_len=128,
+              block_size=16, num_gpu_blocks_override=64, max_num_seqs=4,
+              enforce_eager=True)
+    golden = llm.generate(["Hello multihost"], SamplingParams(
+        temperature=0.0, max_tokens=8))[0].outputs[0].text
+    del llm
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env.update(PYTHONPATH=REPO, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    common = [sys.executable, "-m",
+              "neural_magic_vllm_tpu.entrypoints.multihost_serve",
+              "--num-hosts", "2", "--coordinator", "127.0.0.1:19879",
+              "--driver-addr", "127.0.0.1", "--control-port", "18537",
+              "--model", model_dir, "--dtype", "float32",
+              "--max-model-len", "128", "--block-size", "16",
+              "--num-gpu-blocks-override", "64", "--max-num-seqs", "4",
+              "--tensor-parallel-size", "4", "--enforce-eager",
+              "--port", "18638"]
+    procs = [subprocess.Popen(common + ["--rank", str(r)], env=env,
+                              cwd=REPO) for r in (0, 1)]
+    try:
+        payload = json.dumps({
+            "model": model_dir, "prompt": "Hello multihost",
+            "max_tokens": 8, "temperature": 0.0,
+        }).encode()
+        deadline = time.time() + 300
+        text = None
+        while time.time() < deadline:
+            if any(p.poll() is not None for p in procs):
+                raise AssertionError("a launcher process died early")
+            try:
+                req = urllib.request.Request(
+                    "http://127.0.0.1:18638/v1/completions", data=payload,
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    text = json.loads(resp.read())["choices"][0]["text"]
+                break
+            except (urllib.error.URLError, ConnectionError, OSError):
+                time.sleep(3.0)
+        assert text == golden
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()  # exact PIDs we spawned, never by pattern
+        for p in procs:
+            p.wait(timeout=30)
