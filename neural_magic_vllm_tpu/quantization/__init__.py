@@ -19,6 +19,7 @@ from neural_magic_vllm_tpu.quantization.bitsandbytes import \
     BitsAndBytesConfig
 from neural_magic_vllm_tpu.quantization.deepspeedfp import DeepSpeedFPConfig
 from neural_magic_vllm_tpu.quantization.gptq import GPTQConfig
+from neural_magic_vllm_tpu.quantization.marlin_24 import GPTQMarlin24Config
 from neural_magic_vllm_tpu.quantization.sparsity import SparseW16A16Config
 from neural_magic_vllm_tpu.quantization.squeezellm import SqueezeLLMConfig
 
@@ -28,6 +29,9 @@ QUANTIZATION_METHODS: Dict[str, Type[QuantizationConfig]] = {
     # layout from the GPTQ format directly (reference gptq_marlin.py:131).
     "marlin": GPTQConfig,
     "gptq_marlin": GPTQConfig,
+    # 2:4 sparse marlin: compressed values stream from HBM, expanded
+    # in-VMEM (ops/sparse24.py)
+    "gptq_marlin_24": GPTQMarlin24Config,
     "awq": AWQConfig,
     "fp8": Fp8Config,
     "compressed-tensors": CompressedTensorsConfig,
@@ -77,6 +81,13 @@ def create_quant_config(model_config) -> Optional[QuantizationConfig]:
         return SparseW16A16Config(sparsity)
     name = getattr(model_config, "quantization", None)
     hf_quant = _read_hf_quant_config(model_config)
+    # marlin_24 serialization auto-override: GPTQ checkpoints whose
+    # checkpoint_format is marlin_24 carry 2:4-compressed tensors
+    # (reference gptq_marlin_24.py override_quantization_method:96-110)
+    if (hf_quant is not None
+            and hf_quant.get("checkpoint_format") == "marlin_24"
+            and name in (None, "gptq", "gptq_marlin_24")):
+        name = "gptq_marlin_24"
     if name is None:
         if hf_quant is None:
             return None
@@ -89,6 +100,8 @@ def create_quant_config(model_config) -> Optional[QuantizationConfig]:
     # flag without checkpoint config: sensible defaults (dummy/bench loads)
     if cls is GPTQConfig:
         return GPTQConfig(bits=4, group_size=128, desc_act=False)
+    if cls is GPTQMarlin24Config:
+        return GPTQMarlin24Config(bits=4, group_size=128)
     if cls is AWQConfig:
         return AWQConfig(bits=4, group_size=128, zero_point=True)
     if cls is Fp8Config:

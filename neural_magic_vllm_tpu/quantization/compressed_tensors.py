@@ -71,6 +71,10 @@ class CompressedTensorsConfig(QuantizationConfig):
         w_bits = int(weights.get("num_bits", 8))
         w_strategy = weights.get("strategy", "tensor")
         gs = int(weights.get("group_size") or -1)
+        # marlin-24 serialization = 2:4-sparse WNA16 (reference
+        # compressed_tensors.py:137-139 -> CompressedTensorsW4A16Sparse24)
+        if config.get("format") == "marlin-24":
+            return cls("w4a16_24", bits=w_bits, group_size=gs)
         if acts:  # weight+activation quantization -> W8A8
             if w_bits != 8:
                 raise ValueError(f"W{w_bits}A8 unsupported")
@@ -84,5 +88,9 @@ class CompressedTensorsConfig(QuantizationConfig):
         if self.scheme == "w8a8":
             return Int8W8A8LinearMethod(self.per_channel,
                                         self.activation_scheme)
+        if self.scheme == "w4a16_24":
+            from neural_magic_vllm_tpu.quantization.marlin_24 import \
+                Marlin24LinearMethod
+            return Marlin24LinearMethod(self.bits, self.group_size)
         return CompressedTensorsWNA16LinearMethod(self.bits, self.group_size,
                                                   sym=True)
