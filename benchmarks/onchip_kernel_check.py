@@ -124,6 +124,47 @@ def check_dequant_gemm(rng):
     check("fused dequant-GEMM w4a8", out8, ref, rtol=8e-2, atol=8e-1)
 
 
+def check_sparse24(rng):
+    from neural_magic_vllm_tpu.ops.sparse24 import (
+        compress_24, pack_sparse24, pack_sparse24_bf16,
+        sparse24_bf16_matmul_ref, sparse24_matmul_pallas,
+        sparse24_matmul_ref)
+    M, K, N, bits, group, kt = 16, 512, 512, 4, 128, 256
+    # quantized 2:4: two random kept levels per quadruple (per column)
+    dense = np.full((K, N), 1 << (bits - 1), np.uint32)
+    first = rng.integers(0, 3, (K // 4, N))
+    second = rng.integers(1, 4, (K // 4, N))
+    second = np.maximum(second, first + 1)
+    levels = rng.integers(0, 1 << bits, (K // 4, 2, N)).astype(np.uint32)
+    rows = np.arange(K // 4).reshape(-1, 1) * 4
+    cols = np.broadcast_to(np.arange(N), (K // 4, N))
+    dense[rows + first, cols] = levels[:, 0]
+    dense[rows + second, cols] = levels[:, 1]
+    vals, pos = compress_24(dense, float(1 << (bits - 1)))
+    vp, meta = pack_sparse24(vals, pos, bits, kt)
+    scales = jnp.asarray(
+        (rng.standard_normal((K // group, N)) * 0.02 + 0.05).astype(
+            np.float32))
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    vp, meta = jnp.asarray(vp), jnp.asarray(meta)
+    ref = sparse24_matmul_ref(x, vp, meta, scales, bits, kt, group)
+    out = sparse24_matmul_pallas(x, vp, meta, scales, bits=bits, k_tile=kt,
+                                 group_size=group)
+    check("sparse24 w4a16", out, ref, rtol=5e-2, atol=5e-1)
+    # bf16 2:4 (semi_structured_sparse_w16a16)
+    w = (rng.standard_normal((K, N)) * 0.05).astype(np.float32)
+    quads = w.reshape(K // 4, 4, N)
+    order = np.argsort(np.abs(quads), axis=1)
+    np.put_along_axis(quads, order[:, :2, :], 0.0, axis=1)
+    vals16, meta16 = pack_sparse24_bf16(w, kt)
+    vals16 = jnp.asarray(vals16, jnp.bfloat16)
+    meta16 = jnp.asarray(meta16)
+    ref16 = sparse24_bf16_matmul_ref(x, vals16, meta16, kt)
+    out16 = sparse24_matmul_pallas(x, vals16, meta16, None, bits=None,
+                                   k_tile=kt, group_size=-1)
+    check("sparse24 w16a16", out16, ref16, rtol=5e-2, atol=5e-1)
+
+
 def main():
     backend = jax.default_backend()
     if backend not in ("tpu", "axon"):
@@ -138,6 +179,7 @@ def main():
         check_dequant_gemm(rng)
     except ImportError as e:
         print(f"  skip dequant-GEMM ({e})")
+    check_sparse24(rng)
     print("ALL ON-CHIP KERNEL CHECKS PASSED")
     return 0
 
