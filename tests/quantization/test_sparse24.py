@@ -273,7 +273,11 @@ def test_marlin24_engine_matches_dense_twin(sparse_llama, tmp_path):
              "checkpoint_format": "marlin_24"}
     qd = _write_ckpt(sparse_llama, str(tmp_path / "m24"), q_t, q_cfg)
     fd = _write_ckpt(sparse_llama, str(tmp_path / "m24_fp"), fp_t)
-    assert _greedy(qd) == _greedy(fd)
+    ref = _greedy(qd)
+    assert ref == _greedy(fd)
+    # TP=2 over the compressed checkpoint must agree as well (packed
+    # vals/meta/scales shard with their logical weight dimension).
+    assert _greedy(qd, tensor_parallel_size=2) == ref
 
 
 def test_semi_structured_sparsity_matches_dense(sparse_llama, tmp_path):
@@ -296,6 +300,29 @@ def test_semi_structured_sparsity_matches_dense(sparse_llama, tmp_path):
     d = _write_ckpt(sparse_llama, str(tmp_path / "sp24"), t)
     assert _greedy(d, sparsity="semi_structured_sparse_w16a16") == \
         _greedy(d)
+
+
+def test_semi_structured_sparsity_tp2_matches_tp1(sparse_llama, tmp_path):
+    """Sparse 2:4 datapath under tensor parallelism: TP=2 greedy must
+    exactly match TP=1 (compressed vals/meta shard with their logical
+    weight; reference parity: tests/distributed quantized TP matrix)."""
+    from safetensors.numpy import load_file
+    src = load_file(os.path.join(sparse_llama, "model.safetensors"))
+    t = {}
+    for name, w in src.items():
+        if not any(name.endswith(sfx) for sfx in _LINEAR_SUFFIXES):
+            t[name] = w
+            continue
+        wt = w.T.astype(np.float32)
+        K, N = wt.shape
+        quads = wt.reshape(K // 4, 4, N)
+        order = np.argsort(np.abs(quads), axis=1)
+        np.put_along_axis(quads, order[:, :2, :], 0.0, axis=1)
+        t[name] = quads.reshape(K, N).T
+    d = _write_ckpt(sparse_llama, str(tmp_path / "sp24tp"), t)
+    ref = _greedy(d, sparsity="semi_structured_sparse_w16a16")
+    assert _greedy(d, sparsity="semi_structured_sparse_w16a16",
+                   tensor_parallel_size=2) == ref
 
 
 def test_linear_method_convert_and_apply():
