@@ -22,6 +22,13 @@ import time
 
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    # the axon TPU plugin registers itself regardless of JAX_PLATFORMS;
+    # honor the env var explicitly so CPU smoke runs work (see
+    # tests/conftest.py for the same dance).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 MODEL = os.environ.get("BENCH_MODEL", "llama3-8b-w4a16")
@@ -48,7 +55,19 @@ def build_engine():
     from neural_magic_vllm_tpu.engine.llm_engine import LLMEngine
 
     global FLOPS_PER_TOKEN
-    if MODEL == "tinyllama":
+    if MODEL == "micro":
+        # CI/CPU smoke config: exercises the bench mechanics only.
+        hf_cfg = LlamaConfig(vocab_size=256, hidden_size=64,
+                             intermediate_size=128, num_hidden_layers=2,
+                             num_attention_heads=4, num_key_value_heads=2,
+                             max_position_embeddings=2048,
+                             torch_dtype="float32")
+        quant = None
+        metric = f"decode_tokens_per_s_micro_bs{BATCH}"
+        lin_params = 2 * (64 * (64 + 2 * 32 + 64) + 3 * 64 * 128)
+        wbytes = 4 * (256 * 64 * 2 + lin_params)
+        FLOPS_PER_TOKEN = 2.0 * (lin_params + 256 * 64)
+    elif MODEL == "tinyllama":
         hf_cfg = LlamaConfig(vocab_size=32000, hidden_size=2048,
                              intermediate_size=5632, num_hidden_layers=22,
                              num_attention_heads=32, num_key_value_heads=4,

@@ -294,6 +294,7 @@ class SchedulerConfig:
         min_prefill_bucket: int = 16,
         min_decode_bucket: int = 8,
         num_scheduler_steps: int = 1,
+        full_warmup: bool = False,
     ) -> None:
         if max_num_batched_tokens is None:
             if enable_chunked_prefill:
@@ -315,6 +316,9 @@ class SchedulerConfig:
         self.preemption_mode = preemption_mode
         self.min_prefill_bucket = min_prefill_bucket
         self.min_decode_bucket = min_decode_bucket
+        # Compile the ENTIRE bucket lattice at startup (serving fidelity:
+        # no compiles during traffic) instead of just the largest buckets.
+        self.full_warmup = full_warmup
         # Multi-step decode: K decode iterations fused into one device
         # dispatch (in-graph token feedback), amortizing host latency.
         # Lookahead slots keep the block tables valid K tokens ahead.

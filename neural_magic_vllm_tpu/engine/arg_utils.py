@@ -48,6 +48,7 @@ class EngineArgs:
     num_scheduler_steps: int = 1
     scheduler_delay_factor: float = 0.0
     preemption_mode: Optional[str] = None
+    full_warmup: bool = False
     # model
     revision: Optional[str] = None
     tokenizer_revision: Optional[str] = None
@@ -106,6 +107,8 @@ class EngineArgs:
         "quantization": "weight quantization method (auto-detected from "
                         "the checkpoint when omitted).",
         "enforce_eager": "skip AOT bucket warmup (debug/testing only).",
+        "full_warmup": "pre-compile the ENTIRE bucket lattice at startup "
+                       "(no compiles during traffic; slower start).",
         "speculative_model": "draft model for speculative decoding.",
         "num_speculative_tokens": "proposal length k.",
         "guided_decoding_backend": "constrained-decoding backend.",
@@ -244,6 +247,7 @@ class EngineArgs:
             delay_factor=self.scheduler_delay_factor,
             enable_chunked_prefill=self.enable_chunked_prefill,
             preemption_mode=self.preemption_mode,
+            full_warmup=self.full_warmup,
         )
         device_config = DeviceConfig(device=self.device)
         load_config = LoadConfig(load_format=self.load_format,

@@ -586,19 +586,28 @@ class TPUModelRunner:
             prefill_buckets = prefill_buckets[-1:]
             decode_buckets = decode_buckets[-1:]
         for s in prefill_buckets:
+            tb = time.time()
             kv = cache_engine.kv_caches
             kv = self._run_dummy_prefill(kv, s)
             cache_engine.kv_caches = kv
+            logger.info("Warmup prefill bucket %d: %.1fs", s,
+                        time.time() - tb)
         for b in decode_buckets:
+            tb = time.time()
             kv = cache_engine.kv_caches
             kv = self._run_dummy_decode(kv, b)
             cache_engine.kv_caches = kv
+            logger.info("Warmup decode bucket %d: %.1fs", b,
+                        time.time() - tb)
         K = self.scheduler_config.num_scheduler_steps
         if K > 1:  # the fused multi-step executable used in steady state
             for b in decode_buckets:
+                tb = time.time()
                 kv = cache_engine.kv_caches
                 kv = self._run_dummy_decode_multi(kv, b, K)
                 cache_engine.kv_caches = kv
+                logger.info("Warmup fused-%d decode bucket %d: %.1fs", K, b,
+                            time.time() - tb)
         # batched-prefill executable (largest token + batch buckets)
         kv = cache_engine.kv_caches
         cache_engine.kv_caches = self._run_dummy_prefill_batch(

@@ -136,7 +136,9 @@ class Worker:
                 sharding=self.model_runner.draft_kv_sharding())
         warm = not self.model_config.enforce_eager
         if warm and jax.default_backend() in ("tpu", "axon"):
-            self.model_runner.warmup(self.cache_engine, full=False)
+            self.model_runner.warmup(
+                self.cache_engine,
+                full=self.scheduler_config.full_warmup)
 
     # --- execution ---------------------------------------------------------------
     def execute_model(
