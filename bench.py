@@ -43,6 +43,8 @@ MXU_TFLOPS = float(os.environ.get("BENCH_MXU_TFLOPS", "197"))  # v5e bf16
 FLOPS_PER_TOKEN = 1.0  # set by build_engine per model
 SCHED_STEPS = int(os.environ.get("BENCH_SCHEDULER_STEPS", "16"))
 KV_DTYPE = os.environ.get("BENCH_KV_DTYPE", "auto")
+CHUNKED_PREFILL = bool(int(os.environ.get("BENCH_CHUNKED_PREFILL", "0")))
+BATCHED_TOKENS = int(os.environ.get("BENCH_BATCHED_TOKENS", "2048"))
 
 
 def build_engine():
@@ -126,7 +128,9 @@ def build_engine():
         parallel_config=ParallelConfig(),
         scheduler_config=SchedulerConfig(
             max_num_seqs=max(BATCH, 8), max_model_len=1024,
-            max_num_batched_tokens=2048,  # 32 prompts per prefill dispatch
+            max_num_batched_tokens=BATCHED_TOKENS,  # default: 32 prompts
+                                                    # per prefill dispatch
+            enable_chunked_prefill=CHUNKED_PREFILL,
             num_scheduler_steps=SCHED_STEPS),
         device_config=DeviceConfig(),
         load_config=LoadConfig(load_format=load_format),

@@ -42,14 +42,21 @@ def main():
     rid = 0
 
     def one_prefill(prompt_len):
+        """TTFT: step until the request emits its first token (one
+        dispatch normally; several under chunked prefill)."""
         nonlocal rid
         ids = rng.integers(1, vocab, size=prompt_len).tolist()
         engine.add_request(str(rid), prompt_token_ids=ids,
                            sampling_params=sp)
         rid += 1
         t0 = time.perf_counter()
-        engine.step()  # the prefill dispatch
-        dt = time.perf_counter() - t0
+        dt = None
+        for _ in range(256):
+            outs = engine.step()
+            if any(o.outputs and o.outputs[0].token_ids for o in outs):
+                dt = time.perf_counter() - t0
+                break
+        assert dt is not None, "request never produced a token"
         _drain(engine)
         return dt
 
@@ -59,6 +66,14 @@ def main():
     cache_cfg = engine.cache_config
     capacity = engine.cache_config.num_gpu_blocks * cache_cfg.block_size
     max_plen = min(sched_cfg.max_model_len - 1, capacity - 64)
+
+    # under chunked prefill, long prompts span several budget-bounded
+    # dispatches: sweep up to the model length, not just one bucket
+    if sched_cfg.chunked_prefill_enabled:
+        b = buckets[-1] * 2
+        while b <= sched_cfg.max_model_len:
+            buckets.append(b)
+            b *= 2
 
     results = []
     for b in buckets:
