@@ -40,14 +40,14 @@ def _build(chunked, prefix, preemption_mode):
     return Scheduler(sched_cfg, cache_cfg)
 
 
-def _group(request_id, prompt_ids, max_tokens):
+def _group(request_id, prompt_ids, max_tokens, n=1):
     _seq_ctr[0] += 1
     seq = Sequence(seq_id=_seq_ctr[0], prompt=None,
                    prompt_token_ids=prompt_ids, block_size=BLOCK_SIZE)
-    return SequenceGroup(
-        request_id=request_id, seqs=[seq],
-        sampling_params=SamplingParams(temperature=0.0,
-                                       max_tokens=max_tokens))
+    sp = SamplingParams(temperature=0.0, max_tokens=max_tokens) if n == 1 \
+        else SamplingParams(temperature=1.0, n=n, max_tokens=max_tokens)
+    return SequenceGroup(request_id=request_id, seqs=[seq],
+                         sampling_params=sp)
 
 
 @pytest.mark.parametrize("preemption_mode", ["recompute", "swap"])
@@ -74,7 +74,8 @@ def test_fuzz_invariants(seed, chunked, prefix, preemption_mode):
                 [rng.randint(0, 255) for _ in range(plen // 2)]
             ids = base + [rng.randint(0, 255)
                           for _ in range(plen - len(base))]
-            g = _group(f"r{submitted}", ids, mt)
+            n = 2 if rng.random() < 0.3 else 1
+            g = _group(f"r{submitted}", ids, mt, n=n)
             sched.add_seq_group(g)
             limits[g.request_id] = mt
             submitted += 1
@@ -106,14 +107,27 @@ def test_fuzz_invariants(seed, chunked, prefix, preemption_mode):
         for ssg in out.scheduled_seq_groups:
             g = ssg.seq_group
             g.update_num_computed_tokens(ssg.token_chunk_size)
-            for seq in g.get_seqs(status=SequenceStatus.RUNNING):
-                if seq.data.get_num_uncomputed_tokens() == 0:
+            for seq in list(g.get_seqs(status=SequenceStatus.RUNNING)):
+                if seq.data.get_num_uncomputed_tokens() != 0:
+                    continue  # mid-prompt chunk: nothing sampled
+                if (g.sampling_params.n == 2
+                        and seq.get_output_len() == 0):
+                    # parallel sampling: output processor forks the
+                    # parent on the first sampled token (CoW on the
+                    # shared prompt blocks)
+                    _seq_ctr[0] += 1
+                    child = seq.fork(_seq_ctr[0])
                     tok = rng.randint(0, 255)
-                    seq.append_token_id(tok, {tok: Logprob(0.0)})
-                    if seq.get_output_len() >= limits[g.request_id]:
-                        # what the engine's output processor does on stop
-                        seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
-                        sched.free_seq(seq)
+                    child.append_token_id(tok, {tok: Logprob(0.0)})
+                    g.add(child)
+                    sched.fork_seq(seq, child)
+                tok = rng.randint(0, 255)
+                seq.append_token_id(tok, {tok: Logprob(0.0)})
+            for seq in list(g.get_seqs(status=SequenceStatus.RUNNING)):
+                if seq.get_output_len() >= limits[g.request_id]:
+                    # what the engine's output processor does on stop
+                    seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+                    sched.free_seq(seq)
         sched.free_finished_seq_groups()
 
     # drained: no leaks anywhere (evictor-held prefix blocks count free)
