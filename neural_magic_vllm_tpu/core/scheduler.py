@@ -363,6 +363,13 @@ class Scheduler:
         else:
             preemption_mode = PreemptionMode.RECOMPUTE
 
+        if preemption_mode == PreemptionMode.RECOMPUTE and \
+                seq_group.get_max_num_running_seqs() > 1:
+            # Recompute cannot replay a forked group (children share CoW
+            # prompt blocks and have divergent outputs); even under a
+            # user-forced recompute mode these must swap.
+            preemption_mode = PreemptionMode.SWAP
+
         if self.num_cumulative_preemption % 50 == 0:
             logger.warning(
                 "Sequence group %s is preempted by %s mode because there is "

@@ -26,17 +26,19 @@ STEP_CAP = 2000
 _seq_ctr = [10_000]
 
 
-def _build(chunked, prefix, preemption_mode):
+def _build(chunked, prefix, preemption_mode, lookahead=0,
+           cpu_blocks=NUM_CPU_BLOCKS):
     sched_cfg = SchedulerConfig(
         max_num_batched_tokens=32 if chunked else None,
         max_num_seqs=4,
         max_model_len=64,
+        num_lookahead_slots=lookahead,
         enable_chunked_prefill=chunked,
         preemption_mode=preemption_mode)
     cache_cfg = CacheConfig(block_size=BLOCK_SIZE,
                             enable_prefix_caching=prefix)
     cache_cfg.num_gpu_blocks = NUM_GPU_BLOCKS
-    cache_cfg.num_cpu_blocks = NUM_CPU_BLOCKS
+    cache_cfg.num_cpu_blocks = cpu_blocks
     return Scheduler(sched_cfg, cache_cfg)
 
 
@@ -54,9 +56,10 @@ def _group(request_id, prompt_ids, max_tokens, n=1):
 @pytest.mark.parametrize("chunked,prefix",
                          [(False, False), (True, False), (False, True)])
 @pytest.mark.parametrize("seed", range(4))
-def test_fuzz_invariants(seed, chunked, prefix, preemption_mode):
+def test_fuzz_invariants(seed, chunked, prefix, preemption_mode,
+                         lookahead=0, cpu_blocks=NUM_CPU_BLOCKS):
     rng = random.Random(seed * 7919 + hash((chunked, prefix)) % 1000)
-    sched = _build(chunked, prefix, preemption_mode)
+    sched = _build(chunked, prefix, preemption_mode, lookahead, cpu_blocks)
     bm = sched.block_manager
     budget = sched.scheduler_config.max_num_batched_tokens
 
@@ -91,7 +94,7 @@ def test_fuzz_invariants(seed, chunked, prefix, preemption_mode):
         free_gpu = bm.gpu_allocator.get_num_free_blocks()
         free_cpu = bm.cpu_allocator.get_num_free_blocks()
         assert 0 <= free_gpu <= NUM_GPU_BLOCKS
-        assert 0 <= free_cpu <= NUM_CPU_BLOCKS
+        assert 0 <= free_cpu <= cpu_blocks
         # a block can't be both swap-in target and swap-out source
         gpu_in = {dst for _, dst in out.blocks_to_swap_in}
         gpu_out = {src for src, _ in out.blocks_to_swap_out}
@@ -132,5 +135,17 @@ def test_fuzz_invariants(seed, chunked, prefix, preemption_mode):
 
     # drained: no leaks anywhere (evictor-held prefix blocks count free)
     assert bm.gpu_allocator.get_num_free_blocks() == NUM_GPU_BLOCKS
-    assert bm.cpu_allocator.get_num_free_blocks() == NUM_CPU_BLOCKS
+    assert bm.cpu_allocator.get_num_free_blocks() == cpu_blocks
     assert not sched.running and not sched.waiting and not sched.swapped
+
+
+@pytest.mark.parametrize("preemption_mode", ["recompute", "swap"])
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_invariants_lookahead(seed, preemption_mode):
+    """Lookahead slots (fused multi-step / spec decode): block tables stay
+    K tokens ahead of sampling without leaking or over-reserving."""
+    # ample CPU swap: running out of swap space is a documented fatal
+    # abort (reference scheduler raises the same RuntimeError), not an
+    # invariant violation this test is after
+    test_fuzz_invariants(seed, False, False, preemption_mode, lookahead=3,
+                         cpu_blocks=64)
