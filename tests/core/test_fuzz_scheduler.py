@@ -54,7 +54,8 @@ def _group(request_id, prompt_ids, max_tokens, n=1):
 
 @pytest.mark.parametrize("preemption_mode", ["recompute", "swap"])
 @pytest.mark.parametrize("chunked,prefix",
-                         [(False, False), (True, False), (False, True)])
+                         [(False, False), (True, False), (False, True),
+                          (True, True)])
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_invariants(seed, chunked, prefix, preemption_mode,
                          lookahead=0, cpu_blocks=NUM_CPU_BLOCKS):
@@ -132,6 +133,11 @@ def test_fuzz_invariants(seed, chunked, prefix, preemption_mode,
                     seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
                     sched.free_seq(seq)
         sched.free_finished_seq_groups()
+
+        # client disconnect: abort a random in-flight request (engine
+        # abort path must free blocks from any queue state)
+        if rng.random() < 0.05 and limits:
+            sched.abort_seq_group(rng.choice(list(limits)))
 
     # drained: no leaks anywhere (evictor-held prefix blocks count free)
     assert bm.gpu_allocator.get_num_free_blocks() == NUM_GPU_BLOCKS
