@@ -27,7 +27,7 @@ _seq_ctr = [10_000]
 
 
 def _build(chunked, prefix, preemption_mode, lookahead=0,
-           cpu_blocks=NUM_CPU_BLOCKS):
+           cpu_blocks=NUM_CPU_BLOCKS, sliding_window=None):
     sched_cfg = SchedulerConfig(
         max_num_batched_tokens=32 if chunked else None,
         max_num_seqs=4,
@@ -39,6 +39,7 @@ def _build(chunked, prefix, preemption_mode, lookahead=0,
                             enable_prefix_caching=prefix)
     cache_cfg.num_gpu_blocks = NUM_GPU_BLOCKS
     cache_cfg.num_cpu_blocks = cpu_blocks
+    cache_cfg.sliding_window = sliding_window
     return Scheduler(sched_cfg, cache_cfg)
 
 
@@ -58,9 +59,11 @@ def _group(request_id, prompt_ids, max_tokens, n=1):
                           (True, True)])
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_invariants(seed, chunked, prefix, preemption_mode,
-                         lookahead=0, cpu_blocks=NUM_CPU_BLOCKS):
+                         lookahead=0, cpu_blocks=NUM_CPU_BLOCKS,
+                         sliding_window=None):
     rng = random.Random(seed * 7919 + hash((chunked, prefix)) % 1000)
-    sched = _build(chunked, prefix, preemption_mode, lookahead, cpu_blocks)
+    sched = _build(chunked, prefix, preemption_mode, lookahead, cpu_blocks,
+                   sliding_window)
     bm = sched.block_manager
     budget = sched.scheduler_config.max_num_batched_tokens
 
@@ -155,3 +158,12 @@ def test_fuzz_invariants_lookahead(seed, preemption_mode):
     # invariant violation this test is after
     test_fuzz_invariants(seed, False, False, preemption_mode, lookahead=3,
                          cpu_blocks=64)
+
+
+@pytest.mark.parametrize("preemption_mode", ["recompute", "swap"])
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_invariants_sliding_window(seed, preemption_mode):
+    """Sliding-window ring reuse: generations longer than the window run
+    in a bounded ring of blocks (reference block_manager_v1.py:304)."""
+    test_fuzz_invariants(seed, False, False, preemption_mode,
+                         sliding_window=12)
