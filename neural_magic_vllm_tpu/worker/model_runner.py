@@ -1092,10 +1092,13 @@ class TPUModelRunner:
             slots[j] = table[p // self.block_size] * self.block_size + \
                 p % self.block_size
 
-        # Table width: prefill attention only READS the cached context
-        # through the table (writes go via slot_mapping).
+        # Table width: must span cached context AND the current chunk —
+        # the Pallas context-prefill kernel reads the chunk's freshly
+        # written KV back through the table (writes go via slot_mapping;
+        # the jnp reference path reads only the context rows and ignores
+        # the extra entries).
         width = self.scheduler_config.pad_table_width(
-            max(1, cdiv(start, self.block_size)), self.max_blocks_per_seq)
+            max(1, cdiv(end, self.block_size)), self.max_blocks_per_seq)
         state_slots = None
         if self.has_state:
             state_slots = jnp.asarray(
@@ -1238,8 +1241,10 @@ class TPUModelRunner:
         for j, pos in enumerate(range(computed, end)):
             slots[j] = table[pos // self.block_size] * self.block_size + \
                 pos % self.block_size
+        # width spans context + current chunk (Pallas context-prefill
+        # reads the chunk's KV through the table; see _execute_prefill)
         width = self.scheduler_config.pad_table_width(
-            max(1, cdiv(computed, self.block_size)),
+            max(1, cdiv(end, self.block_size)),
             self.max_blocks_per_seq)
         meta = AttentionMetadata(
             slot_mapping=jnp.asarray(slots),
