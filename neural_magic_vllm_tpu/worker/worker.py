@@ -56,13 +56,18 @@ class Worker:
 
     # --- memory profiling -------------------------------------------------------
     def _block_bytes(self) -> int:
+        """PER-CHIP bytes per paged block: kv heads divide by TP and the
+        (global-shaped, stage-sharded) layer stack divides by PP — each
+        chip physically stores layers/pp of every block."""
         kv_dtype = get_kv_cache_dtype(self.cache_config.cache_dtype,
                                       self.model_config.dtype)
+        pp = self.parallel_config.pipeline_parallel_size
         total = kv_cache_bytes_per_block(
             self.cache_config.block_size,
             self.model_config.get_num_kv_heads(self.parallel_config),
             self.model_config.get_head_size(),
-            self.model_config.get_num_layers(self.parallel_config),
+            cdiv(self.model_config.get_num_layers(self.parallel_config),
+                 pp),
             kv_dtype)
         dmc = self.model_runner.draft_model_config
         if dmc is not None:
@@ -72,7 +77,8 @@ class Worker:
                 self.cache_config.block_size,
                 dmc.get_num_kv_heads(self.parallel_config),
                 dmc.get_head_size(),
-                dmc.get_num_layers(self.parallel_config), kv_dtype)
+                cdiv(dmc.get_num_layers(self.parallel_config), pp),
+                kv_dtype)
         return total
 
     def determine_num_available_blocks(self) -> Tuple[int, int]:

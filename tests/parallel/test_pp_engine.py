@@ -44,3 +44,34 @@ def test_pp_engine_multi_step(model_dir):
     baseline = _generate(model_dir, 1, 1)
     pp_out = _generate(model_dir, 2, 1, num_scheduler_steps=4)
     assert pp_out == baseline
+
+
+def test_block_bytes_divides_by_pp():
+    """KV-cache sizing is per chip: each stage holds layers/pp of every
+    block, so bytes-per-block must divide by pipeline_parallel_size (the
+    global-shaped stack is sharded over the stage axis)."""
+    from types import SimpleNamespace
+
+    from transformers import LlamaConfig
+
+    from neural_magic_vllm_tpu.config import (CacheConfig, ModelConfig,
+                                              ParallelConfig)
+    from neural_magic_vllm_tpu.worker.worker import Worker
+
+    hf = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                     num_hidden_layers=4, num_attention_heads=4,
+                     num_key_value_heads=2)
+    hf.architectures = ["LlamaForCausalLM"]
+    mc = ModelConfig(model="x", dtype="float32", max_model_len=64,
+                     hf_config=hf, skip_tokenizer_init=True)
+    cc = CacheConfig(block_size=16)
+
+    def bb(pp):
+        w = SimpleNamespace(
+            model_config=mc, cache_config=cc,
+            parallel_config=ParallelConfig(pipeline_parallel_size=pp),
+            model_runner=SimpleNamespace(draft_model_config=None))
+        return Worker._block_bytes(w)
+
+    assert bb(2) * 2 == bb(1)
+    assert bb(4) * 4 == bb(1)
