@@ -48,16 +48,30 @@ class FSMLogitsProcessor:
     def __init__(self, fsm: RegexFSM, eos_token_id: Optional[int]) -> None:
         self.fsm = fsm
         self.eos_token_id = eos_token_id
-        self._state: Optional[int] = fsm.start
-        self._seen = 0
+        # States are keyed by the generated-token prefix, NOT kept as a
+        # single cursor: one processor instance sits on the request's
+        # shared SamplingParams, and with n>1/best_of>1 the sampler calls
+        # it with each sibling sequence's divergent ids.
+        self._states: Dict[tuple, Optional[int]] = {(): fsm.start}
+
+    def _state_for(self, ids: List[int]) -> Optional[int]:
+        key = tuple(ids)
+        if key in self._states:
+            return self._states[key]
+        i = len(ids)
+        while i > 0 and tuple(ids[:i]) not in self._states:
+            i -= 1
+        state = self._states[tuple(ids[:i])]
+        for tid in ids[i:]:
+            if state is not None and tid != self.eos_token_id:
+                state = self.fsm.allowed_tokens(state).get(tid)
+            i += 1
+            self._states[tuple(ids[:i])] = state
+        return state
 
     def __call__(self, generated_ids: List[int],
                  logits: np.ndarray) -> np.ndarray:
-        # advance by tokens generated since last call
-        for tid in generated_ids[self._seen:]:
-            if self._state is not None and tid != self.eos_token_id:
-                self._state = self.fsm.allowed_tokens(self._state).get(tid)
-        self._seen = len(generated_ids)
+        self._state = self._state_for(generated_ids)
         if self._state is None:
             # walked off the automaton (shouldn't happen): only EOS
             mask = np.full_like(logits, -math.inf)

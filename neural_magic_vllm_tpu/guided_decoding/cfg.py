@@ -349,24 +349,37 @@ class CFGLogitsProcessor:
         self.guide = guide
         self.vocab_strings = vocab_strings
         self.eos_token_id = eos_token_id
-        self._charts = guide.initial
-        self._seen = 0
-        self._dead = False
+        # Earley state keyed by generated-token prefix, NOT a single
+        # cursor: the instance is shared via SamplingParams across all
+        # sibling sequences of an n>1/best_of>1 request, whose outputs
+        # diverge after the fork.
+        self._states = {(): (guide.initial, False)}
+
+    def _state_for(self, ids: List[int]):
+        key = tuple(ids)
+        if key in self._states:
+            return self._states[key]
+        i = len(ids)
+        while i > 0 and tuple(ids[:i]) not in self._states:
+            i -= 1
+        charts, dead = self._states[tuple(ids[:i])]
+        for tid in ids[i:]:
+            if not dead and tid != self.eos_token_id:
+                text = self.vocab_strings[tid] if tid < len(
+                    self.vocab_strings) else None
+                for ch in text or "":
+                    nxt = self.guide.advance(charts, ch)
+                    if nxt is None:
+                        dead = True
+                        break
+                    charts = nxt
+            i += 1
+            self._states[tuple(ids[:i])] = (charts, dead)
+        return charts, dead
 
     def __call__(self, generated_ids: List[int],
                  logits: np.ndarray) -> np.ndarray:
-        for tid in generated_ids[self._seen:]:
-            if self._dead or tid == self.eos_token_id:
-                break
-            text = self.vocab_strings[tid] if tid < len(
-                self.vocab_strings) else None
-            for ch in text or "":
-                nxt = self.guide.advance(self._charts, ch)
-                if nxt is None:
-                    self._dead = True
-                    break
-                self._charts = nxt
-        self._seen = len(generated_ids)
+        self._charts, self._dead = self._state_for(generated_ids)
 
         mask = np.full_like(logits, -math.inf)
         if not self._dead:
