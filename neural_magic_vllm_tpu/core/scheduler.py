@@ -76,34 +76,46 @@ class StepBudget:
         self.seq_limit = seq_limit
         self._token_claims: Dict[str, int] = {}
         self._seq_claims: Dict[str, int] = {}
+        # running totals: fits()/remaining_tokens() sit on the scheduling
+        # hot path (called once per queued group), so they must be O(1)
+        self._used_tokens = 0
+        self._used_seqs = 0
 
     def fits(self, *, num_new_tokens: int, num_new_seqs: int) -> bool:
         assert num_new_tokens > 0 and num_new_seqs > 0
-        return (self.used_tokens + num_new_tokens <= self.token_limit
-                and self.used_seqs + num_new_seqs <= self.seq_limit)
+        return (self._used_tokens + num_new_tokens <= self.token_limit
+                and self._used_seqs + num_new_seqs <= self.seq_limit)
 
     def remaining_tokens(self) -> int:
-        return self.token_limit - self.used_tokens
+        return self.token_limit - self._used_tokens
 
     def claim_tokens(self, req_id: str, num: int) -> None:
-        self._token_claims.setdefault(req_id, num)
+        if req_id not in self._token_claims:
+            self._token_claims[req_id] = num
+            self._used_tokens += num
 
     def release_tokens(self, req_id: str) -> None:
-        self._token_claims.pop(req_id, None)
+        claimed = self._token_claims.pop(req_id, None)
+        if claimed is not None:
+            self._used_tokens -= claimed
 
     def claim_seqs(self, req_id: str, num: int) -> None:
-        self._seq_claims.setdefault(req_id, num)
+        if req_id not in self._seq_claims:
+            self._seq_claims[req_id] = num
+            self._used_seqs += num
 
     def release_seqs(self, req_id: str) -> None:
-        self._seq_claims.pop(req_id, None)
+        claimed = self._seq_claims.pop(req_id, None)
+        if claimed is not None:
+            self._used_seqs -= claimed
 
     @property
     def used_tokens(self) -> int:
-        return sum(self._token_claims.values())
+        return self._used_tokens
 
     @property
     def used_seqs(self) -> int:
-        return sum(self._seq_claims.values())
+        return self._used_seqs
 
 
 class LoraLedger:
