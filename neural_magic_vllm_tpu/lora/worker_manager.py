@@ -203,3 +203,43 @@ class WorkerLoRAManager:
         """The pytree handed to the model forward (scan slices layer axis)."""
         return {"a": self.a_stacks, "b": self.b_stacks,
                 "scaling": self.scaling, "pos_scale": self.pos_scale}
+
+    # --- multi-host slot mirroring ----------------------------------------------
+    def slot_assignment(self) -> List[list]:
+        """JSON-safe snapshot of the current slot table, broadcast with
+        every multi-host dispatch so follower hosts hold identical stacks
+        (the reference analogue: every Ray worker loads adapters from the
+        shared path itself, worker_manager.py)."""
+        out = []
+        for lora_id, slot in sorted(self._slot_of.items()):
+            req = self._registered[lora_id]
+            out.append([slot, lora_id, req.lora_local_path,
+                        req.long_lora_max_len])
+        return out
+
+    def apply_slot_assignment(self, assignment: List[list]) -> None:
+        """Mirror a driver's slot table: load each adapter (from its
+        checkpoint path, which must be reachable on this host) into the
+        EXACT slot the driver assigned. Idempotent per (slot, id) pair."""
+        want = {int(slot): (int(lora_id), str(path), int(long_max))
+                for slot, lora_id, path, long_max in assignment}
+        for slot, (lora_id, path, long_max) in want.items():
+            if self._slot_of.get(lora_id) == slot:
+                continue
+            # evict whatever currently claims this slot or this id
+            for other_id, s in list(self._slot_of.items()):
+                if s == slot or other_id == lora_id:
+                    del self._slot_of[other_id]
+            req = LoRARequest(lora_name=f"follower-{lora_id}",
+                              lora_int_id=lora_id, lora_local_path=path,
+                              long_lora_max_len=long_max)
+            self._registered[lora_id] = req
+            model_lora = LoRAModel.from_local_checkpoint(
+                path, self.model.num_layers, self.max_rank)
+            self._load_into_slot(slot, model_lora)
+            factor = 1.0
+            if long_max:
+                factor = long_max / self.base_max_len
+            self.pos_scale = self.pos_scale.at[slot].set(factor)
+            self._slot_of[lora_id] = slot
+            logger.info("Mirrored LoRA id=%d into slot %d", lora_id, slot)

@@ -175,6 +175,29 @@ def follower_step(payload: StepPayload, runner, cache_engine) -> None:
         dce.kv_caches = out[1]
         return
     fn = runner._get_fn(kind, nlp)
+    # LoRA serving (all remaining kinds take (lora, lidx) args): mirror
+    # the driver's slot table (adapters load from their checkpoint path,
+    # which must be reachable on every host — the reference's per-worker
+    # adapter loading contract), then pass the stacks so all hosts enter
+    # the same executable. The draft/speculator kinds never carry LoRA
+    # state (adapters apply to the target model; its scoring dispatches
+    # are decode_logits/_hidden, which do).
+    lora = lidx = None
+    if kind not in ("mlp_propose", "draft_prefill"):
+        if runner.lora_manager is not None:
+            if "lora_lidx" not in a:
+                raise RuntimeError(
+                    "driver dispatched without LoRA state but this "
+                    "follower has LoRA serving enabled (config mismatch "
+                    "across hosts)")
+            runner.lora_manager.apply_slot_assignment(
+                payload.scalars.get("lora_slots") or [])
+            lora = runner.lora_manager.lora_params()
+            lidx = a["lora_lidx"]
+        elif "lora_lidx" in a:
+            raise RuntimeError(
+                "driver dispatched LoRA state but this follower has LoRA "
+                "serving disabled (config mismatch across hosts)")
     if kind == "mlp_propose":
         fn(runner.mlp_spec_params, a["last_tokens"], a["hidden"])
         return
@@ -200,7 +223,7 @@ def follower_step(payload: StepPayload, runner, cache_engine) -> None:
             context_lens=jnp.zeros((1, ), jnp.int32),  # the driver's dummy
             seq_ids=a["seq_ids"], q_pos=a["q_pos"])
         new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
-                       a["sample_idx"], samp, None, None)
+                       a["sample_idx"], samp, lora, lidx)
     elif kind in ("prefill_sample", "prefill_logits", "prefill_hidden"):
         meta = AttentionMetadata(slot_mapping=a["slot_mapping"],
                                  block_tables=a["block_tables"],
@@ -208,10 +231,10 @@ def follower_step(payload: StepPayload, runner, cache_engine) -> None:
                                  state_slots=ss)
         if kind == "prefill_sample":
             new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
-                           a["sample_idx"], samp, None, None, mm)
+                           a["sample_idx"], samp, lora, lidx, mm)
         else:
             new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
-                           None, None, mm)
+                           lora, lidx, mm)
     elif kind in ("decode_sample", "decode_logits",
                   "decode_logits_hidden"):
         meta = AttentionMetadata(slot_mapping=a["slot_mapping"],
@@ -220,13 +243,13 @@ def follower_step(payload: StepPayload, runner, cache_engine) -> None:
                                  state_slots=ss)
         if kind == "decode_sample":
             new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
-                           samp, None, None)
+                           samp, lora, lidx)
         else:
             new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
-                           None, None)
+                           lora, lidx)
     elif kind == "decode_multi":
         new_kv, _ = fn(params, kv, a["tokens"], a["positions"],
-                       a["block_tables"], a["valid"], samp, None, None)
+                       a["block_tables"], a["valid"], samp, lora, lidx)
     else:
         raise ValueError(f"unknown step kind {kind!r}")
     cache_engine.kv_caches = new_kv

@@ -193,8 +193,10 @@ class TPUModelRunner:
         self.control_plane = None
 
     def _bcast(self, kind: str, nlp, arrays: Dict[str, Any],
-               samp=None) -> None:
-        """Publish one dispatch's host inputs to follower hosts."""
+               samp=None, lidx=None) -> None:
+        """Publish one dispatch's host inputs to follower hosts. When LoRA
+        serving is on, the slot table + per-row slot indices ride along so
+        followers enter the same executable with identical stacks."""
         if self.control_plane is None:
             return
         from neural_magic_vllm_tpu.ops.sampling import SamplingTensors
@@ -206,10 +208,13 @@ class TPUModelRunner:
                 v = getattr(samp, f)
                 if v is not None:
                     arr[f"samp_{f}"] = np.asarray(v)
+        scalars = {"num_logprobs": list(nlp) if isinstance(nlp, tuple)
+                   else nlp}
+        if lidx is not None:
+            arr["lora_lidx"] = np.asarray(lidx)
+            scalars["lora_slots"] = self.lora_manager.slot_assignment()
         self.control_plane.broadcast(StepPayload(
-            kind=kind, arrays=arr,
-            scalars={"num_logprobs": list(nlp) if isinstance(nlp, tuple)
-                     else nlp}))
+            kind=kind, arrays=arr, scalars=scalars))
 
     # --- model loading ----------------------------------------------------------
     def load_model(self) -> None:
@@ -734,11 +739,6 @@ class TPUModelRunner:
         through its adapter."""
         if self.lora_manager is None:
             return None, None
-        if self.control_plane is not None and lora_requests and \
-                any(r is not None for r in lora_requests):
-            raise NotImplementedError(
-                "multi-host serving does not broadcast LoRA adapter "
-                "state; follower hosts would enter a different executable")
         idx = np.zeros((n, ), np.int32)
         if lora_requests is not None:
             slots = self.lora_manager.slots_for(lora_requests)
@@ -1039,7 +1039,8 @@ class TPUModelRunner:
         self._bcast("prefill_batch", nlp,
                     dict(tokens=tokens, positions=positions,
                          slot_mapping=slots, seq_ids=seq_ids,
-                         q_pos=positions, sample_idx=sample_idx), samp)
+                         q_pos=positions, sample_idx=sample_idx), samp,
+                    lidx=lidx_flat)
         new_kv, out = fn(self.params, cache_engine.kv_caches,
                          jnp.asarray(tokens), jnp.asarray(positions), meta,
                          jnp.asarray(sample_idx), samp, lora, lidx_flat)
@@ -1141,7 +1142,8 @@ class TPUModelRunner:
                         dict(tokens=tokens, positions=positions,
                              slot_mapping=slots,
                              block_tables=meta.block_tables,
-                             context_lens=meta.context_lens, **mm_arrs))
+                             context_lens=meta.context_lens, **mm_arrs),
+                        lidx=lidx)
             new_kv, logits = fn(self.params, cache_engine.kv_caches,
                                 jnp.asarray(tokens), jnp.asarray(positions),
                                 meta, lora, lidx, mm)
@@ -1181,7 +1183,8 @@ class TPUModelRunner:
                          slot_mapping=slots,
                          block_tables=meta.block_tables,
                          context_lens=meta.context_lens,
-                         sample_idx=np.int32(S - 1), **mm_arrs), samp)
+                         sample_idx=np.int32(S - 1), **mm_arrs), samp,
+                    lidx=lidx)
         new_kv, out = fn(self.params, cache_engine.kv_caches,
                          jnp.asarray(tokens), jnp.asarray(positions), meta,
                          jnp.int32(S - 1), samp, lora, lidx, mm)
@@ -1258,7 +1261,7 @@ class TPUModelRunner:
                     dict(tokens=tokens, positions=positions,
                          slot_mapping=slots,
                          block_tables=meta.block_tables,
-                         context_lens=meta.context_lens))
+                         context_lens=meta.context_lens), lidx=lidx)
         new_kv, hidden = fn(self.params, cache_engine.kv_caches,
                             jnp.asarray(tokens), jnp.asarray(positions),
                             meta, lora, lidx)
@@ -1303,7 +1306,8 @@ class TPUModelRunner:
                                      b_pad)
         self._bcast("decode_multi", (K, nlp),
                     dict(tokens=tokens, positions=positions,
-                         block_tables=tables, valid=valid), samp)
+                         block_tables=tables, valid=valid), samp,
+                    lidx=lidx)
         new_kv, ys = fn(self.params, cache_engine.kv_caches,
                         jnp.asarray(tokens), jnp.asarray(positions),
                         jnp.asarray(tables), jnp.asarray(valid), samp,
@@ -1481,7 +1485,7 @@ class TPUModelRunner:
             self._bcast("decode_logits_hidden", 0,
                         dict(tokens=tokens, positions=positions,
                              slot_mapping=slots, block_tables=tables,
-                             context_lens=ctx_lens))
+                             context_lens=ctx_lens), lidx=lidx)
             new_kv, (logits, hidden) = fn(
                 self.params, cache_engine.kv_caches, jnp.asarray(tokens),
                 jnp.asarray(positions), meta, lora, lidx)
@@ -1551,7 +1555,7 @@ class TPUModelRunner:
         self._bcast("decode_logits_hidden", 0,
                     dict(tokens=tokens, positions=positions,
                          slot_mapping=slots, block_tables=tables,
-                         context_lens=ctx_lens))
+                         context_lens=ctx_lens), lidx=lidx)
         new_kv, (logits, hidden) = fn(
             self.params, cache_engine.kv_caches, jnp.asarray(tokens),
             jnp.asarray(positions), meta, lora, lidx)
@@ -1679,7 +1683,7 @@ class TPUModelRunner:
         self._bcast("decode_logits", 0,
                     dict(tokens=tokens, positions=positions,
                          slot_mapping=slots, block_tables=tables,
-                         context_lens=ctx_lens))
+                         context_lens=ctx_lens), lidx=lidx)
         new_kv, logits = fn(self.params, cache_engine.kv_caches,
                             jnp.asarray(tokens), jnp.asarray(positions),
                             meta, lora, lidx)
@@ -1795,7 +1799,8 @@ class TPUModelRunner:
             self._bcast("decode_logits", 0,
                         dict(tokens=tokens, positions=positions,
                              slot_mapping=slots, block_tables=tables,
-                             context_lens=ctx_lens, **ss_arrs))
+                             context_lens=ctx_lens, **ss_arrs),
+                        lidx=lidx)
             new_kv, logits = fn(self.params, cache_engine.kv_caches,
                                 jnp.asarray(tokens), jnp.asarray(positions),
                                 meta, lora, lidx)
@@ -1818,7 +1823,8 @@ class TPUModelRunner:
             self._bcast("decode_sample", nlp,
                         dict(tokens=tokens, positions=positions,
                              slot_mapping=slots, block_tables=tables,
-                             context_lens=ctx_lens, **ss_arrs), samp)
+                             context_lens=ctx_lens, **ss_arrs), samp,
+                        lidx=lidx)
             new_kv, out = fn(self.params, cache_engine.kv_caches,
                              jnp.asarray(tokens), jnp.asarray(positions),
                              meta, samp, lora, lidx)

@@ -149,20 +149,33 @@ def test_replay_embedding(target_dir, tmp_path):
     assert kinds == {"prefill_hidden"}
 
 
-def test_lora_guard(target_dir):
-    """LoRA adapter state is not broadcast: the runner must refuse instead
-    of letting follower hosts trace a different executable."""
-    llm = _llm(target_dir)
-    runner = _worker(llm).model_runner
-    runner.control_plane = _RecordingPlane()
+def test_replay_lora(target_dir, tmp_path):
+    """LoRA serving across hosts: the broadcast carries the slot table +
+    per-row slot indices; the follower mirrors the driver's slots (loading
+    adapters from the shared checkpoint path) so both hosts compute with
+    identical stacks — proven by exact KV-cache equality after replaying
+    an adapter-carrying run."""
+    from tests.lora.test_lora import _make_adapter
+    from neural_magic_vllm_tpu import SamplingParams
+    from neural_magic_vllm_tpu.lora import LoRARequest
+    a1 = str(tmp_path / "adapter1")
+    _make_adapter(a1, target_dir, seed=3)
+    req = LoRARequest("a1", 1, a1)
+    kw = dict(enable_lora=True, max_loras=2, max_lora_rank=8)
 
-    class _Mgr:  # minimal stand-in; only reached past the guard otherwise
-        pass
+    def run(llm):
+        sp = SamplingParams(temperature=0.0, max_tokens=MAX_NEW,
+                            ignore_eos=True, detokenize=False)
+        llm.generate(prompt_token_ids=PROMPTS, sampling_params=sp,
+                     use_tqdm=False, lora_request=req)
 
-    runner.lora_manager = _Mgr()
+    kinds = _drive_and_replay(lambda: _llm(target_dir, **kw), run)
+    assert "decode_multi" in kinds or "decode_sample" in kinds
 
-    class _Req:
-        pass
 
-    with pytest.raises(NotImplementedError):
-        runner._lora_args([_Req()], 4)
+def test_replay_lora_adapterless(target_dir):
+    """--enable-lora with no adapter in any request must still replay
+    identically (the stacks are passed either way — a None-vs-stacks
+    split would be a different executable on the follower)."""
+    kw = dict(enable_lora=True, max_loras=2, max_lora_rank=8)
+    _drive_and_replay(lambda: _llm(target_dir, **kw), _generate)
