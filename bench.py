@@ -83,20 +83,27 @@ def build_engine():
         wbytes = 2 * (32000 * 2048 * 2 + lin_params)
         FLOPS_PER_TOKEN = 2.0 * (lin_params + 32000 * 2048)
     else:
-        # Llama-3-8B architecture
+        # Llama-3-8B architecture; BENCH_MODEL=llama3-8b-fp8 switches the
+        # linears to FP8 W8A8 (the reference's second headline config)
         hf_cfg = LlamaConfig(vocab_size=128256, hidden_size=4096,
                              intermediate_size=14336, num_hidden_layers=32,
                              num_attention_heads=32, num_key_value_heads=8,
                              max_position_embeddings=8192,
                              torch_dtype="bfloat16")
-        quant = "gptq"
-        metric = (f"decode_tokens_per_s_llama3-8b_w4a16_bs{BATCH}" +
-                  ("_fp8kv" if KV_DTYPE.startswith("fp8") else ""))
-        # packed int4 linears (0.5 B/weight) + bf16 embed & lm_head
         per_layer = 4096 * (4096 + 2 * 1024 + 4096) + 3 * 4096 * 14336
-        wbytes = int(32 * per_layer * 0.5) + 2 * (128256 * 4096 * 2)
-        # decode matmul FLOPs/token: the full linear stack (dequantized
-        # bf16 dots on the MXU) + the bf16 lm_head
+        if MODEL == "llama3-8b-fp8":
+            quant = "fp8"
+            metric = (f"decode_tokens_per_s_llama3-8b_fp8w8a8_bs{BATCH}" +
+                      ("_fp8kv" if KV_DTYPE.startswith("fp8") else ""))
+            # fp8 linears (1 B/weight) + bf16 embed & lm_head
+            wbytes = 32 * per_layer + 2 * (128256 * 4096 * 2)
+        else:
+            quant = "gptq"
+            metric = (f"decode_tokens_per_s_llama3-8b_w4a16_bs{BATCH}" +
+                      ("_fp8kv" if KV_DTYPE.startswith("fp8") else ""))
+            # packed int4 linears (0.5 B/weight) + bf16 embed & lm_head
+            wbytes = int(32 * per_layer * 0.5) + 2 * (128256 * 4096 * 2)
+        # decode matmul FLOPs/token: the full linear stack + bf16 lm_head
         FLOPS_PER_TOKEN = 2.0 * (32 * per_layer + 128256 * 4096)
     hf_cfg.architectures = ["LlamaForCausalLM"]
 
