@@ -75,12 +75,29 @@ async def run(args) -> None:
     rng = np.random.default_rng(args.seed)
     lengths = sample_lengths(rng, args.num_prompts, args.input_len,
                              args.output_len)
-    prompts = [("hello " * max(in_len // 2, 1)).strip()
-               for in_len, _ in lengths]
     url = f"{args.base_url}/v1/completions"
 
     async with aiohttp.ClientSession(
             timeout=aiohttp.ClientTimeout(total=6 * 3600)) as session:
+        # calibrate tokens-per-word against the server's own tokenizer so
+        # prompt token counts land on target regardless of vocabulary
+        # (a byte-level fallback tokenizer yields ~6 tokens per "hello ")
+        tok_per_word = 2.0
+        try:
+            async with session.post(f"{args.base_url}/tokenize",
+                                    json={"prompt": "hello " * 8}) as r:
+                if r.status == 200:
+                    n = len((await r.json()).get("tokens", []))
+                    if n:
+                        tok_per_word = max(n / 8.0, 0.25)
+        except aiohttp.ClientError:
+            pass
+        lengths = [(min(in_len, args.max_input_len),
+                    max(min(out_len, args.max_total_len -
+                            min(in_len, args.max_input_len)), 1))
+                   for in_len, out_len in lengths]
+        prompts = [("hello " * max(int(in_len / tok_per_word), 1)).strip()
+                   for in_len, _ in lengths]
         tasks = []
         start = time.perf_counter()
         for i, (prompt, (_, out_len)) in enumerate(zip(prompts, lengths)):
@@ -121,6 +138,14 @@ if __name__ == "__main__":
     parser.add_argument("--model", type=str, required=True)
     parser.add_argument("--num-prompts", type=int, default=100)
     parser.add_argument("--request-rate", type=float, default=float("inf"))
+    parser.add_argument("--max-total-len", type=int, default=1000,
+                        help="clamp prompt+output token budget per "
+                             "request (keep <= the server's "
+                             "max_model_len)")
+    parser.add_argument("--max-input-len", type=int, default=896,
+                        help="clamp sampled prompt token lengths (keep "
+                             "under the server's max_model_len minus "
+                             "output budget)")
     parser.add_argument("--input-len", type=int, default=0,
                         help="0 = synthetic ShareGPT-like mix")
     parser.add_argument("--output-len", type=int, default=128)
