@@ -34,6 +34,11 @@ class LLMEngine:
 
     def __init__(self, engine_config: EngineConfig, executor_class=None,
                  log_stats: bool = True) -> None:
+        from neural_magic_vllm_tpu.utils import \
+            maybe_enable_trace_function_call
+        trace_log = maybe_enable_trace_function_call()
+        if trace_log:
+            logger.info("Function-call tracing -> %s", trace_log)
         cfg = engine_config
         self.model_config = cfg.model_config
         self.cache_config = cfg.cache_config

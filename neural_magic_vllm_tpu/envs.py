@@ -36,6 +36,10 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # Usage-stat opt-out (reference: VLLM_NO_USAGE_STATS). No-op placeholder.
     "NMV_TPU_NO_USAGE_STATS":
     lambda: bool(int(os.getenv("NMV_TPU_NO_USAGE_STATS", "1"))),
+    # Hang debugging: trace every package-local function call to a temp
+    # log (reference VLLM_TRACE_FUNCTION, envs.py:199). Very slow.
+    "NMV_TPU_TRACE_FUNCTION":
+    lambda: bool(int(os.getenv("NMV_TPU_TRACE_FUNCTION", "0"))),
     # MoE token chunking (reference: VLLM_FUSED_MOE_CHUNK_SIZE).
     "NMV_TPU_FUSED_MOE_CHUNK_SIZE":
     lambda: int(os.getenv("NMV_TPU_FUSED_MOE_CHUNK_SIZE", "32768")),

@@ -83,6 +83,44 @@ def now() -> float:
     return time.monotonic()
 
 
+def maybe_enable_trace_function_call() -> Optional[str]:
+    """Hang debugging (reference VLLM_TRACE_FUNCTION, vllm/utils.py:729 +
+    envs.py:199): when NMV_TPU_TRACE_FUNCTION=1, log every package-local
+    Python function call/return with a timestamp to a temp file, so a
+    stuck engine's log tail shows exactly where it stopped. Costly —
+    debugging only. Returns the log path when enabled."""
+    import datetime
+    import os
+    import sys
+    import tempfile
+    import threading
+
+    from neural_magic_vllm_tpu import envs
+    if not envs.NMV_TPU_TRACE_FUNCTION:
+        return None
+    root = os.path.dirname(os.path.abspath(__file__))
+    stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    log_path = os.path.join(
+        tempfile.gettempdir(), "nmv_tpu",
+        f"TRACE_FUNCTION_pid{os.getpid()}_"
+        f"tid{threading.get_ident()}_{stamp}.log")
+    os.makedirs(os.path.dirname(log_path), exist_ok=True)
+    f = open(log_path, "a", buffering=1)
+
+    def tracer(frame, event, arg):
+        if event in ("call", "return"):
+            fn = frame.f_code.co_filename
+            if fn.startswith(root):
+                f.write(f"{datetime.datetime.now().isoformat()} {event} "
+                        f"{fn}:{frame.f_lineno} "
+                        f"{frame.f_code.co_name}\n")
+        return tracer
+
+    sys.settrace(tracer)
+    threading.settrace(tracer)
+    return log_path
+
+
 STR_DTYPE_TO_BITS = {
     "auto": 16,
     "bfloat16": 16,
