@@ -97,6 +97,11 @@ class LLM:
         if multi_modal_data is not None and \
                 not isinstance(multi_modal_data, list):
             multi_modal_data = [multi_modal_data] * num_requests
+        if not isinstance(lora_request, list):
+            lora_request = [lora_request] * num_requests
+        if len(lora_request) != num_requests:
+            raise ValueError(
+                "lora_request list must match the number of prompts.")
 
         for i in range(num_requests):
             self.llm_engine.add_request(
@@ -105,7 +110,7 @@ class LLM:
                 sampling_params=sampling_params[i],
                 prompt_token_ids=(prompt_token_ids[i]
                                   if prompt_token_ids is not None else None),
-                lora_request=lora_request,
+                lora_request=lora_request[i],
                 multi_modal_data=(multi_modal_data[i]
                                   if multi_modal_data is not None else None))
         return self._run_engine(use_tqdm)
