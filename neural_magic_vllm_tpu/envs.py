@@ -40,6 +40,13 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # log (reference VLLM_TRACE_FUNCTION, envs.py:199). Very slow.
     "NMV_TPU_TRACE_FUNCTION":
     lambda: bool(int(os.getenv("NMV_TPU_TRACE_FUNCTION", "0"))),
+    # MoE expert-GEMM backend: "ragged" (grouped GEMM) or "dense".
+    "NMV_TPU_MOE_BACKEND":
+    lambda: os.getenv("NMV_TPU_MOE_BACKEND", "ragged"),
+    # Batch-size ceiling for the multi-sequence-per-program decode
+    # attention variant (small-batch/long-context regime).
+    "NMV_TPU_DECODE_MULTISEQ_MAX_BATCH":
+    lambda: int(os.getenv("NMV_TPU_DECODE_MULTISEQ_MAX_BATCH", "16")),
     # MoE token chunking (reference: VLLM_FUSED_MOE_CHUNK_SIZE).
     "NMV_TPU_FUSED_MOE_CHUNK_SIZE":
     lambda: int(os.getenv("NMV_TPU_FUSED_MOE_CHUNK_SIZE", "32768")),

@@ -116,8 +116,8 @@ def fused_moe(x, w_gate, w_up, w_down, topk_weights, topk_ids):
     1/(E/top_k) of the dense-dispatch FLOPs; NMV_TPU_MOE_BACKEND=dense
     forces the einsum formulation (useful on backends where ragged_dot
     lowers poorly)."""
-    import os
-    backend = os.getenv("NMV_TPU_MOE_BACKEND", "ragged")
+    from neural_magic_vllm_tpu import envs
+    backend = envs.NMV_TPU_MOE_BACKEND
     if backend == "dense":
         return fused_moe_dense(x, w_gate, w_up, w_down, topk_weights,
                                topk_ids)

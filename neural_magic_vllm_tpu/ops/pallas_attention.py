@@ -33,7 +33,7 @@ PAGES_PER_CHUNK = 8
 
 def _decode_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm, v_hbm,
                    *rest, kvh: int, group: int,
-                   bs: int, hd: int, n_chunks: int, ppc: int,
+                   bs: int, hd: int, ppc: int,
                    kv_scale: float, logit_cap: Optional[float],
                    alibi_slopes=None):
     if alibi_slopes is not None:
@@ -147,12 +147,18 @@ def _decode_attention_pallas(q, k_cache, v_cache, block_tables,
         pad = ppc - W % ppc
         block_tables = jnp.pad(block_tables, ((0, 0), (0, pad)))
         W += pad
-    n_chunks = W // ppc
+
+    # Padded rows may carry context_lens == 0; the kernel's pipelined
+    # prologue always starts the first DMA chunk and a zero-chunk row
+    # would leave its semaphores signaled for the NEXT grid program
+    # (cross-row corruption). Clamp to 1 — the row's own output is
+    # garbage either way (same defense as the multiseq variant).
+    context_lens = jnp.maximum(context_lens, 1)
 
     q_scaled = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
     kernel = functools.partial(
         _decode_kernel, kvh=kvh, group=group, bs=bs, hd=hd,
-        n_chunks=n_chunks, ppc=ppc, kv_scale=kv_scale, logit_cap=logit_cap,
+        ppc=ppc, kv_scale=kv_scale, logit_cap=logit_cap,
         alibi_slopes=alibi_slopes)
 
     if window is None:
@@ -206,13 +212,18 @@ def decode_attention(q, k_cache, v_cache, block_tables, context_lens, *,
     nb, kvh, bs, hd = k_cache.shape
     B, nqh, _ = q.shape
     if hd % 128 != 0 or nqh % kvh != 0 or bs % 8 != 0:
+        if kv_scale != 1.0:
+            # the reference path has no in-kernel fp8 dequant: apply the
+            # scale to the (float-upcast) cache instead of dropping it
+            k_cache = k_cache.astype(jnp.float32) * kv_scale
+            v_cache = v_cache.astype(jnp.float32) * kv_scale
         return decode_attention_ref(q, k_cache, v_cache, block_tables,
                                     context_lens, scale=scale,
                                     sliding_window=sliding_window,
                                     logit_cap=logit_cap,
                                     alibi_slopes=alibi_slopes)
-    import os
-    multiseq_max = int(os.getenv("NMV_TPU_DECODE_MULTISEQ_MAX_BATCH", "16"))
+    from neural_magic_vllm_tpu import envs
+    multiseq_max = envs.NMV_TPU_DECODE_MULTISEQ_MAX_BATCH
     if B <= multiseq_max and alibi_slopes is None:
         # small-batch/long-context regime: R sequences share one program
         # (prologue + DMA-pipeline fill amortized; the reference's
@@ -449,6 +460,11 @@ def prefill_attention(q, k, v, k_cache, v_cache, block_table, context_len,
     TQ = _pick_q_tile(S, nqh, kvh, hd, PAGES_PER_CHUNK, bs) \
         if (hd % 128 == 0 and nqh % kvh == 0 and bs % 8 == 0) else None
     if blocksparse is not None or TQ is None:
+        if kv_scale != 1.0:
+            # reference path has no in-kernel fp8 dequant (see
+            # decode_attention): scale the float-upcast cache instead
+            k_cache = k_cache.astype(jnp.float32) * kv_scale
+            v_cache = v_cache.astype(jnp.float32) * kv_scale
         return prefill_attention_ref(q, k, v, k_cache, v_cache,
                                      block_table, context_len, scale=scale,
                                      sliding_window=sliding_window,

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from neural_magic_vllm_tpu.utils import cdiv, round_up
+from neural_magic_vllm_tpu.utils import round_up
 
 
 def _make_kernel_fast(bits: int, k_tile: int, groups_per_tile: int,
@@ -219,12 +219,23 @@ def quant_matmul_pallas(x: jax.Array, qweight: jax.Array, scales: jax.Array,
     n_k = K // k_tile
     assert n_k * k_tile == K, (K, k_tile)
 
+    if N % tile_n != 0 and N % 128 != 0 and N > 512:
+        # odd N: the XLA reference path handles it (weights are static, so
+        # real models should be padded at pack time instead). Must run on
+        # the ORIGINAL activations, before any int8 quantization.
+        from neural_magic_vllm_tpu.ops.quant import quant_matmul_ref
+        out = quant_matmul_ref(x2.astype(jnp.bfloat16), qweight, scales,
+                               zeros, bits, k_tile, group_size, bias=bias)
+        return out.astype(x.dtype).reshape(orig_shape[:-1] + (N, ))
+
     pf_chk = 32 // bits
     stripe_chk = k_tile // pf_chk
     gs_chk = K if group_size in (-1, None) else group_size
-    use_a8 = act_int8 and (gs_chk >= k_tile or
-                           (k_tile % gs_chk == 0
-                            and gs_chk % stripe_chk == 0))
+    # int8 MXU path is 4-bit only: the unpacked levels are cast to int8
+    # inside the kernel, which would wrap 8-bit levels >= 128
+    use_a8 = act_int8 and bits == 4 and (gs_chk >= k_tile or
+                                         (k_tile % gs_chk == 0
+                                          and gs_chk % stripe_chk == 0))
     if use_a8:
         # per-row dynamic symmetric int8 (the rowsum fold needs the scale
         # to factor out of the whole row, hence per-row not per-group)
@@ -244,15 +255,8 @@ def quant_matmul_pallas(x: jax.Array, qweight: jax.Array, scales: jax.Array,
         tn = tile_n
     elif N % 128 == 0:
         tn = 128
-    elif N <= 512:
-        tn = N  # full-dimension blocks are always legal
     else:
-        # odd N: the XLA reference path handles it (weights are static, so
-        # real models should be padded at pack time instead)
-        from neural_magic_vllm_tpu.ops.quant import quant_matmul_ref
-        out = quant_matmul_ref(x2[:M], qweight, scales, zeros, bits, k_tile,
-                               group_size, bias=bias)
-        return out.astype(x.dtype).reshape(orig_shape[:-1] + (N, ))
+        tn = N  # N <= 512 (odd N bailed to the ref path above)
 
     gpt = k_tile // gs if gs <= k_tile else 1
     s_tiled = _tile_groups(scales.astype(jnp.float32), n_k, k_tile, gs, K)

@@ -18,7 +18,8 @@ Storage layout (per linear, K = in_features, N = out_features):
     bf16 (sparse W16A16): [K//2, N] bf16, same row order.
   meta: one 4-bit code per quadruple: low 2 bits = position of the first
     kept element (0..3), high 2 bits = position of the second; packed like
-    a 4-bit weight with tile k_tile // 4 -> [K//8, N] int32.
+    a 4-bit weight with tile k_tile // 4 (8 codes per word) ->
+    [K//32, N] int32 (1 bit per logical weight).
 
 In-kernel expansion is branch-free VPU select (no gather/scatter):
   dense[4q + d] = (p0[q] == d) ? v0[q] : 0  +  (p1[q] == d) ? v1[q] : 0
@@ -262,8 +263,9 @@ def sparse24_matmul_pallas(x: jax.Array, vals: jax.Array, meta: jax.Array,
 
     Quantized (bits in {4, 8}): vals [K//2//pf, N] int32, scales [G, N].
     bf16 (bits=None): vals [K//2, N] bf16, scales ignored.
-    meta [K//8, N] int32 position codes. HBM weight traffic per step is
-    K*N*bits/16 + K*N/2 bits vs the dense kernel's K*N*bits/8.
+    meta [K//32, N] int32 position codes (1 bit per logical weight).
+    HBM weight traffic per step is K*N*bits/16 + K*N bits of metadata vs
+    the dense kernel's K*N*bits/8.
     """
     orig_shape = x.shape
     x2 = x.reshape(-1, orig_shape[-1]).astype(jnp.bfloat16)
@@ -330,7 +332,7 @@ def sparse24_matmul_pallas(x: jax.Array, vals: jax.Array, meta: jax.Array,
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * N * K,
             bytes_accessed=(m_pad * K * 2 + K * N * w_bits // 16 +
-                            K * N // 2 // 8 + m_pad * N * 2),
+                            K * N // 8 + m_pad * N * 2),
             transcendentals=0,
         ),
         interpret=interpret,

@@ -138,3 +138,44 @@ def test_per_seq_variant_matches_ref_large_batch():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_zero_context_padded_rows_do_not_corrupt_neighbors():
+    """Regression (code review round 2): a padded row with
+    context_lens == 0 must not leak DMA semaphore state into the next
+    grid program; real rows around it must still match the reference
+    (the wrapper clamps ctx to 1 — the zero row's own output is
+    unspecified)."""
+    rng = np.random.default_rng(3)
+    B, nqh, kvh, hd, bs, W = 4, 8, 2, 128, 16, 8
+    nb = max(B * W + 2, 32)
+    q, k, v, tables, ctx = _setup(B, nqh, kvh, hd, bs, nb, W, rng)
+    ctx = np.asarray(ctx).copy()
+    ctx[1] = 0  # padded slot
+    ctx = jnp.asarray(ctx)
+    scale = hd**-0.5
+    ref = decode_attention_ref(q, k, v, tables,
+                               jnp.maximum(ctx, 1), scale=scale)
+    out = decode_attention(q, k, v, tables, ctx, scale=scale)
+    real = [0, 2, 3]
+    np.testing.assert_allclose(np.asarray(out)[real],
+                               np.asarray(ref)[real], rtol=2e-2,
+                               atol=2e-3)
+
+
+def test_kv_scale_applied_on_ref_fallback():
+    """Regression (code review round 2): head sizes that route to the
+    XLA reference fallback must still apply kv_scale (previously it was
+    silently dropped)."""
+    rng = np.random.default_rng(4)
+    B, nqh, kvh, hd, bs, W = 2, 8, 2, 96, 16, 4  # hd 96 -> ref fallback
+    nb = 32
+    q, k, v, tables, ctx = _setup(B, nqh, kvh, hd, bs, nb, W, rng)
+    scale = hd**-0.5
+    kv_scale = 0.5
+    ref = decode_attention_ref(q, k * kv_scale, v * kv_scale, tables, ctx,
+                               scale=scale)
+    out = decode_attention(q, k, v, tables, ctx, scale=scale,
+                           kv_scale=kv_scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -250,3 +250,31 @@ def test_quant_matmul_w4a8_vs_golden(gs, K, N, M, zeros):
     rel_d = np.abs(np.asarray(out, np.float64) - dense).max() / \
         np.abs(dense).max()
     assert rel_d < 0.05, rel_d
+
+
+@pytest.mark.parametrize("bits,N", [(4, 513), (8, 640)])
+def test_quant_matmul_act_int8_fallback_paths(bits, N):
+    """Regression (code review round 2): (a) the odd-N XLA fallback must
+    run on the ORIGINAL activations, not the already-int8-quantized ones;
+    (b) bits=8 + act_int8 must not wrap unsigned levels through int8 —
+    both must match the dequant golden."""
+    gs, K, M = 128, 512, 8
+    rng = np.random.default_rng(11)
+    kt = select_k_tile(K, gs, bits)
+    G = K // gs
+    q = rng.integers(0, 2**bits, (K, N)).astype(np.uint32)
+    packed = jnp.asarray(pack_int_tiled(q, bits, kt))
+    scales = (rng.uniform(0.5, 1.5, (G, N)) * 0.01).astype(np.float32)
+    zp = float(2**(bits - 1))
+    x = rng.standard_normal((M, K)).astype(np.float32)
+
+    w = ((q.reshape(G, gs, N) - zp) * scales.reshape(G, 1, N)) \
+        .reshape(K, N)
+    dense = x @ w
+
+    out = quant_matmul_pallas(jnp.asarray(x, jnp.bfloat16), packed,
+                              jnp.asarray(scales), None, bits=bits,
+                              k_tile=kt, group_size=gs, act_int8=True)
+    norm = np.abs(dense).max()
+    rel = np.abs(np.asarray(out, np.float64) - dense).max() / norm
+    assert rel < 3e-2, rel
