@@ -55,30 +55,39 @@ class Worker:
         self.model_runner.load_model()
 
     # --- memory profiling -------------------------------------------------------
-    def _block_bytes(self) -> int:
-        """PER-CHIP bytes per paged block: kv heads divide by TP and the
-        (global-shaped, stage-sharded) layer stack divides by PP — each
-        chip physically stores layers/pp of every block."""
+    def _per_chip_kv_heads(self, mc) -> int:
+        """Physical kv heads stored per chip. Must mirror
+        model_runner.kv_sharding(): the head axis shards over TP only when
+        it divides evenly; otherwise the cache REPLICATES (every chip
+        stores all heads), so sizing must not divide."""
+        tp = self.parallel_config.tensor_parallel_size
+        total = mc.get_total_num_kv_heads()
+        return total // tp if total % tp == 0 else total
+
+    def _block_bytes(self, per_chip: bool = True) -> int:
+        """Bytes per paged block. per_chip=True sizes against one chip's
+        HBM (kv heads per kv_sharding, layers / pp — each stage holds
+        layers/pp of every block); per_chip=False gives the GLOBAL block
+        footprint, which is what the single-controller host actually
+        allocates for the CPU swap pool (cache_engine.py cpu_shape)."""
         kv_dtype = get_kv_cache_dtype(self.cache_config.cache_dtype,
                                       self.model_config.dtype)
-        pp = self.parallel_config.pipeline_parallel_size
-        total = kv_cache_bytes_per_block(
-            self.cache_config.block_size,
-            self.model_config.get_num_kv_heads(self.parallel_config),
-            self.model_config.get_head_size(),
-            cdiv(self.model_config.get_num_layers(self.parallel_config),
-                 pp),
-            kv_dtype)
+        pp = self.parallel_config.pipeline_parallel_size if per_chip else 1
+
+        def one(mc):
+            heads = self._per_chip_kv_heads(mc) if per_chip \
+                else mc.get_total_num_kv_heads()
+            return kv_cache_bytes_per_block(
+                self.cache_config.block_size, heads, mc.get_head_size(),
+                cdiv(mc.get_num_layers(self.parallel_config), pp),
+                kv_dtype)
+
+        total = one(self.model_config)
         dmc = self.model_runner.draft_model_config
         if dmc is not None:
             # the draft cache shares block NUMBERS with the target's tables,
             # so it is sized with the same block count
-            total += kv_cache_bytes_per_block(
-                self.cache_config.block_size,
-                dmc.get_num_kv_heads(self.parallel_config),
-                dmc.get_head_size(),
-                cdiv(dmc.get_num_layers(self.parallel_config), pp),
-                kv_dtype)
+            total += one(dmc)
         return total
 
     def determine_num_available_blocks(self) -> Tuple[int, int]:
@@ -86,7 +95,7 @@ class Worker:
         HBM (reference worker.py:155-198 / tpu_worker.py:107-141)."""
         block_bytes = self._block_bytes()
         num_cpu_blocks = int(self.cache_config.swap_space_bytes //
-                             block_bytes)
+                             self._block_bytes(per_chip=False))
         override = self.cache_config.num_gpu_blocks_override
         if override is not None:
             return override, num_cpu_blocks

@@ -71,7 +71,52 @@ def test_block_bytes_divides_by_pp():
             model_config=mc, cache_config=cc,
             parallel_config=ParallelConfig(pipeline_parallel_size=pp),
             model_runner=SimpleNamespace(draft_model_config=None))
+        w._per_chip_kv_heads = lambda m: Worker._per_chip_kv_heads(w, m)
         return Worker._block_bytes(w)
 
     assert bb(2) * 2 == bb(1)
     assert bb(4) * 4 == bb(1)
+
+
+def test_block_bytes_kv_replication_and_cpu_pool():
+    """(a) When TP does not divide the kv-head count the cache REPLICATES
+    (kv_sharding) — per-chip sizing must use all heads, not heads//tp.
+    (b) The CPU swap pool is one GLOBAL allocation on the controller
+    host, so its block budget must use global bytes (all heads, all
+    layers), not per-chip bytes."""
+    from types import SimpleNamespace
+
+    from transformers import LlamaConfig
+
+    from neural_magic_vllm_tpu.config import (CacheConfig, ModelConfig,
+                                              ParallelConfig)
+    from neural_magic_vllm_tpu.worker.worker import Worker
+
+    hf = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                     num_hidden_layers=4, num_attention_heads=8,
+                     num_key_value_heads=2)
+    hf.architectures = ["LlamaForCausalLM"]
+    mc = ModelConfig(model="x", dtype="float32", max_model_len=64,
+                     hf_config=hf, skip_tokenizer_init=True)
+    cc = CacheConfig(block_size=16)
+
+    def w(tp, pp=1):
+        return SimpleNamespace(
+            model_config=mc, cache_config=cc,
+            parallel_config=ParallelConfig(tensor_parallel_size=tp,
+                                           pipeline_parallel_size=pp),
+            model_runner=SimpleNamespace(draft_model_config=None),
+            _per_chip_kv_heads=lambda m, _w=None: None)
+
+    def bb(tp, pp=1, per_chip=True):
+        ww = w(tp, pp)
+        ww._per_chip_kv_heads = lambda m: Worker._per_chip_kv_heads(ww, m)
+        return Worker._block_bytes(ww, per_chip=per_chip)
+
+    # tp=2 divides 2 kv heads -> shards (half per chip)
+    assert bb(2) * 2 == bb(1)
+    # tp=4 does NOT divide 2 kv heads -> replicated (full size per chip)
+    assert bb(4) == bb(1)
+    # global (CPU pool) bytes never divide by tp or pp
+    assert bb(2, per_chip=False) == bb(1)
+    assert bb(2, pp=2, per_chip=False) == bb(1)
