@@ -861,6 +861,8 @@ class Scheduler:
                                            None),
                     multi_modal_data=getattr(seq_group, "multi_modal_data",
                                              None) if is_prompt else None,
+                    eos_token_id=next(
+                        iter(seq_group.seqs_dict.values())).eos_token_id,
                 ))
 
         # Prefix blocks just scheduled are computed once this batch runs.

@@ -251,8 +251,12 @@ class SequenceGroup:
         trace_headers: Optional[Dict[str, str]] = None,
         pooling_params: Optional[Any] = None,
         multi_modal_data: Optional[Dict[str, Any]] = None,
+        eos_token_id: Optional[int] = None,
     ) -> None:
         self.request_id = request_id
+        # carried so the worker's host sampler can mask EOS under
+        # min_tokens (reference min-tokens logit masking, sampler.py)
+        self.eos_token_id = eos_token_id
         self.seqs_dict = {seq.seq_id: seq for seq in seqs}
         self.sampling_params = sampling_params
         self.pooling_params = pooling_params
@@ -369,8 +373,12 @@ class SequenceGroupMetadata:
         lora_request: Optional[Any] = None,
         pooling_params: Optional[Any] = None,
         multi_modal_data: Optional[Dict[str, Any]] = None,
+        eos_token_id: Optional[int] = None,
     ) -> None:
         self.request_id = request_id
+        # carried so the worker's host sampler can mask EOS under
+        # min_tokens (reference min-tokens logit masking, sampler.py)
+        self.eos_token_id = eos_token_id
         self.is_prompt = is_prompt
         self.seq_data = seq_data
         self.sampling_params = sampling_params

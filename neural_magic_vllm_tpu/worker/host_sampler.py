@@ -88,9 +88,14 @@ def sample_row(
     *,
     eos_token_id: Optional[int] = None,
     step_seed: int = 0,
+    entropy: int = 0,
     num_logprobs: int = 0,
 ) -> Tuple[int, Dict[int, Logprob]]:
-    """Sample one token and its logprob dict for one sequence."""
+    """Sample one token and its logprob dict for one sequence.
+
+    ``entropy`` is per-request randomness for UNSEEDED requests (the
+    device sampler folds hash(request_id) the same way); explicit
+    sp.seed stays fully reproducible and ignores it."""
     logits = logits.astype(np.float64).copy()
     for proc in sp.logits_processors:
         logits = np.asarray(proc(list(output_ids), logits))
@@ -107,7 +112,7 @@ def sample_row(
         probs = np.exp(masked - np.nanmax(masked))
         probs[~np.isfinite(masked)] = 0.0
         probs = probs / probs.sum()
-        seed = sp.seed if sp.seed is not None else step_seed
+        seed = sp.seed if sp.seed is not None else entropy
         rng = np.random.default_rng((seed + step_seed * 1000003) % 2**63)
         token = int(rng.choice(len(probs), p=probs))
 

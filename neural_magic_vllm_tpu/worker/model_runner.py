@@ -1168,8 +1168,9 @@ class TPUModelRunner:
                     token, lp = host_sampler.sample_row(
                         logits_np[S - 1], sp, seq_data.prompt_token_ids,
                         seq_data.output_token_ids,
-                        eos_token_id=None,
+                        eos_token_id=sgm.eos_token_id,
                         step_seed=seq_data.get_len() * (j + 1) + j,
+                        entropy=hash(sgm.request_id) & (2**62 - 1),
                         num_logprobs=num_logprobs)
                     samples.append(SequenceOutput(seq_id, token, lp))
             return CompletionSequenceGroupOutput(
@@ -1498,7 +1499,9 @@ class TPUModelRunner:
                     logits_np[i], sgm.sampling_params,
                     sgm.seq_data[seq_id].prompt_token_ids,
                     sgm.seq_data[seq_id].output_token_ids,
+                    eos_token_id=sgm.eos_token_id,
                     step_seed=sgm.seq_data[seq_id].get_len(),
+                    entropy=hash(sgm.request_id) & (2**62 - 1),
                     num_logprobs=sgm.sampling_params.logprobs or 0)
                 self._spec_hidden[seq_id] = hidden_np[i]
                 group_outputs.append(CompletionSequenceGroupOutput(
@@ -1812,7 +1815,9 @@ class TPUModelRunner:
                 token, lp = host_sampler.sample_row(
                     logits_np[i], sgm.sampling_params,
                     data.prompt_token_ids, data.output_token_ids,
+                    eos_token_id=sgm.eos_token_id,
                     step_seed=data.get_len(),
+                    entropy=hash(sgm.request_id) & (2**62 - 1),
                     num_logprobs=sgm.sampling_params.logprobs or 0)
                 results.append((seq_id, token, lp))
         else:
