@@ -764,6 +764,20 @@ class TPUModelRunner:
                 donate_argnums=(2, 3))
         return self._spec_fn
 
+    def _prefill_table_width(self, end: int) -> int:
+        """Block-table width for a single-sequence prefill chunk ending at
+        token ``end``. On TPU this is ALWAYS the max width: warmup
+        compiles each prefill bucket exactly once at full width, and the
+        Pallas kernels read only the pages context_len covers, so a
+        static width avoids per-(bucket, width) serve-time compiles (the
+        'serving never hits a compile' contract). Off-TPU the jnp
+        reference gathers the whole table, so a bucketed width keeps CPU
+        tests cheap."""
+        if jax.default_backend() in ("tpu", "axon"):
+            return self.max_blocks_per_seq
+        return self.scheduler_config.pad_table_width(
+            max(1, cdiv(end, self.block_size)), self.max_blocks_per_seq)
+
     def _table_width(self, tables: List[List[int]]) -> int:
         # On TPU the Pallas decode kernel reads only the pages covered by
         # each row's context_len, so a single static (max) width avoids
@@ -1098,8 +1112,7 @@ class TPUModelRunner:
         # written KV back through the table (writes go via slot_mapping;
         # the jnp reference path reads only the context rows and ignores
         # the extra entries).
-        width = self.scheduler_config.pad_table_width(
-            max(1, cdiv(end, self.block_size)), self.max_blocks_per_seq)
+        width = self._prefill_table_width(end)
         state_slots = None
         if self.has_state:
             state_slots = jnp.asarray(
@@ -1247,9 +1260,7 @@ class TPUModelRunner:
                 pos % self.block_size
         # width spans context + current chunk (Pallas context-prefill
         # reads the chunk's KV through the table; see _execute_prefill)
-        width = self.scheduler_config.pad_table_width(
-            max(1, cdiv(end, self.block_size)),
-            self.max_blocks_per_seq)
+        width = self._prefill_table_width(end)
         meta = AttentionMetadata(
             slot_mapping=jnp.asarray(slots),
             block_tables=jnp.asarray(self._block_table_row(table,
