@@ -23,13 +23,21 @@ class SingleStepOutputProcessor:
 
     def process_outputs(self, seq_group: SequenceGroup,
                         output: CompletionSequenceGroupOutput) -> None:
-        if output.prompt_logprobs is not None \
-                and seq_group.prompt_logprobs is None:
+        if output.prompt_logprobs is not None:
+            # chunked prefill: each chunk contributes its own positions,
+            # concatenated here. A FIRST chunk (leads with None padding
+            # for position 0 / cache-covered positions) resets the list —
+            # that is how a RECOMPUTE-preempted prompt replays cleanly.
+            incoming = output.prompt_logprobs
             if self.detokenizer and \
                     seq_group.sampling_params.detokenize:
                 self.detokenizer.decode_prompt_logprobs_inplace(
-                    seq_group, output.prompt_logprobs)
-            seq_group.prompt_logprobs = output.prompt_logprobs
+                    seq_group, incoming)
+            if seq_group.prompt_logprobs is None or \
+                    (incoming and incoming[0] is None):
+                seq_group.prompt_logprobs = list(incoming)
+            else:
+                seq_group.prompt_logprobs += incoming
         if not output.samples:
             return  # mid-prompt chunk: nothing sampled
 

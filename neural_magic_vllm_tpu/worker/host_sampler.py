@@ -128,6 +128,41 @@ def sample_row(
     return token, lp
 
 
+def _logprob_dict(row: np.ndarray, tid: int,
+                  num_logprobs: int) -> Dict[int, Logprob]:
+    d: Dict[int, Logprob] = {}
+    if num_logprobs > 0:
+        top_idx = np.argpartition(-row, num_logprobs)[:num_logprobs]
+        top_idx = top_idx[np.argsort(-row[top_idx])]
+        for rank, t in enumerate(top_idx):
+            d[int(t)] = Logprob(float(row[t]), rank=rank + 1)
+    if tid not in d:
+        rank = int((row > row[tid]).sum()) + 1
+        d[tid] = Logprob(float(row[tid]), rank=rank)
+    return d
+
+
+def prompt_logprobs_from_chunk(
+        logits: np.ndarray,  # [S, V] logits for positions start..start+S-1
+        prompt_ids: List[int], start: int, num_logprobs: int,
+        first_chunk: bool) -> List[Optional[Dict]]:
+    """Prompt logprobs for ONE (chunked/context) prefill chunk: row j
+    predicts the token at position start+j+1. The first chunk leads with
+    None padding for position 0 and any prefix-cache-covered positions
+    (their logits were never computed — the reference's prefix-cache
+    semantics); later chunks return only their own positions, appended by
+    the output processor."""
+    P = len(prompt_ids)
+    out: List[Optional[Dict[int, Logprob]]] =         [None] * (start + 1) if first_chunk else []
+    lps = _log_softmax(logits.astype(np.float64))
+    for j in range(logits.shape[0]):
+        pos = start + j + 1
+        if pos >= P:
+            break
+        out.append(_logprob_dict(lps[j], prompt_ids[pos], num_logprobs))
+    return out
+
+
 def prompt_logprobs_from_logits(
         logits: np.ndarray,  # [S, V] logits for prompt positions
         prompt_ids: List[int], num_logprobs: int) -> List[Optional[Dict]]:

@@ -1163,9 +1163,13 @@ class TPUModelRunner:
             cache_engine.kv_caches = new_kv
             logits_np = np.asarray(logits[:S], np.float32)
             prompt_lp = None
-            if want_prompt_lp and start == 0:
-                prompt_lp = host_sampler.prompt_logprobs_from_logits(
-                    logits_np, token_ids[:end], sp.prompt_logprobs)
+            if want_prompt_lp:
+                # every chunk contributes its positions (the output
+                # processor concatenates); prefix-cache-covered positions
+                # lead with None padding on the first chunk
+                prompt_lp = host_sampler.prompt_logprobs_from_chunk(
+                    logits_np, seq_data.prompt_token_ids, start,
+                    sp.prompt_logprobs, first_chunk=(computed == 0))
             if not sgm.do_sample:
                 return CompletionSequenceGroupOutput(
                     samples=[], prompt_logprobs=prompt_lp)
