@@ -245,6 +245,12 @@ class Scheduler:
         self.running: Deque[SequenceGroup] = deque()
         self.swapped: Deque[SequenceGroup] = deque()
 
+        # finished/aborted ids accumulated for the worker's next step so
+        # it can purge per-request host caches (reference
+        # finished_requests_ids on ExecuteModelRequest)
+        self._finished_req_ids: List[str] = []
+        self._finished_seq_ids: List[int] = []
+
         self.prev_time = 0.0
         self.prev_prompt = False
         self.last_prompt_latency = 0.0
@@ -284,7 +290,9 @@ class Scheduler:
                     request_ids.remove(seq_group.request_id)
             for seq_group in aborted:
                 state_queue.remove(seq_group)
+                self._finished_req_ids.append(seq_group.request_id)
                 for seq in seq_group.get_seqs():
+                    self._finished_seq_ids.append(seq.seq_id)
                     if seq.is_finished():
                         continue
                     seq.status = SequenceStatus.FINISHED_ABORTED
@@ -303,8 +311,19 @@ class Scheduler:
         self.block_manager.fork(parent_seq, child_seq)
 
     def free_finished_seq_groups(self) -> None:
+        for sg in self.running:
+            if sg.is_finished():
+                self._finished_req_ids.append(sg.request_id)
+                self._finished_seq_ids.extend(
+                    s.seq_id for s in sg.get_seqs())
         self.running = deque(sg for sg in self.running
                              if not sg.is_finished())
+
+    def get_and_reset_finished_ids(self):
+        """Drain (request ids, seq ids) finished since the last call."""
+        req_ids, seq_ids = self._finished_req_ids, self._finished_seq_ids
+        self._finished_req_ids, self._finished_seq_ids = [], []
+        return req_ids, seq_ids
 
     # --- helpers --------------------------------------------------------------
     def _passed_delay(self, now: float) -> bool:

@@ -242,6 +242,7 @@ class LLMEngine:
             self.scheduler.schedule()
 
         if not scheduler_outputs.is_empty():
+            fin_req, fin_seq = self.scheduler.get_and_reset_finished_ids()
             execute_model_req = ExecuteModelRequest(
                 seq_group_metadata_list=seq_group_metadata_list,
                 blocks_to_swap_in=scheduler_outputs.blocks_to_swap_in,
@@ -249,6 +250,8 @@ class LLMEngine:
                 blocks_to_copy=scheduler_outputs.blocks_to_copy,
                 num_lookahead_slots=scheduler_outputs.num_lookahead_slots,
                 running_queue_size=scheduler_outputs.running_queue_size,
+                finished_request_ids=fin_req,
+                finished_seq_ids=fin_seq,
             )
             outputs = self.model_executor.execute_model(execute_model_req)
         else:

@@ -454,6 +454,12 @@ class ExecuteModelRequest:
     num_lookahead_slots: int = 0
     running_queue_size: int = 0
     virtual_engine: int = 0
+    # requests/seqs that finished or aborted since the last step: the
+    # worker purges its per-request host caches (mm embeddings, draft
+    # bookkeeping, spec hidden states) on receipt (reference
+    # finished_requests_ids, vllm/sequence.py:916)
+    finished_request_ids: List[str] = field(default_factory=list)
+    finished_seq_ids: List[int] = field(default_factory=list)
 
     def clone(self, seq_group_metadata_list) -> "ExecuteModelRequest":
         return ExecuteModelRequest(

@@ -886,6 +886,16 @@ class TPUModelRunner:
         return lp
 
     # --- execution ----------------------------------------------------------------
+    def purge_finished(self, request_ids, seq_ids) -> None:
+        """Drop per-request host caches for finished/aborted requests
+        (aborted multimodal prompts would otherwise leak their projected
+        image embeddings; reference finished_requests_ids role)."""
+        for rid in request_ids:
+            self._mm_cache.pop(rid, None)
+        for sid in seq_ids:
+            self._draft_seen.pop(sid, None)
+            self._spec_hidden.pop(sid, None)
+
     def execute_model(
         self,
         seq_group_metadata_list: List[SequenceGroupMetadata],

@@ -160,6 +160,9 @@ class Worker:
             self,
             req: ExecuteModelRequest) -> List[SamplerOutput]:
         assert self.cache_engine is not None
+        if req.finished_request_ids or req.finished_seq_ids:
+            self.model_runner.purge_finished(req.finished_request_ids,
+                                             req.finished_seq_ids)
         if req.blocks_to_swap_out and \
                 getattr(self.model_runner.model, "has_state", False):
             raise NotImplementedError(
