@@ -107,6 +107,41 @@ def build_engine():
         FLOPS_PER_TOKEN = 2.0 * (32 * per_layer + 128256 * 4096)
     hf_cfg.architectures = ["LlamaForCausalLM"]
 
+    # Fit the decode window to the chip's actual HBM: weights + the KV
+    # override must leave headroom for activations/workspace. Without this
+    # clamp bs512 x 96 steps allocates ~13 GiB of KV next to ~5.6 GiB of
+    # weights and OOMs a 16 GiB chip during warmup.
+    global DECODE_STEPS
+    if "BENCH_DECODE_STEPS" not in os.environ and MODEL not in (
+            "micro", "tinyllama"):
+        import jax
+        from neural_magic_vllm_tpu.utils import device_hbm_bytes
+        dev = jax.devices()[0]
+        hbm = device_hbm_bytes(dev) if jax.default_backend() in (
+            "tpu", "axon") else None
+        if hbm is not None:
+            kv_elt = 1 if KV_DTYPE.startswith("fp8") else 2
+            kvh, hd, layers = (hf_cfg.num_key_value_heads,
+                               hf_cfg.hidden_size //
+                               hf_cfg.num_attention_heads,
+                               hf_cfg.num_hidden_layers)
+            block_bytes = 16 * kvh * hd * 2 * kv_elt * layers
+            # bs384 x 208 tokens/seq (9.75 GiB KV + 5.45 GiB weights)
+            # measured OK on a 16 GiB chip (PERF.md round-2 matrix), so
+            # ~800 MiB of activation headroom is the demonstrated margin.
+            headroom = (800 << 20)
+            usable = int(hbm * 0.97) - wbytes - headroom
+            fit_blocks = max(usable // block_bytes, 0)
+            toks_per_seq = fit_blocks * 16 // BATCH
+            fit_steps = toks_per_seq - PROMPT_LEN - SCHED_STEPS - 32
+            fit_steps = max(SCHED_STEPS, (fit_steps // SCHED_STEPS) *
+                            SCHED_STEPS)
+            if fit_steps < DECODE_STEPS:
+                print(f"bench: clamping decode window {DECODE_STEPS} -> "
+                      f"{fit_steps} steps to fit "
+                      f"{hbm / 2**30:.1f} GiB HBM", file=sys.stderr)
+                DECODE_STEPS = fit_steps
+
     # Cache the packed dummy checkpoint on disk: init_params + quant
     # packing for 8B costs ~5 min; the orbax reload ~30 s. Weights are
     # seed-deterministic either way, so the numbers are identical.

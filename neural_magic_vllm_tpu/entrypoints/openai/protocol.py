@@ -40,6 +40,47 @@ class UsageInfo(BaseModel):
     completion_tokens: Optional[int] = 0
 
 
+class ResponseFormat(BaseModel):
+    """``response_format`` (reference protocol.py:100): "json_object"
+    constrains output to arbitrary valid JSON via the CFG backend."""
+    type: Literal["text", "json_object"]
+
+
+class StreamOptions(BaseModel):
+    include_usage: Optional[bool] = None
+
+
+class FunctionDefinition(BaseModel):
+    name: str
+    description: Optional[str] = None
+    parameters: Optional[Dict[str, Any]] = None
+
+
+class ChatCompletionToolsParam(BaseModel):
+    type: Literal["function"] = "function"
+    function: FunctionDefinition
+
+
+class ChatCompletionNamedFunction(BaseModel):
+    name: str
+
+
+class ChatCompletionNamedToolChoiceParam(BaseModel):
+    function: ChatCompletionNamedFunction
+    type: Literal["function"] = "function"
+
+
+class FunctionCall(BaseModel):
+    name: str
+    arguments: str
+
+
+class ToolCall(BaseModel):
+    id: str = Field(default_factory=lambda: f"chatcmpl-tool-{random_uuid()}")
+    type: Literal["function"] = "function"
+    function: FunctionCall
+
+
 class _SamplingMixin(BaseModel):
     n: int = 1
     best_of: Optional[int] = None
@@ -69,6 +110,7 @@ class _SamplingMixin(BaseModel):
     guided_regex: Optional[str] = None
     guided_choice: Optional[List[str]] = None
     guided_grammar: Optional[str] = None
+    response_format: Optional[ResponseFormat] = None
 
     def _stops(self) -> List[str]:
         if self.stop is None:
@@ -135,6 +177,7 @@ class CompletionRequest(_SamplingMixin):
     prompt: Union[str, List[str], List[int], List[List[int]]]
     echo: bool = False
     stream: bool = False
+    stream_options: Optional[StreamOptions] = None
     suffix: Optional[str] = None
     user: Optional[str] = None
 
@@ -176,15 +219,24 @@ class CompletionStreamResponse(BaseModel):
 class ChatMessage(BaseModel):
     role: str
     content: Optional[str] = None
+    tool_calls: List[ToolCall] = Field(default_factory=list)
 
 
 class ChatCompletionRequest(_SamplingMixin):
     model: str
     messages: List[Dict[str, Any]]
     stream: bool = False
+    stream_options: Optional[StreamOptions] = None
     user: Optional[str] = None
+    echo: bool = False
     add_generation_prompt: bool = True
+    add_special_tokens: bool = False
     chat_template: Optional[str] = None
+    chat_template_kwargs: Optional[Dict[str, Any]] = None
+    documents: Optional[List[Dict[str, str]]] = None
+    tools: Optional[List[ChatCompletionToolsParam]] = None
+    tool_choice: Optional[Union[
+        Literal["none"], ChatCompletionNamedToolChoiceParam]] = "none"
     top_logprobs: Optional[int] = None
 
 
@@ -208,6 +260,7 @@ class ChatCompletionResponse(BaseModel):
 class DeltaMessage(BaseModel):
     role: Optional[str] = None
     content: Optional[str] = None
+    tool_calls: List[ToolCall] = Field(default_factory=list)
 
 
 class ChatCompletionStreamChoice(BaseModel):

@@ -7,7 +7,7 @@ from neural_magic_vllm_tpu.entrypoints.openai.protocol import (
     ChatCompletionRequest, ChatCompletionResponse,
     ChatCompletionResponseChoice, ChatCompletionStreamChoice,
     ChatCompletionStreamResponse, ChatMessage, DeltaMessage, ErrorResponse,
-    UsageInfo, random_uuid)
+    FunctionCall, ToolCall, UsageInfo, random_uuid)
 from neural_magic_vllm_tpu.entrypoints.openai.serving_engine import \
     OpenAIServing
 from neural_magic_vllm_tpu.logger import init_logger
@@ -35,10 +35,15 @@ class OpenAIServingChat(OpenAIServing):
         template = request.chat_template or \
             getattr(tok, "chat_template", None)
         if tok is not None and template is not None:
+            extra = dict(request.chat_template_kwargs or {})
+            if request.tools is not None:
+                extra["tools"] = [t.model_dump() for t in request.tools]
+            if request.documents is not None:
+                extra["documents"] = request.documents
             return tok.apply_chat_template(
                 messages, tokenize=False,
                 add_generation_prompt=request.add_generation_prompt,
-                chat_template=request.chat_template)
+                chat_template=request.chat_template, **extra)
         # offline fallback (tiny test tokenizers have no template)
         logger.debug(_FALLBACK_TEMPLATE_NOTE)
         parts = []
@@ -78,6 +83,22 @@ class OpenAIServingChat(OpenAIServing):
             return await self._stream(request, request_id, generator)
         return await self._full(request, request_id, generator)
 
+    @staticmethod
+    def _named_tool(request) -> bool:
+        return request.tool_choice is not None and \
+            request.tool_choice != "none"
+
+    def _echo_prefix(self, request) -> str:
+        """Reference serving_chat.py:550-557: with echo, the new message
+        is prepended with the last conversation message if it already
+        carries the assistant role."""
+        if not request.echo or not request.messages:
+            return ""
+        last = request.messages[-1]
+        if last.get("role") == "assistant" and last.get("content"):
+            return last["content"]
+        return ""
+
     async def _full(self, request, request_id, generator):
         final = None
         async for output in generator:
@@ -85,6 +106,7 @@ class OpenAIServingChat(OpenAIServing):
         assert final is not None
         choices = []
         num_gen = 0
+        echo_prefix = self._echo_prefix(request)
         for comp in final.outputs:
             num_gen += len(comp.token_ids)
             logprobs = None
@@ -92,10 +114,19 @@ class OpenAIServingChat(OpenAIServing):
                 logprobs = self._make_logprobs(comp.token_ids,
                                                comp.logprobs,
                                                request.top_logprobs)
+            if self._named_tool(request):
+                message = ChatMessage(
+                    role="assistant", content="",
+                    tool_calls=[ToolCall(function=FunctionCall(
+                        name=request.tool_choice.function.name,
+                        arguments=comp.text))])
+            else:
+                message = ChatMessage(role="assistant",
+                                      content=echo_prefix + comp.text)
             choices.append(
                 ChatCompletionResponseChoice(
                     index=comp.index,
-                    message=ChatMessage(role="assistant", content=comp.text),
+                    message=message,
                     logprobs=logprobs,
                     finish_reason=comp.finish_reason,
                     stop_reason=comp.stop_reason))
@@ -119,22 +150,43 @@ class OpenAIServingChat(OpenAIServing):
                 ])
             yield f"data: {first.model_dump_json()}\n\n"
             sent_len = [0] * max(request.n, 1)
+            num_prompt = 0
+            num_gen = 0
             async for output in generator:
+                num_prompt = len(output.prompt_token_ids)
                 for comp in output.outputs:
                     delta = comp.text[sent_len[comp.index]:]
                     sent_len[comp.index] = len(comp.text)
                     if not delta and comp.finish_reason is None:
                         continue
+                    if self._named_tool(request):
+                        dm = DeltaMessage(tool_calls=[
+                            ToolCall(function=FunctionCall(
+                                name=request.tool_choice.function.name,
+                                arguments=delta))
+                        ])
+                    else:
+                        dm = DeltaMessage(content=delta)
+                    if comp.finish_reason is not None:
+                        num_gen += len(comp.token_ids)
                     chunk = ChatCompletionStreamResponse(
                         id=request_id, model=request.model,
                         choices=[
                             ChatCompletionStreamChoice(
                                 index=comp.index,
-                                delta=DeltaMessage(content=delta),
+                                delta=dm,
                                 finish_reason=comp.finish_reason,
                                 stop_reason=comp.stop_reason)
                         ])
                     yield f"data: {chunk.model_dump_json()}\n\n"
+            if request.stream_options and \
+                    request.stream_options.include_usage:
+                usage_chunk = ChatCompletionStreamResponse(
+                    id=request_id, model=request.model, choices=[],
+                    usage=UsageInfo(prompt_tokens=num_prompt,
+                                    completion_tokens=num_gen,
+                                    total_tokens=num_prompt + num_gen))
+                yield f"data: {usage_chunk.model_dump_json()}\n\n"
             yield "data: [DONE]\n\n"
 
         return gen()

@@ -100,13 +100,17 @@ class OpenAIServingCompletion(OpenAIServing):
                             completion_tokens=num_gen,
                             total_tokens=num_prompt + num_gen))
 
-    async def _stream_one(self, request, request_id, i, gen, queue):
+    async def _stream_one(self, request, request_id, i, gen, queue,
+                          usage_acc):
         sent_len = [0] * max(request.n, 1)
         try:
             async for output in gen:
+                usage_acc["prompts"][i] = len(output.prompt_token_ids)
                 for comp in output.outputs:
                     delta = comp.text[sent_len[comp.index]:]
                     sent_len[comp.index] = len(comp.text)
+                    if comp.finish_reason is not None:
+                        usage_acc["completion"] += len(comp.token_ids)
                     if not delta and comp.finish_reason is None:
                         continue
                     chunk = CompletionStreamResponse(
@@ -126,9 +130,11 @@ class OpenAIServingCompletion(OpenAIServing):
     async def _stream_generator(self, request, request_id, generators
                                 ) -> AsyncIterator[str]:
         queue: asyncio.Queue = asyncio.Queue()
+        usage_acc = {"completion": 0, "prompts": {}}
         tasks = [
             asyncio.ensure_future(
-                self._stream_one(request, request_id, i, gen, queue))
+                self._stream_one(request, request_id, i, gen, queue,
+                                 usage_acc))
             for i, gen in enumerate(generators)
         ]
         _done = object()
@@ -148,6 +154,17 @@ class OpenAIServingCompletion(OpenAIServing):
                     if isinstance(item, Exception):
                         raise item
                     yield f"data: {item}\n\n"
+                if request.stream_options and \
+                        request.stream_options.include_usage:
+                    num_prompt = sum(usage_acc["prompts"].values())
+                    num_gen = usage_acc["completion"]
+                    usage_chunk = CompletionStreamResponse(
+                        id=request_id, model=request.model, choices=[],
+                        usage=UsageInfo(
+                            prompt_tokens=num_prompt,
+                            completion_tokens=num_gen,
+                            total_tokens=num_prompt + num_gen))
+                    yield f"data: {usage_chunk.model_dump_json()}\n\n"
                 yield "data: [DONE]\n\n"
             finally:
                 pump_task.cancel()

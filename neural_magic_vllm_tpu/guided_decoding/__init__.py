@@ -101,6 +101,62 @@ def _get_fsm(pattern: str, tokenizer) -> RegexFSM:
 
 _CFG_CACHE: Dict[tuple, object] = {}
 
+# Arbitrary-JSON grammar for OpenAI ``response_format={"type":
+# "json_object"}`` (reference outlines_decoding.py:29 JSON_GRAMMAR; like
+# the reference, the top level must be an object or array).
+JSON_GRAMMAR = r"""
+start: ws root ws
+root: object | array
+value: object | array | string | number | "true" | "false" | "null"
+object: "{" ws "}" | "{" members "}"
+members: pair | pair "," members
+pair: ws string ws ":" ws value ws
+array: "[" ws "]" | "[" items "]"
+items: item | item "," items
+item: ws value ws
+string: "\"" char* "\""
+char: [^"\\] | "\\" esc
+esc: ["\\/bfnrt] | "u" hex hex hex hex
+hex: [0-9a-fA-F]
+number: "-"? intp frac? exp?
+intp: "0" | [1-9] [0-9]*
+frac: "." [0-9]+
+exp: [eE] sign? [0-9]+
+sign: "+" | "-"
+ws: [ \t\n\r]*
+"""
+
+
+def _adapt_request_for_tool_use(request) -> None:
+    """Named ``tool_choice`` constrains the output to the chosen
+    function's parameter schema (reference
+    guided_decoding/__init__.py:31 _adapt_request_for_tool_use)."""
+    tool_choice = getattr(request, "tool_choice", None)
+    if tool_choice is None or tool_choice == "none" or \
+            getattr(request, "guided_json", None):
+        return
+    name = tool_choice.function.name
+    tools = {t.function.name: t.function
+             for t in (getattr(request, "tools", None) or [])}
+    if name not in tools:
+        raise ValueError(f"Tool '{name}' has not been passed in `tools`.")
+    request.guided_json = tools[name].parameters or {"type": "object"}
+
+
+def _cfg_processors(grammar: str, tokenizer) -> list:
+    if tokenizer is None:
+        raise ValueError("guided decoding requires a tokenizer")
+    from neural_magic_vllm_tpu.guided_decoding.cfg import (
+        CFGLogitsProcessor, CFGuide)
+    strings = _vocab_strings(tokenizer)
+    key = (grammar, id(tokenizer))
+    guide = _CFG_CACHE.get(key)
+    if guide is None:
+        guide = CFGuide(grammar, strings)
+        _CFG_CACHE[key] = guide
+    eos = getattr(tokenizer, "eos_token_id", None)
+    return [CFGLogitsProcessor(guide, strings, eos)]
+
 
 def get_guided_decoding_logits_processors(request, tokenizer
                                           ) -> Optional[list]:
@@ -108,19 +164,9 @@ def get_guided_decoding_logits_processors(request, tokenizer
     guided_choice / guided_grammar (reference
     guided_decoding/__init__.py:13; CFG backend
     outlines_logits_processors.py:126)."""
+    _adapt_request_for_tool_use(request)
     if getattr(request, "guided_grammar", None):
-        if tokenizer is None:
-            raise ValueError("guided decoding requires a tokenizer")
-        from neural_magic_vllm_tpu.guided_decoding.cfg import (
-            CFGLogitsProcessor, CFGuide)
-        strings = _vocab_strings(tokenizer)
-        key = (request.guided_grammar, id(tokenizer))
-        guide = _CFG_CACHE.get(key)
-        if guide is None:
-            guide = CFGuide(request.guided_grammar, strings)
-            _CFG_CACHE[key] = guide
-        eos = getattr(tokenizer, "eos_token_id", None)
-        return [CFGLogitsProcessor(guide, strings, eos)]
+        return _cfg_processors(request.guided_grammar, tokenizer)
     pattern = None
     if getattr(request, "guided_json", None):
         pattern = schema_to_regex(request.guided_json)
@@ -129,6 +175,10 @@ def get_guided_decoding_logits_processors(request, tokenizer
     elif getattr(request, "guided_choice", None):
         pattern = "(" + "|".join(
             re.escape(c) for c in request.guided_choice) + ")"
+    rf = getattr(request, "response_format", None)
+    if pattern is None and rf is not None and \
+            getattr(rf, "type", None) == "json_object":
+        return _cfg_processors(JSON_GRAMMAR, tokenizer)
     if pattern is None:
         return None
     if tokenizer is None:

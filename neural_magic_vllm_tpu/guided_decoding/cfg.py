@@ -238,14 +238,31 @@ def _matches(item: Item, ch: str) -> bool:
     return False
 
 
+class _Chart:
+    """One Earley item set. `items` is the set of (name, body, dot,
+    origin) tuples; `waiting` indexes items by the nonterminal under
+    their dot so completion is O(parents) instead of O(chart)."""
+
+    __slots__ = ("items", "waiting")
+
+    def __init__(self) -> None:
+        self.items: set = set()
+        self.waiting: Dict[str, List[Tuple]] = {}
+
+
 class CFGuide:
     """Incremental character-level Earley recognizer + vocab-trie masking.
 
     The chart is the standard Earley item set list; `advance` scans one
     character. `allowed_token_ids` walks the tokenizer trie, advancing a
-    speculative chart along each edge and pruning dead branches — the cost
-    per step is proportional to the trie nodes the grammar keeps alive,
-    not the vocab size."""
+    speculative chart along each edge and pruning dead branches. Two hot-
+    path optimizations keep the per-decode-step cost tractable on real
+    vocabularies: (a) closure runs a worklist with per-chart waiting
+    indexes (not a whole-chart fixpoint rescan), and (b) the trie walk
+    groups sibling edges into character-equivalence classes — all chars
+    matched by the same scannable items share one successor chart, so a
+    [^"\\]-style class inside a string costs ONE closure, not one per
+    distinct byte."""
 
     def __init__(self, grammar: str,
                  vocab_strings: Sequence[Optional[str]]) -> None:
@@ -257,55 +274,62 @@ class CFGuide:
 
     # --- Earley core -------------------------------------------------------
     def _closure_chart(self):
-        chart = set()
+        chart = _Chart()
         for body in self.rules[self.start]:
-            chart.add((self.start, tuple(body), 0, 0))
-        charts = [self._close([chart], 0)]
+            chart.items.add((self.start, tuple(body), 0, 0))
+        charts = [chart]
+        self._close(charts, 0)
         return charts
 
     def _close(self, charts, k):
-        """Predict + complete to fixpoint at position k."""
+        """Predict + complete to fixpoint at position k (worklist)."""
         chart = charts[k]
-        changed = True
-        while changed:
-            changed = False
-            for item in list(chart):
-                name, body, dot, origin = item
-                if dot < len(body) and body[dot][0] == "nt":
-                    nt = body[dot][1]
-                    for alt in self.rules[nt]:
-                        new = (nt, tuple(alt), 0, k)
-                        if new not in chart:
-                            chart.add(new)
-                            changed = True
-                elif dot == len(body):  # complete
-                    for pitem in list(charts[origin]):
-                        pn, pb, pd, po = pitem
-                        if pd < len(pb) and pb[pd][0] == "nt" and \
-                                pb[pd][1] == name:
-                            new = (pn, pb, pd + 1, po)
-                            if new not in chart:
-                                chart.add(new)
-                                changed = True
-        return chart
+        work = list(chart.items)
+        completed_here: Dict[str, bool] = {}
+
+        def add(item):
+            if item not in chart.items:
+                chart.items.add(item)
+                work.append(item)
+
+        while work:
+            name, body, dot, origin = item = work.pop()
+            if dot < len(body) and body[dot][0] == "nt":
+                nt = body[dot][1]
+                chart.waiting.setdefault(nt, []).append(item)
+                for alt in self.rules[nt]:
+                    add((nt, tuple(alt), 0, k))
+                # nullable: nt may already be completed at k with
+                # origin k — advance past it immediately
+                if completed_here.get(nt):
+                    add((name, body, dot + 1, origin))
+            elif dot == len(body):  # complete
+                if origin == k:
+                    completed_here[name] = True
+                for parent in charts[origin].waiting.get(name, ()):
+                    pn, pb, pd, po = parent
+                    add((pn, pb, pd + 1, po))
 
     def advance(self, charts, ch: str):
         """Scan `ch`; returns new charts or None if not a valid prefix."""
-        k = len(charts) - 1
-        nxt = set()
-        for name, body, dot, origin in charts[k]:
+        seed = set()
+        for name, body, dot, origin in charts[-1].items:
             if dot < len(body) and _matches(body[dot], ch):
-                nxt.add((name, body, dot + 1, origin))
-        if not nxt:
+                seed.add((name, body, dot + 1, origin))
+        if not seed:
             return None
-        charts = charts + [nxt]
-        self._close(charts, k + 1)
+        return self._extend(charts, seed)
+
+    def _extend(self, charts, seed):
+        chart = _Chart()
+        chart.items.update(seed)
+        charts = charts + [chart]
+        self._close(charts, len(charts) - 1)
         return charts
 
     def accepts(self, charts) -> bool:
-        k = len(charts) - 1
         return any(name == self.start and dot == len(body) and origin == 0
-                   for name, body, dot, origin in charts[k])
+                   for name, body, dot, origin in charts[-1].items)
 
     # --- token masking -----------------------------------------------------
     def allowed_token_ids(self, charts) -> List[int]:
@@ -313,10 +337,24 @@ class CFGuide:
         stack = [(self._trie, charts)]
         while stack:
             node, ch_charts = stack.pop()
+            # scannable items of the current chart, fixed order so the
+            # per-char match signature is a stable bitmask
+            scan = [it for it in ch_charts[-1].items
+                    if it[2] < len(it[1]) and it[1][it[2]][0] != "nt"]
+            cache: Dict[int, Optional[list]] = {}
             for ch, (child, token_ids) in node.items():
-                nxt = self.advance(ch_charts, ch)
-                if nxt is None:
+                sig = 0
+                for i, it in enumerate(scan):
+                    if _matches(it[1][it[2]], ch):
+                        sig |= 1 << i
+                if not sig:
                     continue
+                nxt = cache.get(sig)
+                if nxt is None:
+                    seed = {(it[0], it[1], it[2] + 1, it[3])
+                            for i, it in enumerate(scan) if sig >> i & 1}
+                    nxt = self._extend(ch_charts, seed)
+                    cache[sig] = nxt
                 allowed.extend(token_ids)
                 stack.append((child, nxt))
         return allowed

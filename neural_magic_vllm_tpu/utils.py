@@ -73,6 +73,39 @@ def next_power_of_2(x: int) -> int:
     return 1 << (x - 1).bit_length()
 
 
+# Per-chip HBM by device_kind, used when the PJRT client exposes no
+# memory_stats() (some tunneled/experimental plugins return None).
+_HBM_BY_DEVICE_KIND = {
+    "TPU v2": 8 << 30,
+    "TPU v3": 16 << 30,
+    "TPU v4 lite": 8 << 30,
+    "TPU v4": 32 << 30,
+    "TPU v5 lite": 16 << 30,
+    "TPU v5e": 16 << 30,
+    "TPU v5": 95 << 30,
+    "TPU v5p": 95 << 30,
+    "TPU v6 lite": 32 << 30,
+    "TPU v6e": 32 << 30,
+}
+
+
+def device_hbm_bytes(dev) -> Optional[int]:
+    """Best-effort per-chip HBM capacity: NMV_TPU_HBM_BYTES env override,
+    then memory_stats()['bytes_limit'], then a device_kind table."""
+    import os
+    env = os.environ.get("NMV_TPU_HBM_BYTES")
+    if env:
+        return int(env)
+    stats = dev.memory_stats() if hasattr(dev, "memory_stats") else None
+    if stats and "bytes_limit" in stats:
+        return int(stats["bytes_limit"])
+    kind = getattr(dev, "device_kind", "") or ""
+    for key, size in _HBM_BY_DEVICE_KIND.items():
+        if kind.startswith(key):
+            return size
+    return None
+
+
 def get_open_port() -> int:
     with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
         s.bind(("", 0))

@@ -691,6 +691,14 @@ class TPUModelRunner:
         return new_kv
 
     # --- memory profiling -------------------------------------------------------
+    def param_bytes(self) -> int:
+        """Total bytes of the loaded parameter pytree (used to estimate
+        peak memory when the PJRT client exposes no memory_stats)."""
+        leaves = jax.tree_util.tree_leaves(self.params)
+        if self.draft_params is not None:
+            leaves += jax.tree_util.tree_leaves(self.draft_params)
+        return sum(x.nbytes for x in leaves)
+
     def profile_peak_bytes(self, cache_engine_tmp_blocks: int = 8) -> int:
         """Run the largest prefill against a tiny KV cache and report peak
         device memory (reference determine_num_available_blocks,

@@ -8,7 +8,7 @@ import jax
 from neural_magic_vllm_tpu import envs
 from neural_magic_vllm_tpu.logger import init_logger
 from neural_magic_vllm_tpu.sequence import ExecuteModelRequest, SamplerOutput
-from neural_magic_vllm_tpu.utils import cdiv
+from neural_magic_vllm_tpu.utils import cdiv, device_hbm_bytes
 from neural_magic_vllm_tpu.worker.cache_engine import (
     CacheEngine, get_kv_cache_dtype, kv_cache_bytes_per_block)
 from neural_magic_vllm_tpu.worker.model_runner import TPUModelRunner
@@ -101,14 +101,21 @@ class Worker:
             return override, num_cpu_blocks
 
         dev = jax.devices()[0]
-        stats = dev.memory_stats() if hasattr(dev, "memory_stats") else None
-        if not stats or "bytes_limit" not in stats:
+        total = device_hbm_bytes(dev)
+        if total is None:
             logger.info("No device memory stats (CPU backend?); using "
                         "default %d device blocks", _DEFAULT_CPU_TEST_BLOCKS)
             return _DEFAULT_CPU_TEST_BLOCKS, num_cpu_blocks
 
         peak = self.model_runner.profile_peak_bytes()
-        total = int(stats["bytes_limit"])
+        if peak < 0:
+            # PJRT client exposes no memory_stats (seen on tunneled
+            # plugins): estimate peak as resident params + a prefill
+            # activation margin (logits at the widest bucket dominate).
+            peak = self.model_runner.param_bytes() + (1536 << 20)
+            logger.info(
+                "No memory_stats on %s; estimated peak %.2fGiB from "
+                "param bytes", dev.device_kind, peak / 2**30)
         usable = int(total * self.cache_config.hbm_utilization) - peak
         num_blocks = max(usable // block_bytes, 0)
         # round down to a multiple of 8 (reference tpu_worker.py:135)

@@ -216,6 +216,95 @@ def test_guided_grammar(app_and_engine):
     assert run(engine, go)
 
 
+def test_response_format_json_object(app_and_engine):
+    """response_format={"type": "json_object"} constrains output to valid
+    JSON via the CFG backend (reference outlines_decoding.py:105-107)."""
+    engine = app_and_engine
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "model": MODEL_NAME, "prompt": "j", "max_tokens": 24,
+            "temperature": 1.0, "seed": 7,
+            "response_format": {"type": "json_object"}})
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        text = body["choices"][0]["text"]
+        # every emitted char must be a valid JSON prefix per the grammar
+        from neural_magic_vllm_tpu.guided_decoding import JSON_GRAMMAR
+        from neural_magic_vllm_tpu.guided_decoding.cfg import CFGuide
+        guide = CFGuide(JSON_GRAMMAR, [])
+        charts = guide.initial
+        for ch in text:
+            charts = guide.advance(charts, ch)
+            assert charts is not None, text
+        return True
+
+    assert run(engine, go)
+
+
+def test_named_tool_call(app_and_engine):
+    """tool_choice naming a function forces guided-JSON output returned
+    as tool_calls (reference serving_chat.py:530-540,
+    guided_decoding/__init__.py:31)."""
+    engine = app_and_engine
+
+    async def go(client):
+        req = {
+            "model": MODEL_NAME,
+            "messages": [{"role": "user", "content": "call the tool"}],
+            "max_tokens": 32, "temperature": 0.0,
+            "tools": [{"type": "function", "function": {
+                "name": "get_n", "parameters": {
+                    "type": "object",
+                    "properties": {"n": {"type": "integer"}},
+                    "required": ["n"]}}}],
+            "tool_choice": {"type": "function",
+                            "function": {"name": "get_n"}},
+        }
+        r = await client.post("/v1/chat/completions", json=req)
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        msg = body["choices"][0]["message"]
+        assert msg["tool_calls"], body
+        call = msg["tool_calls"][0]
+        assert call["function"]["name"] == "get_n"
+        assert call["function"]["arguments"].startswith("{")
+        # unknown tool name -> 400
+        bad = dict(req)
+        bad["tool_choice"] = {"type": "function",
+                              "function": {"name": "nope"}}
+        r2 = await client.post("/v1/chat/completions", json=bad)
+        assert r2.status == 400
+        return True
+
+    assert run(engine, go)
+
+
+def test_stream_include_usage(app_and_engine):
+    """stream_options.include_usage emits a final usage-only chunk
+    (reference protocol.py:105 StreamOptions)."""
+    engine = app_and_engine
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "model": MODEL_NAME, "prompt": "abc", "max_tokens": 4,
+            "temperature": 0.0, "ignore_eos": True, "stream": True,
+            "stream_options": {"include_usage": True}})
+        assert r.status == 200
+        chunks = [line[len("data: "):]
+                  for line in (await r.text()).splitlines()
+                  if line.startswith("data: ")]
+        assert chunks[-1] == "[DONE]"
+        usage = json.loads(chunks[-2])
+        assert usage["choices"] == []
+        assert usage["usage"]["completion_tokens"] == 4
+        assert usage["usage"]["total_tokens"] == \
+            usage["usage"]["prompt_tokens"] + 4
+        return True
+
+    assert run(engine, go)
+
+
 def test_embeddings_endpoint(tmp_path_factory, tiny_llama_dir):
     """/v1/embeddings over a bare-backbone (embedding) model."""
     import json
