@@ -12,8 +12,10 @@ Run: python -m neural_magic_vllm_tpu.entrypoints.openai.api_server \
 """
 import argparse
 import asyncio
+import importlib
 import inspect
 import json
+import ssl
 from typing import AsyncIterator, Optional
 
 from aiohttp import web
@@ -69,13 +71,15 @@ async def _maybe_stream(request: web.Request, result) -> web.StreamResponse:
 
 def build_app(engine: AsyncLLMEngine, served_model_names,
               chat_template: Optional[str] = None,
-              lora_modules=None) -> web.Application:
+              lora_modules=None,
+              response_role: str = "assistant") -> web.Application:
     from neural_magic_vllm_tpu.entrypoints.openai.serving_embedding import \
         OpenAIServingEmbedding
     completion = OpenAIServingCompletion(engine, served_model_names,
                                          lora_modules=lora_modules)
     chat = OpenAIServingChat(engine, served_model_names, chat_template,
-                             lora_modules=lora_modules)
+                             lora_modules=lora_modules,
+                             response_role=response_role)
     embedding = OpenAIServingEmbedding(engine, served_model_names)
     app = web.Application()
 
@@ -166,6 +170,28 @@ def make_arg_parser() -> argparse.ArgumentParser:
         metavar="NAME=PATH",
         help="LoRA adapters servable by model name "
              "(reference --lora-modules).")
+    parser.add_argument(
+        "--response-role", type=str, default="assistant",
+        help="Role returned when request.add_generation_prompt=true "
+             "(reference cli_args.py --response-role).")
+    parser.add_argument("--allowed-origins", type=json.loads,
+                        default=["*"], help="CORS allowed origins")
+    parser.add_argument("--allowed-methods", type=json.loads,
+                        default=["*"], help="CORS allowed methods")
+    parser.add_argument("--allowed-headers", type=json.loads,
+                        default=["*"], help="CORS allowed headers")
+    parser.add_argument("--allow-credentials", action="store_true",
+                        help="CORS allow credentials")
+    parser.add_argument("--ssl-keyfile", type=str, default=None)
+    parser.add_argument("--ssl-certfile", type=str, default=None)
+    parser.add_argument(
+        "--root-path", type=str, default=None,
+        help="Route prefix when behind a path-based routing proxy "
+             "(reference --root-path).")
+    parser.add_argument(
+        "--middleware", type=str, action="append", default=[],
+        help="Import path of an aiohttp middleware coroutine to add; "
+             "repeatable (reference --middleware).")
     AsyncEngineArgs.add_cli_args(parser)
     return parser
 
@@ -194,25 +220,76 @@ async def serve_engine(engine: AsyncLLMEngine, args) -> None:
                 raise ValueError(
                     f"--lora-modules entries must be NAME=PATH, got {item!r}")
             lora_modules.append((name, path))
-    app = build_app(engine, served, args.chat_template, lora_modules)
+    app = build_app(engine, served, args.chat_template, lora_modules,
+                    response_role=getattr(args, "response_role",
+                                          "assistant"))
+    app = wrap_app(app, args)
 
+    ssl_context = None
+    if getattr(args, "ssl_certfile", None):
+        ssl_context = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_context.load_cert_chain(args.ssl_certfile, args.ssl_keyfile)
+
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, args.host, args.port,
+                       ssl_context=ssl_context)
+    await site.start()
+    logger.info("OpenAI server listening on %s:%d", args.host, args.port)
+    while True:
+        await asyncio.sleep(3600)
+
+
+def wrap_app(app: web.Application, args) -> web.Application:
+    """Apply the server-level CLI policies: API-key auth, CORS, custom
+    middleware import paths, and --root-path mounting (reference
+    api_server.py middleware / CORSMiddleware setup)."""
     if args.api_key:
         @web.middleware
         async def auth(request, handler):
-            if request.path.startswith("/v1"):
+            # under --root-path the mounted path keeps its prefix, so
+            # match the /v1 segment anywhere in the path
+            if "/v1/" in request.path:
                 if request.headers.get("Authorization") != \
                         f"Bearer {args.api_key}":
                     return web.Response(status=401)
             return await handler(request)
         app.middlewares.append(auth)
 
-    runner = web.AppRunner(app)
-    await runner.setup()
-    site = web.TCPSite(runner, args.host, args.port)
-    await site.start()
-    logger.info("OpenAI server listening on %s:%d", args.host, args.port)
-    while True:
-        await asyncio.sleep(3600)
+    origins = getattr(args, "allowed_origins", ["*"]) or ["*"]
+    methods = getattr(args, "allowed_methods", ["*"]) or ["*"]
+    headers = getattr(args, "allowed_headers", ["*"]) or ["*"]
+    creds = getattr(args, "allow_credentials", False)
+
+    @web.middleware
+    async def cors(request, handler):
+        if request.method == "OPTIONS":
+            resp = web.Response(status=204)
+        else:
+            resp = await handler(request)
+        origin = request.headers.get("Origin")
+        allow = origins[0] if origins != ["*"] else "*"
+        if origin and (origins == ["*"] or origin in origins):
+            allow = origin if origins != ["*"] else "*"
+        resp.headers["Access-Control-Allow-Origin"] = allow
+        resp.headers["Access-Control-Allow-Methods"] = ",".join(methods)
+        resp.headers["Access-Control-Allow-Headers"] = ",".join(headers)
+        if creds:
+            resp.headers["Access-Control-Allow-Credentials"] = "true"
+        return resp
+    app.middlewares.append(cors)
+
+    for path in getattr(args, "middleware", None) or []:
+        module, _, attr = path.rpartition(".")
+        imported = getattr(importlib.import_module(module), attr)
+        app.middlewares.append(imported)
+
+    root_path = getattr(args, "root_path", None)
+    if root_path:
+        outer = web.Application()
+        outer.add_subapp(root_path.rstrip("/"), app)
+        app = outer
+    return app
 
 
 def main() -> None:

@@ -22,10 +22,12 @@ class OpenAIServingChat(OpenAIServing):
 
     def __init__(self, engine, served_model_names,
                  chat_template: Optional[str] = None,
-                 lora_modules=None) -> None:
+                 lora_modules=None,
+                 response_role: str = "assistant") -> None:
         super().__init__(engine, served_model_names,
                          lora_modules=lora_modules)
         self.chat_template = chat_template
+        self.response_role = response_role
         if chat_template is not None and self.tokenizer is not None:
             self.tokenizer.chat_template = chat_template
 
@@ -88,14 +90,21 @@ class OpenAIServingChat(OpenAIServing):
         return request.tool_choice is not None and \
             request.tool_choice != "none"
 
-    def _echo_prefix(self, request) -> str:
+    def _role(self, request) -> str:
+        """Reference get_chat_request_role: --response-role when a
+        generation prompt is appended, else the last message's role."""
+        if request.add_generation_prompt or not request.messages:
+            return self.response_role
+        return request.messages[-1].get("role", self.response_role)
+
+    def _echo_prefix(self, request, role: str) -> str:
         """Reference serving_chat.py:550-557: with echo, the new message
         is prepended with the last conversation message if it already
-        carries the assistant role."""
+        carries the response role."""
         if not request.echo or not request.messages:
             return ""
         last = request.messages[-1]
-        if last.get("role") == "assistant" and last.get("content"):
+        if last.get("role") == role and last.get("content"):
             return last["content"]
         return ""
 
@@ -106,7 +115,8 @@ class OpenAIServingChat(OpenAIServing):
         assert final is not None
         choices = []
         num_gen = 0
-        echo_prefix = self._echo_prefix(request)
+        role = self._role(request)
+        echo_prefix = self._echo_prefix(request, role)
         for comp in final.outputs:
             num_gen += len(comp.token_ids)
             logprobs = None
@@ -116,12 +126,12 @@ class OpenAIServingChat(OpenAIServing):
                                                request.top_logprobs)
             if self._named_tool(request):
                 message = ChatMessage(
-                    role="assistant", content="",
+                    role=role, content="",
                     tool_calls=[ToolCall(function=FunctionCall(
                         name=request.tool_choice.function.name,
                         arguments=comp.text))])
             else:
-                message = ChatMessage(role="assistant",
+                message = ChatMessage(role=role,
                                       content=echo_prefix + comp.text)
             choices.append(
                 ChatCompletionResponseChoice(
@@ -140,11 +150,12 @@ class OpenAIServingChat(OpenAIServing):
     async def _stream(self, request, request_id, generator
                       ) -> AsyncIterator[str]:
         async def gen():
+            role = self._role(request)
             first = ChatCompletionStreamResponse(
                 id=request_id, model=request.model,
                 choices=[
                     ChatCompletionStreamChoice(
-                        index=i, delta=DeltaMessage(role="assistant",
+                        index=i, delta=DeltaMessage(role=role,
                                                     content=""))
                     for i in range(max(request.n, 1))
                 ])

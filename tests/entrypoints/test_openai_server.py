@@ -27,13 +27,16 @@ def app_and_engine(tiny_llama_dir):
     return LLMEngine.from_engine_args(engine_args)
 
 
-def run(sync_engine, coro_fn):
+def run(sync_engine, coro_fn, wrap_args=None):
     from neural_magic_vllm_tpu.engine.async_llm_engine import AsyncLLMEngine
-    from neural_magic_vllm_tpu.entrypoints.openai.api_server import build_app
+    from neural_magic_vllm_tpu.entrypoints.openai.api_server import (
+        build_app, wrap_app)
 
     async def runner():
         engine = AsyncLLMEngine(sync_engine)
         app = build_app(engine, [MODEL_NAME])
+        if wrap_args is not None:
+            app = wrap_app(app, wrap_args)
         server = TestServer(app)
         client = TestClient(server)
         await client.start_server()
@@ -300,6 +303,63 @@ def test_stream_include_usage(app_and_engine):
         assert usage["usage"]["completion_tokens"] == 4
         assert usage["usage"]["total_tokens"] == \
             usage["usage"]["prompt_tokens"] + 4
+        return True
+
+    assert run(engine, go)
+
+
+def test_server_policies(app_and_engine):
+    """wrap_app: API-key auth (401 without Bearer), CORS headers, and
+    --root-path mounting (reference cli_args.py --api-key/--root-path +
+    CORSMiddleware defaults)."""
+    import argparse
+    engine = app_and_engine
+    args = argparse.Namespace(
+        api_key="sekret", allowed_origins=["*"], allowed_methods=["*"],
+        allowed_headers=["*"], allow_credentials=False,
+        middleware=[], root_path="/proxy")
+
+    async def go(client):
+        # unauthenticated /v1 -> 401; /health outside /v1 passes
+        r = await client.post("/proxy/v1/completions", json={
+            "model": MODEL_NAME, "prompt": "x", "max_tokens": 2})
+        assert r.status == 401
+        r = await client.get("/proxy/health")
+        assert r.status == 200
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
+        # authenticated completion through the root path
+        r = await client.post(
+            "/proxy/v1/completions",
+            json={"model": MODEL_NAME, "prompt": "x", "max_tokens": 2,
+                  "temperature": 0.0, "ignore_eos": True},
+            headers={"Authorization": "Bearer sekret"})
+        assert r.status == 200, await r.text()
+        # unmounted path -> 404
+        r = await client.get("/health")
+        assert r.status == 404
+        return True
+
+    assert run(engine, go, wrap_args=args)
+
+
+def test_response_role(app_and_engine):
+    """--response-role flows into chat responses; with
+    add_generation_prompt=False the last message's role is returned
+    (reference get_chat_request_role)."""
+    engine = app_and_engine
+
+    async def go(client):
+        r = await client.post("/v1/chat/completions", json={
+            "model": MODEL_NAME,
+            "messages": [{"role": "user", "content": "hi"},
+                         {"role": "assistant", "content": "partial"}],
+            "add_generation_prompt": False, "echo": True,
+            "max_tokens": 2, "temperature": 0.0, "ignore_eos": True})
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        msg = body["choices"][0]["message"]
+        assert msg["role"] == "assistant"
+        assert msg["content"].startswith("partial")  # echo prefix
         return True
 
     assert run(engine, go)
