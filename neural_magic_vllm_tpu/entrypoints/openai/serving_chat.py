@@ -161,6 +161,7 @@ class OpenAIServingChat(OpenAIServing):
                 ])
             yield f"data: {first.model_dump_json()}\n\n"
             sent_len = [0] * max(request.n, 1)
+            sent_toks = [0] * max(request.n, 1)
             num_prompt = 0
             num_gen = 0
             async for output in generator:
@@ -170,6 +171,13 @@ class OpenAIServingChat(OpenAIServing):
                     sent_len[comp.index] = len(comp.text)
                     if not delta and comp.finish_reason is None:
                         continue
+                    logprobs = None
+                    if request.logprobs and comp.logprobs is not None:
+                        lo = sent_toks[comp.index]
+                        logprobs = self._make_logprobs(
+                            comp.token_ids[lo:], comp.logprobs[lo:],
+                            request.top_logprobs)
+                    sent_toks[comp.index] = len(comp.token_ids)
                     if self._named_tool(request):
                         dm = DeltaMessage(tool_calls=[
                             ToolCall(function=FunctionCall(
@@ -186,6 +194,7 @@ class OpenAIServingChat(OpenAIServing):
                             ChatCompletionStreamChoice(
                                 index=comp.index,
                                 delta=dm,
+                                logprobs=logprobs,
                                 finish_reason=comp.finish_reason,
                                 stop_reason=comp.stop_reason)
                         ])

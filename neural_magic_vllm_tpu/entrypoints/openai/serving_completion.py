@@ -103,6 +103,7 @@ class OpenAIServingCompletion(OpenAIServing):
     async def _stream_one(self, request, request_id, i, gen, queue,
                           usage_acc):
         sent_len = [0] * max(request.n, 1)
+        sent_toks = [0] * max(request.n, 1)
         try:
             async for output in gen:
                 usage_acc["prompts"][i] = len(output.prompt_token_ids)
@@ -113,12 +114,21 @@ class OpenAIServingCompletion(OpenAIServing):
                         usage_acc["completion"] += len(comp.token_ids)
                     if not delta and comp.finish_reason is None:
                         continue
+                    logprobs = None
+                    if request.logprobs is not None and \
+                            comp.logprobs is not None:
+                        lo = sent_toks[comp.index]
+                        logprobs = self._make_logprobs(
+                            comp.token_ids[lo:], comp.logprobs[lo:],
+                            request.logprobs)
+                    sent_toks[comp.index] = len(comp.token_ids)
                     chunk = CompletionStreamResponse(
                         id=request_id, model=request.model,
                         choices=[
                             CompletionResponseChoice(
                                 index=i * max(request.n, 1) + comp.index,
                                 text=delta,
+                                logprobs=logprobs,
                                 finish_reason=comp.finish_reason,
                                 stop_reason=comp.stop_reason)
                         ])

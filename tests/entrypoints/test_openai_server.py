@@ -308,6 +308,35 @@ def test_stream_include_usage(app_and_engine):
     assert run(engine, go)
 
 
+def test_streaming_logprobs(app_and_engine):
+    """Streaming chunks carry per-delta logprobs (reference
+    serving_completion.py:255-283)."""
+    engine = app_and_engine
+
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "model": MODEL_NAME, "prompt": "abc", "max_tokens": 4,
+            "temperature": 0.0, "ignore_eos": True, "stream": True,
+            "logprobs": 1})
+        assert r.status == 200
+        chunks = [json.loads(line[len("data: "):])
+                  for line in (await r.text()).splitlines()
+                  if line.startswith("data: ")
+                  and not line.endswith("[DONE]")]
+        toks = []
+        lps = []
+        for c in chunks:
+            lp = c["choices"][0]["logprobs"]
+            assert lp is not None
+            toks += lp["tokens"]
+            lps += lp["token_logprobs"]
+        assert len(toks) == 4
+        assert all(isinstance(x, float) for x in lps)
+        return True
+
+    assert run(engine, go)
+
+
 def test_server_policies(app_and_engine):
     """wrap_app: API-key auth (401 without Bearer), CORS headers, and
     --root-path mounting (reference cli_args.py --api-key/--root-path +
