@@ -31,6 +31,11 @@ class OpenAIServingCompletion(OpenAIServing):
         error = self._check_model(request.model)
         if error is not None:
             return error
+        if request.suffix is not None:
+            # reference serving_completion.py:92: causal LMs have no
+            # fill-in-the-middle path
+            return self.create_error_response(
+                "suffix is not currently supported")
         if request.echo and request.stream:
             return self.create_error_response(
                 "echo is not supported with streaming")
