@@ -60,12 +60,17 @@ def _ppl(model, params, vocab, L, kvh, hd, label):
 
 
 def _dequant_host(layers_host, L, bits, group_size):
-    """Per-linear host-side dequant to bf16 [L, K, N] stacks."""
+    """Per-linear host-side dequant to bf16 [L, K, N] stacks. Handles
+    both the fused (qkv/gate_up, load-time merge) and unfused layouts —
+    the dense twin keeps whichever fusion the quantized engine used, so
+    the two paths run identical GEMM shapes."""
     import ml_dtypes
     from neural_magic_vllm_tpu.ops.quant import (select_k_tile,
                                                  unpack_int_tiled)
+    names = ("qkv", "gate_up", "o", "down") if "qkv" in layers_host \
+        else ("q", "k", "v", "o", "gate", "up", "down")
     out = {}
-    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+    for name in names:
         lp = layers_host[name]
         qw, scales = np.asarray(lp["qweight"]), np.asarray(lp["scales"])
         zeros = np.asarray(lp["zeros"]) if "zeros" in lp else None

@@ -116,6 +116,10 @@ async def run(args) -> None:
     ttfts = np.array([r.ttft_s for r in ok])
     itls = np.array([x for r in ok for x in r.itl_s] or [0.0])
     lats = np.array([r.latency_s for r in ok])
+    # TPOT (reference benchmark_serving.py:54-70): per-request decode
+    # time per output token, excluding the first token
+    tpots = np.array([(r.latency_s - r.ttft_s) / (r.output_tokens - 1)
+                      for r in ok if r.output_tokens > 1] or [0.0])
     total_out = sum(r.output_tokens for r in ok)
     pct = lambda a, p: round(float(np.percentile(a, p)) * 1e3, 1)
     print(json.dumps({
@@ -125,6 +129,8 @@ async def run(args) -> None:
         "output_token_throughput_tps": round(total_out / wall, 1),
         "mean_ttft_ms": round(float(ttfts.mean()) * 1e3, 1),
         "p50_ttft_ms": pct(ttfts, 50), "p99_ttft_ms": pct(ttfts, 99),
+        "mean_tpot_ms": round(float(tpots.mean()) * 1e3, 1),
+        "p50_tpot_ms": pct(tpots, 50), "p99_tpot_ms": pct(tpots, 99),
         "mean_itl_ms": round(float(itls.mean()) * 1e3, 1),
         "p50_itl_ms": pct(itls, 50), "p99_itl_ms": pct(itls, 99),
         "p50_e2e_ms": pct(lats, 50), "p99_e2e_ms": pct(lats, 99),

@@ -103,6 +103,7 @@ class _SamplingMixin(BaseModel):
     min_tokens: int = 0
     logprobs: Optional[int] = None
     logit_bias: Optional[Dict[str, float]] = None
+    truncate_prompt_tokens: Optional[int] = Field(default=None, ge=1)
     skip_special_tokens: bool = True
     spaces_between_special_tokens: bool = True
     # guided decoding
@@ -166,6 +167,7 @@ class _SamplingMixin(BaseModel):
             min_tokens=self.min_tokens,
             logprobs=logprobs,
             prompt_logprobs=prompt_logprobs,
+            truncate_prompt_tokens=self.truncate_prompt_tokens,
             skip_special_tokens=self.skip_special_tokens,
             spaces_between_special_tokens=self.spaces_between_special_tokens,
             logits_processors=logits_processors,

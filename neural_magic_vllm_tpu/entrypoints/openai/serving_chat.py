@@ -71,6 +71,8 @@ class OpenAIServingChat(OpenAIServing):
 
         n_tokens = len(self.tokenizer.encode(prompt)) if self.tokenizer \
             else 0
+        if request.truncate_prompt_tokens is not None:
+            n_tokens = min(n_tokens, request.truncate_prompt_tokens)
         error = self._validate_prompt_len(n_tokens, request.max_tokens)
         if error is not None:
             return error

@@ -57,6 +57,8 @@ class OpenAIServingCompletion(OpenAIServing):
             else:
                 kwargs = {"prompt": None, "prompt_token_ids": prompt}
                 n_tokens = len(prompt)
+            if request.truncate_prompt_tokens is not None:
+                n_tokens = min(n_tokens, request.truncate_prompt_tokens)
             error = self._validate_prompt_len(n_tokens, request.max_tokens)
             if error is not None:
                 return error
