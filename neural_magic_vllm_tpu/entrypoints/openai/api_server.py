@@ -192,12 +192,22 @@ def make_arg_parser() -> argparse.ArgumentParser:
         "--middleware", type=str, action="append", default=[],
         help="Import path of an aiohttp middleware coroutine to add; "
              "repeatable (reference --middleware).")
+    parser.add_argument(
+        "--no-full-warmup", action="store_true",
+        help="Skip the full bucket-lattice warmup the server enables by "
+             "default (lazy per-bucket compiles cause TTFT outliers).")
     AsyncEngineArgs.add_cli_args(parser)
     return parser
 
 
 async def run_server(args) -> None:
     engine_args = AsyncEngineArgs.from_cli_args(args)
+    if not getattr(args, "no_full_warmup", False):
+        # Serving default: warm the whole bucket lattice. A cold small-
+        # batch decode bucket compiling at serve time costs a 10-20s TTFT
+        # outlier (measured 8.8x p99-TTFT at 0.5 req/s — PERF.md);
+        # offline/bench entrypoints keep the lazy default.
+        engine_args.full_warmup = True
     engine = AsyncLLMEngine.from_engine_args(engine_args)
     await serve_engine(engine, args)
 
