@@ -17,6 +17,7 @@ config for apples-to-apples history.
 """
 import json
 import os
+import re
 import sys
 import time
 
@@ -56,7 +57,7 @@ def build_engine():
                                               SchedulerConfig)
     from neural_magic_vllm_tpu.engine.llm_engine import LLMEngine
 
-    global FLOPS_PER_TOKEN
+    global FLOPS_PER_TOKEN, DECODE_STEPS, BATCH
     if MODEL == "micro":
         # CI/CPU smoke config: exercises the bench mechanics only.
         hf_cfg = LlamaConfig(vocab_size=256, hidden_size=64,
@@ -111,7 +112,6 @@ def build_engine():
     # override must leave headroom for activations/workspace. Without this
     # clamp bs512 x 96 steps allocates ~13 GiB of KV next to ~5.6 GiB of
     # weights and OOMs a 16 GiB chip during warmup.
-    global DECODE_STEPS
     if "BENCH_DECODE_STEPS" not in os.environ and MODEL not in (
             "micro", "tinyllama"):
         import jax
@@ -132,15 +132,27 @@ def build_engine():
             headroom = (800 << 20)
             usable = int(hbm * 0.97) - wbytes - headroom
             fit_blocks = max(usable // block_bytes, 0)
-            toks_per_seq = fit_blocks * 16 // BATCH
-            fit_steps = toks_per_seq - PROMPT_LEN - SCHED_STEPS - 32
-            fit_steps = max(SCHED_STEPS, (fit_steps // SCHED_STEPS) *
+
+            def raw_steps(batch):
+                return (fit_blocks * 16 // batch - PROMPT_LEN -
+                        SCHED_STEPS - 32)
+
+            # If even a 2-dispatch window can't fit at this batch (e.g.
+            # fp8's 9.1 GiB of weights), shrink the batch first.
+            if "BENCH_BATCH" not in os.environ:
+                while BATCH > 128 and raw_steps(BATCH) < 2 * SCHED_STEPS:
+                    BATCH -= 128
+                    print(f"bench: shrinking batch to {BATCH} to fit "
+                          f"{hbm / 2**30:.1f} GiB HBM", file=sys.stderr)
+            fit_steps = max(SCHED_STEPS,
+                            (raw_steps(BATCH) // SCHED_STEPS) *
                             SCHED_STEPS)
             if fit_steps < DECODE_STEPS:
                 print(f"bench: clamping decode window {DECODE_STEPS} -> "
                       f"{fit_steps} steps to fit "
                       f"{hbm / 2**30:.1f} GiB HBM", file=sys.stderr)
                 DECODE_STEPS = fit_steps
+            metric = re.sub(r"_bs\d+", f"_bs{BATCH}", metric)
 
     # Cache the packed dummy checkpoint on disk: init_params + quant
     # packing for 8B costs ~5 min; the orbax reload ~30 s. Weights are

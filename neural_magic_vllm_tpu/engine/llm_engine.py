@@ -268,12 +268,41 @@ class LLMEngine:
         # outputs is one SamplerOutput per fused device step (len > 1 on
         # the multi-step decode path); append tokens round by round so stop
         # conditions cut off over-generated tail tokens.
-        for step_i, sampler_output in enumerate(outputs):
+        if len(outputs) > 1:
+            # Fused multi-step: group-major fast path where eligible
+            # (n=1, no beam, plain samples) — one call appends all K
+            # tokens instead of K passes over every group.
+            n_steps = len(outputs)
+            slow_groups = []
+            for gi, scheduled in enumerate(
+                    scheduler_outputs.scheduled_seq_groups):
+                seq_group = scheduled.seq_group
+                if seq_group.is_finished():
+                    continue
+                per_step = [outputs[k].outputs[gi] for k in range(n_steps)]
+                if (isinstance(per_step[0], EmbeddingSequenceGroupOutput)
+                        or per_step[0].prompt_logprobs is not None
+                        or not self.output_processor.can_fast_append(
+                            seq_group)):
+                    slow_groups.append((gi, scheduled))
+                    continue
+                applied = self.output_processor.process_outputs_multi(
+                    seq_group, per_step)
+                seq_group.update_num_computed_tokens(
+                    scheduled.token_chunk_size + max(applied - 1, 0))
+                seq_group.maybe_set_first_token_time(now)
+                seq_group.metrics.last_token_time = now
+            step_iter = [(step_i, sampler_output, slow_groups)
+                         for step_i, sampler_output in enumerate(outputs)]
+        else:
+            all_groups = list(
+                enumerate(scheduler_outputs.scheduled_seq_groups))
+            step_iter = [(0, outputs[0], all_groups)] if outputs else []
+        for step_i, sampler_output, groups in step_iter:
             assert len(sampler_output.outputs) == len(
                 scheduler_outputs.scheduled_seq_groups)
-            for scheduled, group_output in zip(
-                    scheduler_outputs.scheduled_seq_groups,
-                    sampler_output.outputs):
+            for gi, scheduled in groups:
+                group_output = sampler_output.outputs[gi]
                 seq_group = scheduled.seq_group
                 if seq_group.is_finished():
                     continue

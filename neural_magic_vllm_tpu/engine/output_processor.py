@@ -21,6 +21,42 @@ class SingleStepOutputProcessor:
         self.stop_checker = stop_checker
         self.seq_counter = seq_counter
 
+    def can_fast_append(self, seq_group: SequenceGroup) -> bool:
+        """True when the multi-step fast path applies: a single running
+        sequence with no forking semantics (n=1, no beam), so K fused
+        decode steps can append without per-step fork bookkeeping."""
+        sp = seq_group.sampling_params
+        return (sp is not None and sp.n == 1 and not sp.use_beam_search
+                and len(seq_group.get_seqs(
+                    status=SequenceStatus.RUNNING)) == 1)
+
+    def process_outputs_multi(self, seq_group: SequenceGroup,
+                              step_outputs) -> int:
+        """Fast path for the fused multi-step decode dispatch: append
+        each step's single sample to the lone running sequence, stopping
+        at the first finish (over-generated tail tokens are dropped, same
+        contract as the per-step path; reference
+        output_processor/multi_step.py:20). Returns the number of steps
+        actually applied. Caller must have checked can_fast_append."""
+        seq = seq_group.get_seqs(status=SequenceStatus.RUNNING)[0]
+        sp = seq_group.sampling_params
+        detok = self.detokenizer if (self.detokenizer
+                                     and sp.detokenize) else None
+        applied = 0
+        for output in step_outputs:
+            if not output.samples:
+                break  # variable-length fused steps (spec decode)
+            sample = output.samples[0]
+            seq.append_token_id(sample.output_token, sample.logprobs)
+            applied += 1
+            nc = detok.decode_sequence_inplace(seq, sp) if detok else 0
+            self.stop_checker.maybe_stop_sequence(seq, nc, sp)
+            if seq.is_finished():
+                break
+        if seq.is_finished():
+            self.scheduler.free_seq(seq)
+        return applied
+
     def process_outputs(self, seq_group: SequenceGroup,
                         output: CompletionSequenceGroupOutput) -> None:
         if output.prompt_logprobs is not None:

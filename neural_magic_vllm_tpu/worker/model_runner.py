@@ -880,6 +880,10 @@ class TPUModelRunner:
                       top_vals: Optional[np.ndarray],
                       top_ids: Optional[np.ndarray],
                       num_logprobs: Optional[int]) -> Dict[int, Logprob]:
+        if not num_logprobs:
+            # hot path: no per-request logprobs — skip the top-k rank
+            # search entirely (it is O(max_logprobs) numpy work per token)
+            return {token: Logprob(chosen_lp)}
         lp: Dict[int, Logprob] = {}
         if num_logprobs and top_ids is not None:
             for rank in range(min(num_logprobs, len(top_ids))):
@@ -1349,17 +1353,22 @@ class TPUModelRunner:
         cache_engine.kv_caches = new_kv
         tid, chosen, tv, ti = jax.device_get(ys)  # each [K, b_pad, ...]
 
+        # bulk numpy -> python conversion: .tolist() is ~10x cheaper than
+        # 2*K*B individual int()/float() numpy-scalar casts
+        tid_l = np.asarray(tid)[:, :B].tolist()
+        chosen_l = np.asarray(chosen)[:, :B].tolist()
         outputs: List[SamplerOutput] = []
         for k in range(K):
             group_outputs = []
+            tid_k, chosen_k = tid_l[k], chosen_l[k]
             for i, (sgm, seq_id) in enumerate(rows):
                 num_lp = sgm.sampling_params.logprobs or 0
-                lp = self._logprob_dict(int(tid[k, i]), float(chosen[k, i]),
+                lp = self._logprob_dict(tid_k[i], chosen_k[i],
                                         tv[k, i] if nlp else None,
                                         ti[k, i] if nlp else None, num_lp)
                 group_outputs.append(
                     CompletionSequenceGroupOutput(samples=[
-                        SequenceOutput(seq_id, int(tid[k, i]), lp)
+                        SequenceOutput(seq_id, tid_k[i], lp)
                     ]))
             outputs.append(SamplerOutput(outputs=group_outputs))
         return outputs
