@@ -265,6 +265,17 @@ class LLMEngine:
         now = time.time()
         request_outputs: List[RequestOutput] = []
 
+        # Exact generation-token accounting for stats: output-length delta
+        # over the decode-scheduled groups (prefill groups' first sampled
+        # token counts as neither, matching the reference's split).
+        gen_tokens_before = 0
+        if self.stat_logger is not None:
+            npg = scheduler_outputs.num_prefill_groups
+            gen_tokens_before = sum(
+                seq.get_output_len()
+                for scheduled in scheduler_outputs.scheduled_seq_groups[npg:]
+                for seq in scheduled.seq_group.get_seqs())
+
         # outputs is one SamplerOutput per fused device step (len > 1 on
         # the multi-step decode path); append tokens round by round so stop
         # conditions cut off over-generated tail tokens.
@@ -342,8 +353,14 @@ class LLMEngine:
             request_outputs.append(RequestOutput.from_seq_group(seq_group))
 
         if self.stat_logger is not None:
+            npg = scheduler_outputs.num_prefill_groups
+            gen_tokens = sum(
+                seq.get_output_len()
+                for scheduled in scheduler_outputs.scheduled_seq_groups[npg:]
+                for seq in scheduled.seq_group.get_seqs()) - \
+                gen_tokens_before
             stats = self._get_stats(scheduler_outputs, request_outputs,
-                                    num_steps=max(1, len(outputs)))
+                                    num_generation_tokens=gen_tokens)
             if outputs and outputs[0].spec_decode_worker_metrics is not None:
                 stats.spec_decode_metrics = \
                     outputs[0].spec_decode_worker_metrics
@@ -355,20 +372,20 @@ class LLMEngine:
     # --- stats / tracing -----------------------------------------------------------
     def _get_stats(self, scheduler_outputs: SchedulerOutputs,
                    request_outputs: List[RequestOutput],
-                   num_steps: int = 1) -> Stats:
+                   num_generation_tokens: int = 0) -> Stats:
         now = time.time()
         num_prompt_tokens = 0
-        num_generation_tokens = 0
         time_to_first_tokens: List[float] = []
         time_per_output_tokens: List[float] = []
         time_e2e: List[float] = []
-        for scheduled in scheduler_outputs.scheduled_seq_groups:
+        npg = scheduler_outputs.num_prefill_groups
+        for i, scheduled in enumerate(
+                scheduler_outputs.scheduled_seq_groups):
             sg = scheduled.seq_group
-            if sg.is_prefill():
+            if i < npg:
+                # Groups scheduled as prefill this iteration (they may have
+                # left prefill stage by now — count by schedule position).
                 num_prompt_tokens += scheduled.token_chunk_size
-            else:
-                num_generation_tokens += scheduled.token_chunk_size * \
-                    num_steps
             m = sg.metrics
             if m.first_token_time and sg.num_seqs() and \
                     sg.get_seqs()[0].get_output_len() == 1:
