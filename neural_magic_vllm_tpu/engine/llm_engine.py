@@ -265,16 +265,15 @@ class LLMEngine:
         now = time.time()
         request_outputs: List[RequestOutput] = []
 
-        # Exact generation-token accounting for stats: output-length delta
-        # over the decode-scheduled groups (prefill groups' first sampled
-        # token counts as neither, matching the reference's split).
-        gen_tokens_before = 0
-        if self.stat_logger is not None:
-            npg = scheduler_outputs.num_prefill_groups
-            gen_tokens_before = sum(
-                seq.get_output_len()
-                for scheduled in scheduler_outputs.scheduled_seq_groups[npg:]
-                for seq in scheduled.seq_group.get_seqs())
+        # Generation-token accounting for stats: count tokens ACTUALLY
+        # appended this iteration (returned by the output processors).
+        # A finished prefill's first sampled token counts as generation,
+        # matching the reference split (reference llm_engine.py:993-995).
+        # Appended counts are robust where before/after output-length
+        # deltas are not: beam pruning / early stopping removes seqs (and
+        # their whole histories) mid-step, and forked children copy full
+        # output histories.
+        gen_tokens = 0
 
         # outputs is one SamplerOutput per fused device step (len > 1 on
         # the multi-step decode path); append tokens round by round so stop
@@ -299,6 +298,7 @@ class LLMEngine:
                     continue
                 applied = self.output_processor.process_outputs_multi(
                     seq_group, per_step)
+                gen_tokens += applied
                 seq_group.update_num_computed_tokens(
                     scheduled.token_chunk_size + max(applied - 1, 0))
                 seq_group.maybe_set_first_token_time(now)
@@ -331,8 +331,8 @@ class LLMEngine:
                     continue
                 seq_group.update_num_computed_tokens(
                     scheduled.token_chunk_size if step_i == 0 else 1)
-                self.output_processor.process_outputs(seq_group,
-                                                      group_output)
+                gen_tokens += self.output_processor.process_outputs(
+                    seq_group, group_output)
                 seq_group.maybe_set_first_token_time(now)
                 seq_group.metrics.last_token_time = now
 
@@ -353,12 +353,6 @@ class LLMEngine:
             request_outputs.append(RequestOutput.from_seq_group(seq_group))
 
         if self.stat_logger is not None:
-            npg = scheduler_outputs.num_prefill_groups
-            gen_tokens = sum(
-                seq.get_output_len()
-                for scheduled in scheduler_outputs.scheduled_seq_groups[npg:]
-                for seq in scheduled.seq_group.get_seqs()) - \
-                gen_tokens_before
             stats = self._get_stats(scheduler_outputs, request_outputs,
                                     num_generation_tokens=gen_tokens)
             if outputs and outputs[0].spec_decode_worker_metrics is not None:

@@ -58,7 +58,12 @@ class SingleStepOutputProcessor:
         return applied
 
     def process_outputs(self, seq_group: SequenceGroup,
-                        output: CompletionSequenceGroupOutput) -> None:
+                        output: CompletionSequenceGroupOutput) -> int:
+        """Returns the number of tokens actually appended to sequences in
+        this group (one per sample committed; 0 for mid-prompt chunks) —
+        the engine accumulates this for the generation-token stat, which
+        counts a finished prefill's first sampled token as generation,
+        matching the reference split (reference llm_engine.py:993-995)."""
         if output.prompt_logprobs is not None:
             # chunked prefill: each chunk contributes its own positions,
             # concatenated here. A FIRST chunk (leads with None padding
@@ -75,7 +80,7 @@ class SingleStepOutputProcessor:
             else:
                 seq_group.prompt_logprobs += incoming
         if not output.samples:
-            return  # mid-prompt chunk: nothing sampled
+            return 0  # mid-prompt chunk: nothing sampled
 
         samples = output.samples
         parent_seqs = seq_group.get_seqs(status=SequenceStatus.RUNNING)
@@ -130,6 +135,7 @@ class SingleStepOutputProcessor:
                 self.scheduler.free_seq(seq)
             if seq is not parent and seq.is_finished():
                 self.scheduler.free_seq(seq)
+        return len(child_seqs)
 
     def _beam_select(self, seq_group: SequenceGroup, child_seqs,
                      sp) -> None:

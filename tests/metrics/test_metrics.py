@@ -44,15 +44,34 @@ def test_engine_run_updates_prometheus(metrics_llm, tiny_llama_dir):
     assert _sample_value("nmv_tpu:prompt_tokens_total",
                          model_name) - before_prompt == n_prompt
     # each request's FIRST token comes out of its prefill iteration and
-    # counts as neither prompt nor generation (reference split)
+    # counts as a GENERATION token (reference llm_engine.py:993-995:
+    # num_generation_tokens_from_prefill_groups += seq_group.num_seqs())
     assert _sample_value("nmv_tpu:generation_tokens_total",
-                         model_name) - before_gen == n_gen - len(prompts)
+                         model_name) - before_gen == n_gen
     # one TTFT observation per request
     assert _sample_value("nmv_tpu:time_to_first_token_seconds_count",
                          model_name) - before_ttft == len(prompts)
     # e2e latency histogram sees every finished request
     assert _sample_value("nmv_tpu:e2e_request_latency_seconds_count",
                          model_name) >= len(prompts)
+
+
+def test_beam_search_does_not_crash_stat_logger(metrics_llm):
+    """Regression: the old delta-based generation-token count went
+    negative when beam pruning / early stopping removed sequences (with
+    their whole output histories) mid-step, and prometheus Counter.inc()
+    raises on negatives. Appended-token counting keeps it >= 0."""
+    llm = metrics_llm
+    model_name = llm.llm_engine.model_config.model
+    before_gen = _sample_value("nmv_tpu:generation_tokens_total", model_name)
+    outs = llm.generate(
+        ["beam me", "up scotty with a longer prompt"],
+        SamplingParams(temperature=0.0, max_tokens=12, n=2, best_of=4,
+                       use_beam_search=True, early_stopping=False))
+    assert all(len(o.outputs) == 2 for o in outs)
+    # counter moved forward (never raised / never went negative)
+    assert _sample_value("nmv_tpu:generation_tokens_total",
+                         model_name) > before_gen
 
 
 def test_queue_gauges_settle_to_zero(metrics_llm):
