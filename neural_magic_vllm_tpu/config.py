@@ -295,6 +295,7 @@ class SchedulerConfig:
         min_decode_bucket: int = 8,
         num_scheduler_steps: int = 1,
         full_warmup: bool = False,
+        fused_dispatch_target_ms: float = 0.0,
     ) -> None:
         if max_num_batched_tokens is None:
             if enable_chunked_prefill:
@@ -326,6 +327,14 @@ class SchedulerConfig:
         if self.num_scheduler_steps > 1:
             self.num_lookahead_slots = max(self.num_lookahead_slots,
                                            self.num_scheduler_steps - 1)
+        # Adaptive fused-K (serving): cap each fused decode dispatch's wall
+        # time so arrivals aren't stuck behind a long dispatch. When > 0,
+        # the worker times each decode bucket at warmup and fuses the
+        # largest power-of-2 K <= num_scheduler_steps whose dispatch fits
+        # the budget; 0 keeps the fixed-K behavior. The scheduler still
+        # allocates num_scheduler_steps-1 lookahead slots (a safe
+        # over-reserve when the worker runs fewer steps).
+        self.fused_dispatch_target_ms = fused_dispatch_target_ms
 
     # --- static-shape bucket lattice --------------------------------------
     def prefill_buckets(self) -> List[int]:
@@ -341,8 +350,13 @@ class SchedulerConfig:
         return out
 
     def decode_buckets(self) -> List[int]:
-        """Padded decode batch sizes: 8,16,32,48,64,... in steps mirroring
-        the reference's 16-step lattice (tpu_model_runner.py:600-608)."""
+        """Padded decode batch sizes: 8,16,32,48,... in 16-steps up to 128
+        (mirroring the reference's lattice, tpu_model_runner.py:600-608),
+        then 64-steps to 256, then powers of two. Coarser at the top keeps
+        the warmed-executable count sane at serving batch sizes (512
+        costs 12 buckets, not 33), and the dequant-GEMM tile_m=256 pads
+        192 < M <= 512 to 512 anyway, so fine-grained buckets there buy
+        nothing (PERF.md round-2 "bs384 pad trap")."""
         cap = self.max_num_seqs
         out = []
         b = self.min_decode_bucket
@@ -350,10 +364,24 @@ class SchedulerConfig:
             out.append(b)
             b *= 2
         b = 16
-        while b < cap:
+        while b < min(cap, 128):
             out.append(b)
             b += 16
-        out.append(cap if cap <= 16 else round_up(cap, 16))
+        b = 128
+        while b < min(cap, 256):
+            out.append(b)
+            b += 64
+        b = 256
+        while b < cap:
+            out.append(b)
+            b *= 2
+        if cap <= 16:
+            final = cap
+        elif cap <= 128:
+            final = round_up(cap, 16)
+        else:
+            final = round_up(cap, 64)
+        out.append(final)
         return sorted(set(out))
 
     def pad_prefill_len(self, n: int) -> int:

@@ -49,6 +49,7 @@ class EngineArgs:
     scheduler_delay_factor: float = 0.0
     preemption_mode: Optional[str] = None
     full_warmup: bool = False
+    fused_dispatch_target_ms: float = 0.0
     # model
     revision: Optional[str] = None
     tokenizer_revision: Optional[str] = None
@@ -103,6 +104,10 @@ class EngineArgs:
         "max_num_seqs": "per-step sequence cap (decode batch ceiling).",
         "enable_chunked_prefill": "split long prompts across steps.",
         "num_scheduler_steps": "fused decode steps per dispatch.",
+        "fused_dispatch_target_ms": "adaptive fused-K: cap each fused "
+                                    "decode dispatch's wall time; K per "
+                                    "bucket is measured at warmup "
+                                    "(0 = fixed K).",
         "preemption_mode": "recompute|swap (default: auto).",
         "quantization": "weight quantization method (auto-detected from "
                         "the checkpoint when omitted).",
@@ -248,6 +253,7 @@ class EngineArgs:
             enable_chunked_prefill=self.enable_chunked_prefill,
             preemption_mode=self.preemption_mode,
             full_warmup=self.full_warmup,
+            fused_dispatch_target_ms=self.fused_dispatch_target_ms,
         )
         device_config = DeviceConfig(device=self.device)
         load_config = LoadConfig(load_format=self.load_format,

@@ -107,6 +107,14 @@ class LLMEngine:
             self.tracer = init_tracer(
                 "nmv_tpu.llm_engine",
                 self.observability_config.otlp_traces_endpoint)
+        # Per-step JSONL trace for serving-regime decomposition
+        # (NMV_TPU_STEP_TRACE=<path>); line-buffered so a killed server
+        # still leaves a readable trace.
+        from neural_magic_vllm_tpu import envs
+        self._step_trace = None
+        if envs.NMV_TPU_STEP_TRACE:
+            self._step_trace = open(envs.NMV_TPU_STEP_TRACE, "a",
+                                    buffering=1)
 
     def _initialize_kv_caches(self) -> None:
         num_gpu_blocks, num_cpu_blocks = (
@@ -238,8 +246,10 @@ class LLMEngine:
 
     # --- stepping -----------------------------------------------------------------
     def step(self) -> List[RequestOutput]:
+        t0 = time.perf_counter() if self._step_trace else 0.0
         seq_group_metadata_list, scheduler_outputs = \
             self.scheduler.schedule()
+        t1 = time.perf_counter() if self._step_trace else 0.0
 
         if not scheduler_outputs.is_empty():
             fin_req, fin_seq = self.scheduler.get_and_reset_finished_ids()
@@ -257,7 +267,39 @@ class LLMEngine:
         else:
             outputs = []
 
-        return self._process_model_outputs(outputs, scheduler_outputs)
+        t2 = time.perf_counter() if self._step_trace else 0.0
+        result = self._process_model_outputs(outputs, scheduler_outputs)
+        if self._step_trace:
+            self._trace_step(t0, t1, t2, time.perf_counter(),
+                             seq_group_metadata_list, scheduler_outputs,
+                             len(outputs))
+        return result
+
+    def _trace_step(self, t0, t1, t2, t3, sgm_list, scheduler_outputs,
+                    n_fused) -> None:
+        """One JSON line per engine step (NMV_TPU_STEP_TRACE=<path>):
+        the decomposition tool for serving-regime analysis. sched/dispatch/
+        outproc are host seconds; dispatch includes device time because the
+        executor blocks on results."""
+        import json
+        npg = scheduler_outputs.num_prefill_groups
+        n_prefill_tokens = sum(
+            s.token_chunk_size
+            for s in scheduler_outputs.scheduled_seq_groups[:npg])
+        rec = {
+            "t": round(t0, 4),
+            "sched_ms": round((t1 - t0) * 1e3, 2),
+            "dispatch_ms": round((t2 - t1) * 1e3, 2),
+            "outproc_ms": round((t3 - t2) * 1e3, 2),
+            "n_prefill": npg,
+            "prefill_tokens": n_prefill_tokens,
+            "n_decode": len(scheduler_outputs.scheduled_seq_groups) - npg,
+            "fused_steps": n_fused,
+            "waiting": len(self.scheduler.waiting),
+            "running": len(self.scheduler.running),
+            "preempted": scheduler_outputs.preempted,
+        }
+        self._step_trace.write(json.dumps(rec) + "\n")
 
     def _process_model_outputs(self, outputs,
                                scheduler_outputs: SchedulerOutputs

@@ -56,6 +56,10 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # on real TPUs). Changes numerics vs W4A16; off by default.
     "NMV_TPU_W4A8":
     lambda: bool(int(os.getenv("NMV_TPU_W4A8", "0"))),
+
+    # Per-engine-step JSONL trace path (serving decomposition; empty = off)
+    "NMV_TPU_STEP_TRACE":
+    lambda: os.getenv("NMV_TPU_STEP_TRACE", ""),
 }
 
 

@@ -186,6 +186,10 @@ class TPUModelRunner:
             0, 2**31))
         # (kind, bucket-independent static opts) -> jitted fn
         self._fns: Dict[Tuple, Any] = {}
+        # Adaptive fused-K: per-decode-bucket measured single-step ms and
+        # the K chosen against fused_dispatch_target_ms (filled at warmup).
+        self._bucket_step_ms: Dict[int, float] = {}
+        self._fused_k_table: Dict[int, int] = {}
         # Multi-host: attached by the launcher on the driver host. When
         # set, every jitted dispatch is preceded by a StepPayload broadcast
         # so follower hosts enter the same global-mesh executable
@@ -597,22 +601,38 @@ class TPUModelRunner:
             cache_engine.kv_caches = kv
             logger.info("Warmup prefill bucket %d: %.1fs", s,
                         time.time() - tb)
+        target = self.scheduler_config.fused_dispatch_target_ms
         for b in decode_buckets:
             tb = time.time()
-            kv = cache_engine.kv_caches
-            kv = self._run_dummy_decode(kv, b)
+            kv = self._run_dummy_decode(cache_engine.kv_caches, b)
+            jax.block_until_ready(jax.tree_util.tree_leaves(kv)[0])
             cache_engine.kv_caches = kv
             logger.info("Warmup decode bucket %d: %.1fs", b,
                         time.time() - tb)
+            if target > 0:
+                # timed second run (chained through the donated KV cache,
+                # fresh token values, so the tunneled device cannot answer
+                # from a dispatch cache — PERF.md measurement caveats)
+                t1 = time.perf_counter()
+                kv = self._run_dummy_decode(cache_engine.kv_caches, b,
+                                            token_fill=1)
+                jax.block_until_ready(jax.tree_util.tree_leaves(kv)[0])
+                self._bucket_step_ms[b] = (time.perf_counter() - t1) * 1e3
+                cache_engine.kv_caches = kv
         K = self.scheduler_config.num_scheduler_steps
         if K > 1:  # the fused multi-step executable used in steady state
             for b in decode_buckets:
+                K_b = self._pick_fused_k(b, K)
+                self._fused_k_table[b] = K_b
+                if K_b <= 1:
+                    continue
                 tb = time.time()
                 kv = cache_engine.kv_caches
-                kv = self._run_dummy_decode_multi(kv, b, K)
+                kv = self._run_dummy_decode_multi(kv, b, K_b)
                 cache_engine.kv_caches = kv
-                logger.info("Warmup fused-%d decode bucket %d: %.1fs", K, b,
-                            time.time() - tb)
+                logger.info("Warmup fused-%d decode bucket %d: %.1fs "
+                            "(step %.0f ms)", K_b, b, time.time() - tb,
+                            self._bucket_step_ms.get(b, -1.0))
         # batched-prefill executable (largest token + batch buckets)
         kv = cache_engine.kv_caches
         cache_engine.kv_caches = self._run_dummy_prefill_batch(
@@ -675,7 +695,7 @@ class TPUModelRunner:
                        lora, lidx)
         return new_kv
 
-    def _run_dummy_decode(self, kv_caches, b: int):
+    def _run_dummy_decode(self, kv_caches, b: int, token_fill: int = 0):
         meta = AttentionMetadata(
             slot_mapping=jnp.full((b, ), -1, jnp.int32),
             block_tables=jnp.zeros((b, self.max_blocks_per_seq), jnp.int32),
@@ -685,10 +705,47 @@ class TPUModelRunner:
         fn = self._get_fn("decode_sample", 0)
         lora, lidx = self._lora_args(None, b)
         new_kv, _ = fn(self.params, kv_caches,
-                       jnp.zeros((b, ), jnp.int32),
+                       jnp.full((b, ), token_fill, jnp.int32),
                        jnp.zeros((b, ), jnp.int32), meta,
                        self._dummy_samp(b), lora, lidx)
         return new_kv
+
+    def _pick_fused_k(self, bucket: int, k_cfg: int) -> int:
+        """Largest candidate K <= num_scheduler_steps whose fused dispatch
+        (K x measured single-step ms) fits fused_dispatch_target_ms.
+        Candidates are powers of two plus k_cfg itself. Without a target
+        (or a measurement) the configured K is used unchanged."""
+        target = self.scheduler_config.fused_dispatch_target_ms
+        step_ms = self._bucket_step_ms.get(bucket)
+        if target <= 0 or step_ms is None or step_ms <= 0:
+            return k_cfg
+        best = 1
+        k = 1
+        while k <= k_cfg:
+            if k * step_ms <= target:
+                best = k
+            k *= 2
+        if k_cfg * step_ms <= target:
+            best = k_cfg
+        return best
+
+    def fused_k_for_batch(self, num_decodes: int) -> int:
+        """K for this step's decode dispatch: per-bucket adaptive when
+        fused_dispatch_target_ms is set (falling back to the nearest
+        measured bucket at or above), else the configured K."""
+        k_cfg = self.scheduler_config.num_scheduler_steps
+        if k_cfg <= 1:
+            return 1
+        if self.scheduler_config.fused_dispatch_target_ms <= 0 or \
+                not self._fused_k_table:
+            return k_cfg
+        b_pad = self.scheduler_config.pad_decode_batch(num_decodes)
+        if b_pad in self._fused_k_table:
+            return self._fused_k_table[b_pad]
+        for b in sorted(self._fused_k_table):
+            if b >= b_pad:
+                return self._fused_k_table[b]
+        return self._fused_k_table[max(self._fused_k_table)]
 
     # --- memory profiling -------------------------------------------------------
     def param_bytes(self) -> int:
@@ -955,10 +1012,11 @@ class TPUModelRunner:
                 return self._execute_decode_spec([m for _, m in decodes],
                                                  cache_engine)
 
-        K = self.scheduler_config.num_scheduler_steps
-        if K > 1 and all_single_decode:
-            return self._execute_decode_multi([m for _, m in decodes],
-                                              cache_engine, K)
+        if all_single_decode:
+            K = self.fused_k_for_batch(len(decodes))
+            if K > 1:
+                return self._execute_decode_multi([m for _, m in decodes],
+                                                  cache_engine, K)
 
         group_outputs: Dict[int, CompletionSequenceGroupOutput] = {}
         batchable = [(i, m) for i, m in prefills

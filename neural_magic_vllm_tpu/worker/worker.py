@@ -157,7 +157,11 @@ class Worker:
                 num_cpu_blocks=0, kv_dtype=kv_dtype,
                 sharding=self.model_runner.draft_kv_sharding())
         warm = not self.model_config.enforce_eager
-        if warm and jax.default_backend() in ("tpu", "axon"):
+        # Warmup is a TPU concern (AOT bucket lattice), but adaptive
+        # fused-K needs the warmup measurements wherever it is enabled
+        # (keeps the policy testable on the CPU backend).
+        if warm and (jax.default_backend() in ("tpu", "axon")
+                     or self.scheduler_config.fused_dispatch_target_ms > 0):
             self.model_runner.warmup(
                 self.cache_engine,
                 full=self.scheduler_config.full_warmup)
