@@ -196,22 +196,24 @@ def build_engine():
     return engine, metric, wbytes
 
 
-def main():
+def _timed_decode_window(engine, batch: int, prompt_len: int,
+                         decode_steps: int, req_prefix: str) -> float:
+    """Prefill `batch` fresh requests, run one warm fused dispatch, then
+    time a steady-state decode window. Returns tokens/s."""
     from neural_magic_vllm_tpu.sampling_params import SamplingParams
 
-    engine, metric, wbytes = build_engine()
     vocab = engine.model_config.get_vocab_size()
-
     rng = np.random.default_rng(0)
     sp = SamplingParams(temperature=0.0,
-                        max_tokens=DECODE_STEPS + SCHED_STEPS,
+                        max_tokens=decode_steps + SCHED_STEPS,
                         ignore_eos=True, detokenize=False)
-    for i in range(BATCH):
-        ids = rng.integers(1, vocab, size=PROMPT_LEN).tolist()
-        engine.add_request(str(i), prompt_token_ids=ids, sampling_params=sp)
+    for i in range(batch):
+        ids = rng.integers(1, vocab, size=prompt_len).tolist()
+        engine.add_request(req_prefix + str(i), prompt_token_ids=ids,
+                           sampling_params=sp)
 
     # Phase 1: prefill every sequence (compile + prefill excluded from the
-    # timed region). Phase 2: two warm fused-decode dispatches. Phase 3:
+    # timed region). Phase 2: one warm fused-decode dispatch. Phase 3:
     # timed steady-state decode.
     sched = engine.scheduler
     while sched.waiting or sched.swapped:
@@ -220,25 +222,61 @@ def main():
 
     t0 = time.perf_counter()
     steps = 0
-    while steps < DECODE_STEPS and engine.has_unfinished_requests():
+    while steps < decode_steps and engine.has_unfinished_requests():
         engine.step()
         steps += SCHED_STEPS
     dt = time.perf_counter() - t0
-    tok_per_s = BATCH * steps / dt
+    # drain: free blocks for any follow-up measurement on the same engine
+    engine.abort_request([req_prefix + str(i) for i in range(batch)])
+    return batch * steps / dt
+
+
+def main():
+    engine, metric, wbytes = build_engine()
+
+    tok_per_s = _timed_decode_window(engine, BATCH, PROMPT_LEN,
+                                     DECODE_STEPS, "m")
 
     # Speed of light = the binding roofline. Weight-stream: every decode
     # step reads all packed weights once (batch rows amortize). Compute:
     # the MXU must push 2*active-params FLOPs per token regardless of
     # batch, so past ~bs128 W4A16 decode is MXU-bound, not BW-bound.
-    sol_bw_tok_per_s = HBM_BW_GBS * 1e9 / wbytes * BATCH
-    sol_mxu_tok_per_s = MXU_TFLOPS * 1e12 / FLOPS_PER_TOKEN
-    sol_tok_per_s = min(sol_bw_tok_per_s, sol_mxu_tok_per_s)
-    print(json.dumps({
+    # BOTH ratios are emitted (vs_bw_sol, vs_min_sol) so cross-round
+    # comparisons stay honest by construction; vs_baseline == vs_min_sol.
+    def ratios(batch, tps):
+        sol_bw = HBM_BW_GBS * 1e9 / wbytes * batch
+        sol_mxu = MXU_TFLOPS * 1e12 / FLOPS_PER_TOKEN
+        return (round(tps / sol_bw, 4), round(tps / min(sol_bw, sol_mxu), 4))
+
+    vs_bw, vs_min = ratios(BATCH, tok_per_s)
+    record = {
         "metric": metric,
         "value": round(tok_per_s, 2),
         "unit": "tokens/s",
-        "vs_baseline": round(tok_per_s / sol_tok_per_s, 4),
-    }))
+        "vs_baseline": vs_min,
+        "vs_bw_sol": vs_bw,
+        "vs_min_sol": vs_min,
+        "decode_window_steps": DECODE_STEPS,
+        "fused_steps": SCHED_STEPS,
+    }
+
+    # Fixed-config history row (bs256, prompt 64, fused-16, 64-step
+    # window): ONE number comparable across rounds regardless of where
+    # the headline sweet spot moves. Measured on the same engine (bucket
+    # 256 is in the lattice whenever max_num_seqs >= 256).
+    if MODEL not in ("micro", "tinyllama") and BATCH != 256 and \
+            engine.scheduler_config.max_num_seqs >= 256 and \
+            "BENCH_SKIP_HISTORY" not in os.environ:
+        hist_tps = _timed_decode_window(engine, 256, 64,
+                                        min(64, DECODE_STEPS), "h")
+        record["bs256_tokens_per_s"] = round(hist_tps, 2)
+        record["bs256_vs_bw_sol"], record["bs256_vs_min_sol"] = \
+            ratios(256, hist_tps)
+    elif BATCH == 256:
+        record["bs256_tokens_per_s"] = record["value"]
+        record["bs256_vs_bw_sol"], record["bs256_vs_min_sol"] = vs_bw, vs_min
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

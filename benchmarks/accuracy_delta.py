@@ -69,6 +69,20 @@ def _dequant_host(layers_host, L, bits, group_size):
                                                  unpack_int_tiled)
     names = ("qkv", "gate_up", "o", "down") if "qkv" in layers_host \
         else ("q", "k", "v", "o", "gate", "up", "down")
+    if bits is None:
+        # fp8 W8A8: dense twin = w_fp8 * weight_scale in bf16 (the
+        # mathematical definition of the fp8 weight path; dynamic
+        # activation scales are part of the measured execution path)
+        out = {}
+        for name in names:
+            lp = layers_host[name]
+            w = np.asarray(lp["weight"]).astype(np.float32)
+            sc = np.asarray(lp["weight_scale"], np.float32)
+            sc = sc.reshape((L, ) + (1, ) * (w.ndim - 1))
+            out[name] = {"weight": (w * sc).astype(ml_dtypes.bfloat16)}
+            print(f"  dequantized {name}: {out[name]['weight'].shape}",
+                  file=sys.stderr)
+        return out
     out = {}
     for name in names:
         lp = layers_host[name]
@@ -104,8 +118,9 @@ def main():
     vocab = mc.get_vocab_size()
     L = model_q.num_layers
     kvh, hd = model_q.num_kv_heads, model_q.head_dim
-    bits = runner.quant_config.bits
-    group_size = runner.quant_config.group_size
+    quant_name = runner.quant_config.get_name()
+    bits = getattr(runner.quant_config, "bits", None)  # None for fp8
+    group_size = getattr(runner.quant_config, "group_size", None)
 
     ppl_q = _ppl(model_q, runner.params, vocab, L, kvh, hd, "quant")
 
@@ -133,8 +148,12 @@ def main():
     ppl_d = _ppl(model_d, params_d, vocab, L, kvh, hd, "dense")
 
     rel = abs(ppl_q - ppl_d) / ppl_d
+    from neural_magic_vllm_tpu import envs
+    path = "fp8w8a8" if bits is None else (
+        "w4a8" if envs.NMV_TPU_W4A8 else f"w{bits}a16")
     print(json.dumps({
-        "metric": "w4a16_vs_dense_ppl_delta_8b",
+        "metric": f"{path}_vs_dense_ppl_delta_8b",
+        "quant_method": quant_name,
         "ppl_quant": round(ppl_q, 4),
         "ppl_dense": round(ppl_d, 4),
         "rel_delta": round(rel, 6),

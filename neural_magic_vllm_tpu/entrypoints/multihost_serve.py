@@ -43,6 +43,11 @@ def make_arg_parser() -> argparse.ArgumentParser:
                         help="Driver host address for the zmq control "
                              "plane (followers connect to it).")
     parser.add_argument("--control-port", type=int, default=18515)
+    parser.add_argument("--liveness-timeout", type=float, default=60.0,
+                        help="Seconds of control-plane silence after which "
+                             "a host declares its peer dead and exits "
+                             "(driver heartbeats at a third of this; "
+                             "0 disables).")
     return parser
 
 
@@ -63,7 +68,11 @@ def main() -> None:
                                                           follower_loop)
 
     plane = HostControlPlane(args.rank, args.num_hosts, args.driver_addr,
-                             port=args.control_port)
+                             port=args.control_port,
+                             heartbeat_s=(args.liveness_timeout / 3
+                                          if args.rank == 0
+                                          and args.liveness_timeout > 0
+                                          else 0.0))
     engine_args = AsyncEngineArgs.from_cli_args(args)
 
     if args.rank == 0:
@@ -77,6 +86,11 @@ def main() -> None:
         import time
         time.sleep(1.0)  # zmq PUB/SUB slow-joiner settle
         worker.model_runner.control_plane = plane
+        if args.liveness_timeout > 0:
+            # engine check_health() -> executor -> worker; a dead follower
+            # fails the engine fast instead of deadlocking the collective
+            worker.follower_health_check = (
+                lambda: plane.check_followers(args.liveness_timeout))
         try:
             asyncio.run(serve_engine(engine, args))
         finally:
@@ -88,7 +102,10 @@ def main() -> None:
         worker = engine.model_executor.driver_worker
         multihost_utils.sync_global_devices("nmv-engines-constructed")
         logger.info("follower %d ready", args.rank)
-        follower_loop(plane, worker.model_runner, worker.cache_engine)
+        follower_loop(plane, worker.model_runner, worker.cache_engine,
+                      liveness_timeout_s=(args.liveness_timeout
+                                          if args.liveness_timeout > 0
+                                          else None))
     multihost_utils.sync_global_devices("nmv-shutdown")
 
 

@@ -22,6 +22,8 @@ this module only provides the metadata plane + the follower loop.
 """
 import json
 import struct
+import threading
+import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional
 
@@ -32,6 +34,13 @@ from neural_magic_vllm_tpu.logger import init_logger
 logger = init_logger(__name__)
 
 _SHUTDOWN = b"__shutdown__"
+_HEARTBEAT = b"__hb__"
+
+
+class HostDeadError(RuntimeError):
+    """A peer host stopped answering the control plane. Raised instead of
+    letting the next XLA collective deadlock (reference role: Ray actor /
+    process liveness checks, multiproc_gpu_executor.py:136-147)."""
 
 # Wire format: a fixed schema, NOT pickle — a DCN control plane must never
 # deserialize arbitrary objects. Layout:
@@ -101,43 +110,114 @@ class StepPayload:
 
 
 class HostControlPlane:
-    """zmq PUB/SUB broadcast from the driver host to followers over DCN."""
+    """zmq broadcast from the driver host to followers over DCN, plus a
+    liveness lane: PUB/SUB carries step payloads + idle heartbeats
+    (driver -> followers); a PUSH/PULL back-channel on port+1 carries
+    follower pongs so the driver's check_health() detects a dead follower
+    BEFORE entering a collective that would deadlock on it."""
 
     def __init__(self, rank: int, num_hosts: int, driver_addr: str,
-                 port: int = 18515) -> None:
+                 port: int = 18515, heartbeat_s: float = 0.0) -> None:
         import zmq
         self.rank = rank
         self.num_hosts = num_hosts
+        self.heartbeat_s = heartbeat_s
         self._ctx = zmq.Context.instance()
+        self._lock = threading.Lock()  # PUB socket shared w/ hb thread
+        self._last_send = time.monotonic()
+        self.shutdown_seen = False  # followers: clean shutdown vs timeout
+        self._hb_thread: Optional[threading.Thread] = None
+        self._closing = False
         if rank == 0:
             self._sock = self._ctx.socket(zmq.PUB)
             self._sock.bind(f"tcp://*:{port}")
+            self._pong = self._ctx.socket(zmq.PULL)
+            self._pong.bind(f"tcp://*:{port + 1}")
+            self._last_pong: Dict[int, float] = {}
+            if heartbeat_s > 0:
+                self._hb_thread = threading.Thread(
+                    target=self._heartbeat_loop, daemon=True)
+                self._hb_thread.start()
         else:
             self._sock = self._ctx.socket(zmq.SUB)
             self._sock.connect(f"tcp://{driver_addr}:{port}")
             self._sock.setsockopt(zmq.SUBSCRIBE, b"")
+            self._pong = self._ctx.socket(zmq.PUSH)
+            self._pong.connect(f"tcp://{driver_addr}:{port + 1}")
+
+    # --- driver side -----------------------------------------------------
+    def _heartbeat_loop(self) -> None:
+        """Keep followers' liveness timers fed while the engine is idle
+        (payload broadcasts reset the timer too)."""
+        while not self._closing:
+            time.sleep(self.heartbeat_s / 2)
+            with self._lock:
+                if self._closing:
+                    return
+                if time.monotonic() - self._last_send >= self.heartbeat_s / 2:
+                    self._sock.send(_HEARTBEAT)
+                    self._last_send = time.monotonic()
 
     def broadcast(self, payload: StepPayload) -> None:
         assert self.rank == 0
-        self._sock.send(payload.to_bytes())
+        with self._lock:
+            self._sock.send(payload.to_bytes())
+            self._last_send = time.monotonic()
+
+    def check_followers(self, timeout_s: float) -> None:
+        """Driver health check: raise HostDeadError if a follower that was
+        alive has not ponged within timeout_s. Called from the engine's
+        check_health chain (reference llm_engine.py:1087-1090)."""
+        assert self.rank == 0
+        now = time.monotonic()
+        while self._pong.poll(0):
+            msg = self._pong.recv()
+            try:
+                r = int(msg)
+            except ValueError:
+                continue
+            self._last_pong[r] = now
+        for r, t in self._last_pong.items():
+            if now - t > timeout_s:
+                raise HostDeadError(
+                    f"follower host {r} silent for {now - t:.1f}s "
+                    f"(> {timeout_s}s); failing fast instead of "
+                    "deadlocking the next collective")
+
+    # --- follower side ---------------------------------------------------
+    def _send_pong(self) -> None:
+        self._pong.send(str(self.rank).encode())
 
     def recv(self, timeout_ms: Optional[int] = None
              ) -> Optional[StepPayload]:
-        """Followers: next step payload, or None on shutdown/timeout."""
-        import zmq
+        """Followers: next step payload, or None on shutdown/timeout.
+        Heartbeats refresh the timeout window without returning."""
         assert self.rank != 0
-        if timeout_ms is not None:
-            if not self._sock.poll(timeout_ms):
+        deadline = None if timeout_ms is None else (
+            time.monotonic() + timeout_ms / 1e3)
+        while True:
+            if deadline is not None:
+                remaining_ms = int((deadline - time.monotonic()) * 1e3)
+                if remaining_ms <= 0 or not self._sock.poll(remaining_ms):
+                    return None
+            data = self._sock.recv()
+            if data == _SHUTDOWN:
+                self.shutdown_seen = True
                 return None
-        data = self._sock.recv()
-        if data == _SHUTDOWN:
-            return None
-        return StepPayload.from_bytes(data)
+            if data == _HEARTBEAT:
+                if deadline is not None:
+                    deadline = time.monotonic() + timeout_ms / 1e3
+                self._send_pong()
+                continue
+            return StepPayload.from_bytes(data)
 
     def shutdown(self) -> None:
+        self._closing = True
         if self.rank == 0:
-            self._sock.send(_SHUTDOWN)
+            with self._lock:
+                self._sock.send(_SHUTDOWN)
         self._sock.close(0)
+        self._pong.close(0)
 
 
 def follower_step(payload: StepPayload, runner, cache_engine) -> None:
@@ -255,14 +335,24 @@ def follower_step(payload: StepPayload, runner, cache_engine) -> None:
     cache_engine.kv_caches = new_kv
 
 
-def follower_loop(control: HostControlPlane, runner,
-                  cache_engine) -> None:
+def follower_loop(control: HostControlPlane, runner, cache_engine,
+                  liveness_timeout_s: Optional[float] = None) -> None:
     """Follower-host execution loop (analogue of the reference
     start_worker_execution_loop, worker_base.py:57-66): replay each
-    broadcast step until shutdown."""
+    broadcast step until shutdown. With liveness_timeout_s set, a driver
+    that stops sending payloads AND heartbeats for that long raises
+    HostDeadError so the follower process exits instead of blocking on
+    recv forever."""
+    timeout_ms = None if liveness_timeout_s is None else int(
+        liveness_timeout_s * 1e3)
     while True:
-        payload = control.recv()
+        payload = control.recv(timeout_ms=timeout_ms)
         if payload is None:
+            if timeout_ms is not None and not control.shutdown_seen:
+                raise HostDeadError(
+                    f"driver host silent for {liveness_timeout_s}s "
+                    "(no payloads or heartbeats)")
             logger.info("follower loop: shutdown")
             return
         follower_step(payload, runner, cache_engine)
+        control._send_pong()

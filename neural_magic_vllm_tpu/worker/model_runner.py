@@ -601,6 +601,14 @@ class TPUModelRunner:
             cache_engine.kv_caches = kv
             logger.info("Warmup prefill bucket %d: %.1fs", s,
                         time.time() - tb)
+            if full:
+                # batched-prefill executable for this token bucket (b is
+                # a function of t_pad, so this covers the whole lattice)
+                tb = time.time()
+                cache_engine.kv_caches = self._run_dummy_prefill_batch(
+                    cache_engine.kv_caches, s)
+                logger.info("Warmup batched-prefill bucket %d: %.1fs", s,
+                            time.time() - tb)
         target = self.scheduler_config.fused_dispatch_target_ms
         for b in decode_buckets:
             tb = time.time()
@@ -633,10 +641,10 @@ class TPUModelRunner:
                 logger.info("Warmup fused-%d decode bucket %d: %.1fs "
                             "(step %.0f ms)", K_b, b, time.time() - tb,
                             self._bucket_step_ms.get(b, -1.0))
-        # batched-prefill executable (largest token + batch buckets)
-        kv = cache_engine.kv_caches
-        cache_engine.kv_caches = self._run_dummy_prefill_batch(
-            kv, prefill_buckets[-1], decode_buckets[-1])
+        if not full:
+            # batched-prefill executable at the largest token bucket only
+            cache_engine.kv_caches = self._run_dummy_prefill_batch(
+                cache_engine.kv_caches, prefill_buckets[-1])
         logger.info("Warmup done in %.1fs (%d prefill + %d decode buckets)",
                     time.time() - t0, len(prefill_buckets),
                     len(decode_buckets))
@@ -668,7 +676,8 @@ class TPUModelRunner:
                        jnp.int32(0), self._dummy_samp(1), lora, lidx)
         return new_kv
 
-    def _run_dummy_prefill_batch(self, kv_caches, s: int, b: int):
+    def _run_dummy_prefill_batch(self, kv_caches, s: int):
+        b = self._prefill_batch_width(s)
         meta = AttentionMetadata(
             slot_mapping=jnp.full((s, ), -1, jnp.int32),
             block_tables=jnp.zeros((1, 4), jnp.int32),
@@ -1057,16 +1066,33 @@ class TPUModelRunner:
         seq_data = next(iter(sgm.seq_data.values()))
         return seq_data.get_num_computed_tokens() == 0
 
+    def _prefill_batch_width(self, t_pad: int) -> int:
+        """Static sample-row width of the batched-prefill executable at
+        token bucket t_pad. Tying b to the token bucket (never to the
+        ragged prompt count) collapses the executable space from a
+        (t_pad x b_pad) product to ONE executable per token bucket, so
+        full warmup covers the whole lattice and serving never compiles
+        (the round-2 serving trace showed 18 s serve-time compiles from
+        unwarmed (t_pad, b_pad) combos). t_pad // 16 bounds realistic
+        prompt counts; overflow items fall back to the single path."""
+        return max(8, t_pad // 16)
+
     def _execute_prefill_batch(self, items, cache_engine: CacheEngine
                                ) -> Dict[int, CompletionSequenceGroupOutput]:
         """One weight pass over several concatenated fresh prompts."""
+        while True:
+            total = sum(next(iter(m.seq_data.values())).get_len()
+                        for _, m in items)
+            t_pad = self.scheduler_config.pad_prefill_len(total)
+            if t_pad < total:  # beyond the largest bucket: single-seq path
+                return {}
+            b_pad = self._prefill_batch_width(t_pad)
+            if len(items) <= b_pad:
+                break
+            # more (ultra-short) prompts than the bucket's static rows:
+            # trim the tail to the single-prefill path
+            items = items[:b_pad]
         B = len(items)
-        total = sum(next(iter(m.seq_data.values())).get_len()
-                    for _, m in items)
-        t_pad = self.scheduler_config.pad_prefill_len(total)
-        if t_pad < total:  # beyond the largest bucket: single-seq path
-            return {}
-        b_pad = self.scheduler_config.pad_decode_batch(B)
 
         tokens = np.zeros((t_pad, ), np.int32)
         positions = np.zeros((t_pad, ), np.int32)

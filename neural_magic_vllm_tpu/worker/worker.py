@@ -205,5 +205,11 @@ class Worker:
         mgr = self.model_runner.lora_manager
         return mgr.list_loras() if mgr else []
 
+    # Multi-host: the launcher installs a callable that raises
+    # HostDeadError when a follower's pongs go stale (multihost_serve.py).
+    follower_health_check = None
+
     def check_health(self) -> None:
-        return  # in-process worker is alive by construction
+        # in-process worker is alive by construction; followers are not
+        if self.follower_health_check is not None:
+            self.follower_health_check()
