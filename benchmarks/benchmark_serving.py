@@ -77,7 +77,10 @@ async def run(args) -> None:
                              args.output_len)
     url = f"{args.base_url}/v1/completions"
 
+    # limit=0: aiohttp's default 100-connection cap silently throttles
+    # saturation runs (the server never sees more than 100 concurrent)
     async with aiohttp.ClientSession(
+            connector=aiohttp.TCPConnector(limit=0),
             timeout=aiohttp.ClientTimeout(total=6 * 3600)) as session:
         # calibrate tokens-per-word against the server's own tokenizer so
         # prompt token counts land on target regardless of vocabulary

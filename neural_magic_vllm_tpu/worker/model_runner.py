@@ -618,20 +618,34 @@ class TPUModelRunner:
             logger.info("Warmup decode bucket %d: %.1fs", b,
                         time.time() - tb)
             if target > 0:
-                # timed second run (chained through the donated KV cache,
-                # fresh token values, so the tunneled device cannot answer
-                # from a dispatch cache — PERF.md measurement caveats)
-                t1 = time.perf_counter()
-                kv = self._run_dummy_decode(cache_engine.kv_caches, b,
-                                            token_fill=1)
-                jax.block_until_ready(jax.tree_util.tree_leaves(kv)[0])
-                self._bucket_step_ms[b] = (time.perf_counter() - t1) * 1e3
-                cache_engine.kv_caches = kv
+                # timed runs (chained through the donated KV cache, fresh
+                # token values, so the tunneled device cannot answer from
+                # a dispatch cache — PERF.md measurement caveats). Min of
+                # two: one noisy high reading otherwise under-fuses the
+                # most-used bucket for the whole serving session.
+                best = float("inf")
+                for fill in (1, 2):
+                    t1 = time.perf_counter()
+                    kv = self._run_dummy_decode(cache_engine.kv_caches, b,
+                                                token_fill=fill)
+                    jax.block_until_ready(jax.tree_util.tree_leaves(kv)[0])
+                    best = min(best, (time.perf_counter() - t1) * 1e3)
+                    cache_engine.kv_caches = kv
+                self._bucket_step_ms[b] = best
         K = self.scheduler_config.num_scheduler_steps
         if K > 1:  # the fused multi-step executable used in steady state
             for b in decode_buckets:
-                K_b = self._pick_fused_k(b, K)
-                self._fused_k_table[b] = K_b
+                self._fused_k_table[b] = self._pick_fused_k(b, K)
+            # monotone smoothing: a smaller bucket's step time cannot
+            # genuinely exceed a larger bucket's, so its K must be at
+            # least the larger bucket's (guards against one noisy timing
+            # pinning a mid-lattice bucket at K=1)
+            for i in range(len(decode_buckets) - 2, -1, -1):
+                b, nxt = decode_buckets[i], decode_buckets[i + 1]
+                self._fused_k_table[b] = max(self._fused_k_table[b],
+                                             self._fused_k_table[nxt])
+            for b in decode_buckets:
+                K_b = self._fused_k_table[b]
                 if K_b <= 1:
                     continue
                 tb = time.time()
