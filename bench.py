@@ -130,7 +130,8 @@ def build_engine():
             wbytes = int(32 * per_layer * 0.5) + 2 * (128256 * 4096 * 2)
         # decode matmul FLOPs/token: the full linear stack + bf16 lm_head
         FLOPS_PER_TOKEN = 2.0 * (32 * per_layer + 128256 * 4096)
-    hf_cfg.architectures = ["LlamaForCausalLM"]
+    if not getattr(hf_cfg, "architectures", None):
+        hf_cfg.architectures = ["LlamaForCausalLM"]
 
     # Fit the decode window to the chip's actual HBM: weights + the KV
     # override must leave headroom for activations/workspace. Without this

@@ -209,8 +209,13 @@ def check_moe_grouped_gemm(rng):
     ref_q = jax.jit(fused_moe_dense)(x, gdense, udense, ddense, weights, ids)
     out_q = jax.jit(lambda *a: fused_moe_quant(
         *a, bits=bits, group_size=group))(x, experts, weights, ids)
-    check("moe grouped-GEMM w4a16 packed experts", out_q, ref_q, rtol=5e-2,
-          atol=5e-1)
+    check("moe grouped dequant-GEMM w4a16 (Pallas)", out_q, ref_q,
+          rtol=5e-2, atol=5e-1)
+    from neural_magic_vllm_tpu.ops.moe import fused_moe_quant_dequant
+    out_qd = jax.jit(lambda *a: fused_moe_quant_dequant(
+        *a, bits=bits, group_size=group))(x, experts, weights, ids)
+    check("moe dequant+ragged_dot w4a16 (fallback)", out_qd, ref_q,
+          rtol=5e-2, atol=5e-1)
 
 
 def main():

@@ -141,9 +141,81 @@ def dequant_expert_weights(qweight: jax.Array,  # [E, K//pf, N] int32
     return jax.vmap(one)(qweight, scales)
 
 
-def fused_moe_quant(x, experts: dict, topk_weights, topk_ids, *, bits: int,
-                    group_size: int):
-    """fused_moe over WNA16-packed expert weights."""
+def _align_by_expert(topk_ids: jax.Array, num_experts: int, tile_m: int):
+    """The moe_align_block_size role (reference fused_moe.py:166-221):
+    sort token replicas by expert and compute ALIGNED destination rows so
+    each expert's group starts at a tile_m boundary — every row tile then
+    belongs to exactly one expert. Returns (src_token [M], dest [M],
+    expert_of_tile [M_pad//tile_m], M_pad); padding rows stay zero."""
+    T, K = topk_ids.shape
+    M = T * K
+    E = num_experts
+    flat_ids = topk_ids.reshape(-1)
+    order = jnp.argsort(flat_ids, stable=True)
+    sorted_ids = flat_ids[order]
+    src_token = (order // K).astype(jnp.int32)
+    group_sizes = jnp.zeros((E, ), jnp.int32).at[flat_ids].add(1)
+    padded = ((group_sizes + tile_m - 1) // tile_m) * tile_m
+    pstart = jnp.concatenate([jnp.zeros((1, ), jnp.int32),
+                              jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    gstart = jnp.concatenate([jnp.zeros((1, ), jnp.int32),
+                              jnp.cumsum(group_sizes)[:-1].astype(jnp.int32)])
+    rank = jnp.arange(M, dtype=jnp.int32) - gstart[sorted_ids]
+    dest = pstart[sorted_ids] + rank
+    # static worst case: each expert wastes < tile_m rows of padding
+    M_pad = ((M + tile_m - 1) // tile_m) * tile_m + E * tile_m
+    tile_row = jnp.arange(M_pad // tile_m, dtype=jnp.int32) * tile_m
+    cum = jnp.cumsum(padded).astype(jnp.int32)
+    e_of_tile = jnp.searchsorted(cum, tile_row, side="right").astype(
+        jnp.int32)
+    e_of_tile = jnp.minimum(e_of_tile, E - 1)  # trailing all-zero tiles
+    return src_token, dest, e_of_tile, M_pad, order
+
+
+def fused_moe_quant_grouped(x, experts: dict, topk_weights, topk_ids, *,
+                            bits: int, group_size: int):
+    """Grouped Pallas dequant-GEMM MoE: packed experts stream from HBM at
+    quantized width per tile (see ops/pallas_quant.quant_grouped_matmul_
+    pallas) — no dense expert tensor is ever materialized. This is the
+    TPU answer to the reference's Marlin-tiled fused_moe pipeline."""
+    from neural_magic_vllm_tpu.ops.pallas_quant import (
+        quant_grouped_matmul_pallas)
+    from neural_magic_vllm_tpu.ops.quant import select_k_tile
+    T, H = x.shape
+    E = experts["w_gate_q"].shape[0]
+    # bigger tiles amortize weight re-streaming when M is large (prefill)
+    tile_m = 128 if T * topk_ids.shape[1] <= 2048 else 256
+    src_token, dest, e_of_tile, M_pad, order = _align_by_expert(
+        topk_ids, E, tile_m)
+    x_al = jnp.zeros((M_pad, H), x.dtype).at[dest].set(x[src_token])
+
+    kt_h = select_k_tile(H, group_size, bits)
+    gate = quant_grouped_matmul_pallas(
+        x_al, e_of_tile, experts["w_gate_q"], experts["w_gate_s"],
+        bits=bits, k_tile=kt_h, group_size=group_size, tile_m=tile_m)
+    up = quant_grouped_matmul_pallas(
+        x_al, e_of_tile, experts["w_up_q"], experts["w_up_s"],
+        bits=bits, k_tile=kt_h, group_size=group_size, tile_m=tile_m)
+    act = (jax.nn.silu(gate.astype(jnp.float32)) *
+           up.astype(jnp.float32)).astype(x.dtype)
+    I = act.shape[1]
+    kt_i = select_k_tile(I, group_size, bits)
+    down = quant_grouped_matmul_pallas(
+        act, e_of_tile, experts["w_down_q"], experts["w_down_s"],
+        bits=bits, k_tile=kt_i, group_size=group_size, tile_m=tile_m)
+
+    w_flat = topk_weights.reshape(-1)[order]
+    out = jnp.zeros((T, H), jnp.float32).at[src_token].add(
+        down[dest].astype(jnp.float32) * w_flat[:, None])
+    return out.astype(x.dtype)
+
+
+def fused_moe_quant_dequant(x, experts: dict, topk_weights, topk_ids, *,
+                            bits: int, group_size: int):
+    """Fallback: dequantize the full expert stacks in-graph, then run the
+    selected dense/ragged backend. Materializes dense bf16 experts every
+    step — correct everywhere, but HBM-traffic-bound; kept for backends
+    where the grouped Pallas kernel's preconditions don't hold."""
     from neural_magic_vllm_tpu.ops.quant import select_k_tile
     H = x.shape[1]
     kt_h = select_k_tile(H, group_size, bits)
@@ -156,3 +228,33 @@ def fused_moe_quant(x, experts: dict, topk_weights, topk_ids, *, bits: int,
     wd = dequant_expert_weights(experts["w_down_q"], experts["w_down_s"],
                                 bits, kt_i, I, group_size, x.dtype)
     return fused_moe(x, wg, wu, wd, topk_weights, topk_ids)
+
+
+def fused_moe_quant(x, experts: dict, topk_weights, topk_ids, *, bits: int,
+                    group_size: int):
+    """fused_moe over WNA16-packed expert weights. Grouped Pallas kernel by
+    default; NMV_TPU_MOE_BACKEND=dense/ragged forces the dequantizing
+    fallback."""
+    from neural_magic_vllm_tpu import envs
+    from neural_magic_vllm_tpu.ops.quant import select_k_tile
+    H = x.shape[1]
+    pf = 32 // bits
+    I = experts["w_down_q"].shape[1] * pf
+
+    def _fast(k):
+        gs = k if group_size in (-1, None) else group_size
+        try:
+            kt = select_k_tile(k, group_size, bits)
+        except ValueError:
+            return False
+        stripe = kt // pf
+        n = {H: I, I: H}[k]
+        return (n % 128 == 0 and
+                (gs >= kt or (kt % gs == 0 and gs % stripe == 0)))
+
+    if envs.NMV_TPU_MOE_BACKEND in ("dense", "ragged") or not (
+            _fast(H) and _fast(I)):
+        return fused_moe_quant_dequant(x, experts, topk_weights, topk_ids,
+                                       bits=bits, group_size=group_size)
+    return fused_moe_quant_grouped(x, experts, topk_weights, topk_ids,
+                                   bits=bits, group_size=group_size)

@@ -135,6 +135,146 @@ def _make_kernel_w4a8(bits: int, k_tile: int, groups_per_tile: int,
     return kernel
 
 
+def _make_grouped_kernel_fast(bits: int, k_tile: int, groups_per_tile: int,
+                              n_k: int, has_zeros: bool):
+    """Grouped (MoE) variant of the fast kernel: the m-tile's expert is
+    resolved by the BlockSpec index maps from the prefetched expert-of-tile
+    scalar array, so weight/scale blocks arrive with a leading singleton
+    expert axis. Same per-group dot + algebraic zero-point fold as
+    _make_kernel_fast."""
+    pf = 32 // bits
+    mask = (1 << bits) - 1
+    sym_zero = float(1 << (bits - 1))
+    stripe = k_tile // pf
+    slots_per_group = pf // groups_per_tile
+
+    def kernel(e_ref, x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref):
+        del e_ref  # consumed by the index maps
+        k_step = pl.program_id(2)
+
+        @pl.when(k_step == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        qw = qw_ref[0]  # [stripe, TN] int32
+        xf = x_ref[:]
+        glen = slots_per_group * stripe
+        for g in range(groups_per_tile):
+            slabs = [
+                ((qw >> (bits * i)) & mask).astype(jnp.float32).astype(
+                    jnp.bfloat16)
+                for i in range(g * slots_per_group,
+                               (g + 1) * slots_per_group)
+            ]
+            qcat = slabs[0] if len(slabs) == 1 else jnp.concatenate(
+                slabs, axis=0)
+            x_g = xf[:, g * glen:(g + 1) * glen]
+            dot_acc = jnp.dot(x_g, qcat, preferred_element_type=jnp.float32)
+            rs_acc = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)
+            s_row = s_ref[0, 0, g:g + 1, :]  # [1, TN] f32
+            if has_zeros:
+                z_row = z_ref[0, 0, g:g + 1, :]
+                acc_ref[:] += (dot_acc - rs_acc * z_row) * s_row
+            else:
+                acc_ref[:] += (dot_acc - rs_acc * sym_zero) * s_row
+
+        @pl.when(k_step == n_k - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "k_tile", "group_size",
+                                             "tile_m", "tile_n"))
+def quant_grouped_matmul_pallas(x_al: jax.Array, expert_of_tile: jax.Array,
+                                qweight: jax.Array, scales: jax.Array,
+                                zeros: Optional[jax.Array] = None, *,
+                                bits: int, k_tile: int, group_size: int,
+                                tile_m: int = 128,
+                                tile_n: int = 512) -> jax.Array:
+    """Grouped WxA16 dequant-GEMM for MoE expert stacks (the megablox gmm
+    role; reference anchor: the Marlin-tiled fused_moe block-GEMM pipeline,
+    vllm/model_executor/layers/fused_moe/fused_moe.py:402-527).
+
+    x_al [M_pad, K] bf16 — token replicas sorted by expert and ALIGNED so
+    every tile_m row tile belongs to exactly one expert (the
+    moe_align_block_size contract, fused_moe.py:166-221; padding rows are
+    zero). expert_of_tile [M_pad//tile_m] i32 maps each row tile to its
+    expert. qweight [E, K//pf, N] int32 (pack_int_tiled per expert),
+    scales [E, G, N]. The packed weight streams from HBM at quantized
+    width per tile — the dense expert tensor never exists in HBM (vs the
+    dequant-then-ragged_dot fallback, which materializes it every step).
+    """
+    M_pad, K = x_al.shape
+    E, _, N = qweight.shape
+    G = scales.shape[1]
+    gs = K if group_size in (-1, None) else group_size
+    n_k = K // k_tile
+    assert n_k * k_tile == K, (K, k_tile)
+    assert M_pad % tile_m == 0, (M_pad, tile_m)
+    pf = 32 // bits
+    stripe = k_tile // pf
+    # fast-path precondition (every packed slot inside one quant group)
+    assert gs >= k_tile or (k_tile % gs == 0 and gs % stripe == 0), \
+        (gs, k_tile, stripe)
+    if N % tile_n == 0:
+        tn = tile_n
+    else:
+        assert N % 128 == 0, N
+        tn = 128
+
+    gpt = k_tile // gs if gs <= k_tile else 1
+    # per-expert tiled scales: [E, n_k, pad8(gpt), N]
+    s_tiled = jax.vmap(lambda s: _tile_groups(s.astype(jnp.float32), n_k,
+                                              k_tile, gs, K))(scales)
+    gpt_pad = s_tiled.shape[2]
+    has_zeros = zeros is not None
+    if has_zeros:
+        z_tiled = jax.vmap(lambda z: _tile_groups(z.astype(jnp.float32),
+                                                  n_k, k_tile, gs, K))(zeros)
+    else:
+        z_tiled = jnp.zeros_like(s_tiled)
+
+    kernel = _make_grouped_kernel_fast(bits, k_tile, gpt, n_k, has_zeros)
+    s_spec = pl.BlockSpec((1, 1, gpt_pad, tn),
+                          lambda m, n, k, e: (e[m], k, 0, n),
+                          memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(M_pad // tile_m, N // tn, n_k),
+        in_specs=[
+            pl.BlockSpec((tile_m, k_tile), lambda m, n, k, e: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_tile // pf, tn),
+                         lambda m, n, k, e: (e[m], k, n),
+                         memory_space=pltpu.VMEM),
+            s_spec,
+            s_spec,
+        ],
+        out_specs=pl.BlockSpec((tile_m, tn), lambda m, n, k, e: (m, n),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tile_m, tn), jnp.float32)],
+    )
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M_pad, N), x_al.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M_pad * N * K,
+            bytes_accessed=(M_pad * K * 2 +
+                            (M_pad // tile_m) * K * N * bits // 8 +
+                            M_pad * N * 2),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(expert_of_tile, x_al.astype(jnp.bfloat16), qweight, s_tiled, z_tiled)
+    return out
+
+
 def _make_kernel(bits: int, k_tile: int, groups_per_tile: int,
                  n_k: int, has_zeros: bool):
     pf = 32 // bits

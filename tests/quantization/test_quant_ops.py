@@ -200,6 +200,54 @@ def test_fused_moe_quant_vs_dense():
                                rtol=2e-2, atol=2e-3)
 
 
+@pytest.mark.parametrize("skew", ["balanced", "one_hot", "empty_expert"])
+def test_fused_moe_quant_grouped_vs_dequant(skew):
+    """Grouped Pallas dequant-GEMM MoE == the dequantize-everything
+    fallback, including degenerate routings: all tokens on one expert and
+    experts that receive zero tokens (reference moe_align_block_size
+    sentinel-padding contract, fused_moe.py:166-221)."""
+    from neural_magic_vllm_tpu.ops.moe import (fused_moe_quant_dequant,
+                                               fused_moe_quant_grouped,
+                                               topk_softmax)
+
+    rng = np.random.default_rng(7)
+    E, H, I, T, topk, bits, gs = 8, 256, 512, 40, 2, 4, 128
+
+    def make(k, n):
+        q = rng.integers(0, 2**bits, (E, k, n)).astype(np.uint32)
+        scales = (rng.uniform(0.5, 1.5, (E, k // gs, n)) *
+                  0.02).astype(np.float32)
+        kt = select_k_tile(k, gs, bits)
+        packed = np.stack([pack_int_tiled(q[e], bits, kt)
+                           for e in range(E)])
+        return jnp.asarray(packed), jnp.asarray(scales)
+
+    gq, gsc = make(H, I)
+    uq, usc = make(H, I)
+    dq, dsc = make(I, H)
+    experts = {"w_gate_q": gq, "w_gate_s": gsc, "w_up_q": uq, "w_up_s": usc,
+               "w_down_q": dq, "w_down_s": dsc}
+    x = jnp.asarray(rng.standard_normal((T, H)), jnp.float32)
+    if skew == "one_hot":
+        ids = jnp.full((T, topk), 3, jnp.int32)
+        weights = jnp.full((T, topk), 1.0 / topk, jnp.float32)
+    elif skew == "empty_expert":
+        # only experts {0, 5} ever selected; six experts get zero rows
+        ids = jnp.asarray(rng.choice([0, 5], size=(T, topk)), jnp.int32)
+        weights = jnp.full((T, topk), 1.0 / topk, jnp.float32)
+    else:
+        logits = jnp.asarray(rng.standard_normal((T, E)), jnp.float32)
+        weights, ids = topk_softmax(logits, topk)
+    out_g = fused_moe_quant_grouped(x, experts, weights, ids, bits=bits,
+                                    group_size=gs)
+    out_d = fused_moe_quant_dequant(x, experts, weights, ids, bits=bits,
+                                    group_size=gs)
+    # the grouped kernel contracts in bf16 (the golden in f32): abs error
+    # scales with output magnitude (~8 here), not with a fixed atol
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_d),
+                               rtol=2e-2, atol=6e-2)
+
+
 @pytest.mark.parametrize("gs,K,N,M,zeros", [
     (128, 1024, 512, 8, True),
     (128, 512, 256, 64, False),
