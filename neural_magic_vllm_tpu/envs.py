@@ -40,9 +40,15 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # log (reference VLLM_TRACE_FUNCTION, envs.py:199). Very slow.
     "NMV_TPU_TRACE_FUNCTION":
     lambda: bool(int(os.getenv("NMV_TPU_TRACE_FUNCTION", "0"))),
-    # MoE expert-GEMM backend: "ragged" (grouped GEMM) or "dense".
+    # MoE expert-GEMM backend: "auto" (grouped Pallas dequant-GEMM for
+    # packed experts, ragged_dot for dense), "ragged" (force
+    # dequant+ragged_dot) or "dense" (force dense-dispatch einsum).
     "NMV_TPU_MOE_BACKEND":
-    lambda: os.getenv("NMV_TPU_MOE_BACKEND", "ragged"),
+    lambda: os.getenv("NMV_TPU_MOE_BACKEND", "auto"),
+    # Multi-LoRA apply: "" auto (grouped ragged_dot when slots > 8),
+    # "1" force grouped, "0" force all-slots einsum.
+    "NMV_TPU_LORA_GROUPED":
+    lambda: os.getenv("NMV_TPU_LORA_GROUPED", ""),
     # Batch-size ceiling for the multi-sequence-per-program decode
     # attention variant (small-batch/long-context regime).
     "NMV_TPU_DECODE_MULTISEQ_MAX_BATCH":

@@ -11,9 +11,24 @@ from neural_magic_vllm_tpu.models.llama import LlamaForCausalLM
 
 @register_model("LlamaModel", "MistralModel", "LlamaEmbeddingModel")
 class LlamaEmbeddingModel(LlamaForCausalLM):
-    """Pooling type LAST (reference Pooler, pooler.py:56)."""
+    """Default pooling type LAST (reference Pooler, pooler.py:56; ALL and
+    CLS supported per the reference PoolingType enum — override via the
+    checkpoint config's ``pooling_type`` or the model subclass)."""
 
     is_embedding_model = True
+    pooling_type = "LAST"  # one of LAST / ALL / CLS
+
+    def __init__(self, model_config, parallel_config=None,
+                 quant_config=None):
+        super().__init__(model_config, parallel_config, quant_config)
+        override = getattr(model_config.hf_config, "pooling_type", None)
+        if override:
+            override = str(override).upper()
+            if override not in ("LAST", "ALL", "CLS"):
+                raise ValueError(
+                    f"pooling_type {override!r} not supported "
+                    "(LAST / ALL / CLS; reference layers/pooler.py:56)")
+            self.pooling_type = override
 
     def _load_into_layers(self, layers, name: str, w, params) -> bool:
         # bare-backbone checkpoints drop the "model." prefix

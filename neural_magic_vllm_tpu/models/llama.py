@@ -330,12 +330,23 @@ class LlamaForCausalLM:
                ("q", "k", "v", "gate", "up")):
             self.merged = False  # act-order states cannot merge
             return params
+        lm = self.linear_method
         import numpy as _np
 
         def concat(parts):
             keys = set(parts[0])
             if any(set(p) != keys for p in parts):
                 return None
+            # same mergeability rule as LinearMethod.merge_params: keys
+            # outside _MERGE_AXIS (per-tensor weight_scale, input_perm,
+            # codebooks) make the shards non-concatenable — fp8's
+            # per-shard scales would otherwise be blindly concatenated
+            # into a [n_shards*L] array that breaks the layer scan
+            if not keys.issubset(lm._MERGE_AXIS):
+                return None
+            # layer-stacked params carry N on the last axis for every
+            # mergeable key (bias stacks to [L, N] too), so axis=-1 is
+            # the stacked analogue of _MERGE_AXIS
             return {k: jnp.concatenate([p[k] for p in parts], axis=-1)
                     for k in keys}
 

@@ -86,6 +86,16 @@ class Phi3SmallForCausalLM(GPTFamilyForCausalLM):
                                      self.num_kv_heads, scale=scale,
                                      blocksparse=bs_params) \
             if self.dense_every != 1 else self.attn_dense
+        if self.dense_every != 1:
+            from neural_magic_vllm_tpu.logger import init_logger
+            init_logger(__name__).warning(
+                "phi3_small blocksparse layers run the jnp reference mask "
+                "path, not the paged Pallas decode kernel (reference runs "
+                "a dedicated blocksparse kernel, "
+                "backends/blocksparse_attn.py:410). Correct but "
+                "bandwidth-bound: decode reads the full context for "
+                "sparse layers. Expect materially lower decode tok/s than "
+                "dense models of this size.")
 
     def _intermediate_size(self, cfg) -> int:
         return cfg.intermediate_size

@@ -1,12 +1,21 @@
 """DeepSpeedFP weight quantization (reference
 vllm/model_executor/layers/quantization/deepspeedfp.py, used by Arctic):
 ordinary fp16/bf16 checkpoints are quantized AT LOAD into low-bit float
-storage to halve HBM residency, and dequantized on the fly.
+storage to cut HBM residency, and dequantized on the fly.
 
-TPU version: fp8 (e4m3) storage with a per-output-channel absmax scale —
-native fp8 arrays in HBM, dequant fused into the matmul epilogue (the
-scale is per-column so it commutes with the contraction). 6/12-bit
-DeepSpeed floats have no TPU storage dtype; quant_bits != 8 is rejected."""
+TPU version, by bit width:
+- 8-bit: fp8 (e4m3) storage with a per-output-channel absmax scale —
+  native fp8 arrays in HBM, dequant fused into the matmul epilogue (the
+  scale is per-column so it commutes with the contraction).
+- 6-bit (e3m2) / 12-bit (e4m7): no native TPU storage dtype, so the
+  weights are rounded to the exact fp6/fp12 value grid at load and stored
+  as integer CODES (uint8 / uint16); dequant is one in-graph LUT gather
+  (64 / 4096 entries). Numerics match the DeepSpeed float format
+  bit-for-bit; storage rounds up to the container byte width (1 B / 2 B
+  per weight), which still halves (or quarters) bf16 residency.
+4-bit is rejected (reference supports 4/6/8/12; fp4 accuracy without
+DeepSpeed's own finetuning flow is not a serving configuration we keep).
+"""
 from typing import Any, Dict
 
 import jax
@@ -20,10 +29,46 @@ from neural_magic_vllm_tpu.quantization.base import QuantizationConfig
 _FP8_MAX = 448.0  # e4m3 finite max
 
 
+def _float_grid(exp_bits: int, man_bits: int) -> np.ndarray:
+    """All 2^(1+exp_bits+man_bits) values of a sign/exp/mantissa float
+    format (no inf/nan: the top exponent is an ordinary binade, matching
+    DeepSpeed's saturating quantizer). Index == code."""
+    n = 1 << (1 + exp_bits + man_bits)
+    codes = np.arange(n, dtype=np.uint32)
+    sign = np.where(codes >> (exp_bits + man_bits), -1.0, 1.0)
+    exp = (codes >> man_bits) & ((1 << exp_bits) - 1)
+    man = codes & ((1 << man_bits) - 1)
+    bias = (1 << (exp_bits - 1)) - 1
+    frac = man.astype(np.float64) / (1 << man_bits)
+    normal = (1.0 + frac) * np.exp2(exp.astype(np.float64) - bias)
+    subnormal = frac * np.exp2(1.0 - bias)
+    return (sign * np.where(exp == 0, subnormal, normal)).astype(np.float32)
+
+
+_FORMATS = {6: (3, 2), 12: (4, 7)}  # bits -> (exp_bits, man_bits)
+
+
+def _quantize_to_grid(w: np.ndarray, grid: np.ndarray) -> np.ndarray:
+    """Round-to-nearest onto the format grid; returns integer codes."""
+    order = np.argsort(grid)
+    sorted_vals = grid[order]
+    # nearest-neighbour via midpoints
+    mids = (sorted_vals[1:] + sorted_vals[:-1]) / 2
+    idx = np.searchsorted(mids, w)
+    return order[idx].astype(np.uint16)
+
+
 class DeepSpeedFPLinearMethod(LinearMethod):
 
     hf_param_names = ("weight", "bias")
     hf_transpose = ("weight", )
+
+    def __init__(self, weight_bits: int = 8) -> None:
+        self.weight_bits = weight_bits
+        if weight_bits != 8:
+            eb, mb = _FORMATS[weight_bits]
+            self._grid = _float_grid(eb, mb)
+            self._fmax = float(np.max(self._grid))
 
     def create_params(self, rng, in_features, out_features, use_bias):
         scale = 1.0 / np.sqrt(in_features)
@@ -52,15 +97,25 @@ class DeepSpeedFPLinearMethod(LinearMethod):
     def convert_hf(self, raw: Dict[str, np.ndarray]) -> Dict[str, Any]:
         w = raw["weight"].astype(np.float32)  # [K, N]
         absmax = np.abs(w).max(axis=0, keepdims=True)  # [1, N]
-        scale = np.maximum(absmax, 1e-12) / _FP8_MAX
-        q = (w / scale).astype(jnp.float8_e4m3fn)
+        if self.weight_bits == 8:
+            scale = np.maximum(absmax, 1e-12) / _FP8_MAX
+            q = (w / scale).astype(jnp.float8_e4m3fn)
+        else:
+            scale = np.maximum(absmax, 1e-12) / self._fmax
+            codes = _quantize_to_grid(w / scale, self._grid)
+            q = codes.astype(np.uint8) if self.weight_bits == 6 else codes
         params = {"qweight": q, "weight_scale": scale.astype(np.float32)}
         if "bias" in raw:
             params["bias"] = raw["bias"].astype(np.float32)
         return params
 
     def apply(self, params: Dict[str, Any], x: jax.Array) -> jax.Array:
-        w = params["qweight"].astype(jnp.float32)
+        qw = params["qweight"]
+        if self.weight_bits == 8:
+            w = qw.astype(jnp.float32)
+        else:
+            table = jnp.asarray(self._grid)
+            w = jnp.take(table, qw.astype(jnp.int32), axis=0)
         out = jnp.dot(x.astype(jnp.float32), w,
                       preferred_element_type=jnp.float32)
         out = out * params["weight_scale"]
@@ -73,10 +128,10 @@ class DeepSpeedFPConfig(QuantizationConfig):
 
     def __init__(self, weight_bits: int = 8,
                  group_size: int = 512) -> None:
-        if weight_bits != 8:
+        if weight_bits not in (6, 8, 12):
             raise ValueError(
                 f"deepspeedfp quant_bits={weight_bits} unsupported on TPU "
-                "(8 only: fp8 e4m3 storage)")
+                "(6 / 8 / 12; fp4 rejected — see module docstring)")
         self.weight_bits = weight_bits
         self.group_size = group_size
 
@@ -91,4 +146,4 @@ class DeepSpeedFPConfig(QuantizationConfig):
                    group_size=int(config.get("group_size", 512)))
 
     def get_linear_method(self) -> DeepSpeedFPLinearMethod:
-        return DeepSpeedFPLinearMethod()
+        return DeepSpeedFPLinearMethod(self.weight_bits)

@@ -160,6 +160,9 @@ class TPUModelRunner:
         # request_id -> flat projected image embeddings (multimodal prefill;
         # computed once, reused across chunked-prefill steps)
         self._mm_cache: Dict[str, Any] = {}
+        # per-seq partial pooling state for chunked embedding prefills
+        # (CLS first-token hidden / ALL per-chunk hiddens)
+        self._pool_stash: Dict[int, Any] = {}
         # stateful (mamba) models: seq_id -> recurrent-state slot, LRU —
         # slots not referenced by the current step belong to finished or
         # RECOMPUTE-preempted sequences and are safe to recycle (a fresh
@@ -987,6 +990,7 @@ class TPUModelRunner:
         for sid in seq_ids:
             self._draft_seen.pop(sid, None)
             self._spec_hidden.pop(sid, None)
+            self._pool_stash.pop(sid, None)
 
     def execute_model(
         self,
@@ -1402,7 +1406,26 @@ class TPUModelRunner:
                             jnp.asarray(tokens), jnp.asarray(positions),
                             meta, lora, lidx)
         cache_engine.kv_caches = new_kv
-        if end < seq_data.get_len():  # chunked prefill: not done yet
+        ptype = getattr(self.model, "pooling_type", "LAST")
+        done = end >= seq_data.get_len()
+        if ptype == "CLS":
+            # first REAL token's hidden state (chunk 0 carries it)
+            if computed == 0:
+                self._pool_stash[seq_id] = np.asarray(hidden[0], np.float32)
+            if not done:
+                return EmbeddingSequenceGroupOutput(embeddings=None)
+            return EmbeddingSequenceGroupOutput(
+                embeddings=self._pool_stash.pop(seq_id).tolist())
+        if ptype == "ALL":
+            # per-token hidden states across all chunks [total, H]
+            chunk_h = np.asarray(hidden[:S], np.float32)
+            if not done:
+                self._pool_stash.setdefault(seq_id, []).append(chunk_h)
+                return EmbeddingSequenceGroupOutput(embeddings=None)
+            parts = self._pool_stash.pop(seq_id, []) + [chunk_h]
+            return EmbeddingSequenceGroupOutput(
+                embeddings=np.concatenate(parts, axis=0).tolist())
+        if not done:  # LAST: only the final chunk's tail matters
             return EmbeddingSequenceGroupOutput(embeddings=None)
         emb = np.asarray(hidden[S - 1], np.float32).tolist()
         return EmbeddingSequenceGroupOutput(embeddings=emb)

@@ -1,6 +1,8 @@
 """Multi-step (fused K-iteration) decode correctness: outputs must equal
 single-step decoding exactly (greedy) on the same model."""
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e: full engines / multi-process / model-family goldens
+
 
 PROMPTS = [[1, 17, 29, 45, 8, 100], [1, 5, 9], [1, 7, 11, 13, 17, 19, 23]]
 

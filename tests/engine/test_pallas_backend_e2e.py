@@ -7,6 +7,8 @@ driver must size prefill table rows to span context + chunk (caught by
 code review; CPU engine tests previously only ever ran the jnp backend,
 so a driver/kernel metadata mismatch could ship silently)."""
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e: full engines / multi-process / model-family goldens
+
 
 from tests.utils import create_tiny_llama_checkpoint
 

@@ -10,6 +10,8 @@ _can_append_slots claim "no space" with probability 0.5 for the first 500
 decode steps, so every run exercises preempt + re-admission repeatedly.
 """
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e: full engines / multi-process / model-family goldens
+
 
 from neural_magic_vllm_tpu import LLM, SamplingParams
 

@@ -97,6 +97,7 @@ def test_sliding_window_kernel(window):
                                atol=2e-2)
 
 
+@pytest.mark.slow
 def test_multiseq_variant_matches_ref():
     """Multi-seq-per-program kernel (small-batch regime) vs reference,
     including a batch that is not a multiple of SEQS_PER_PROGRAM and

@@ -7,6 +7,8 @@ import os
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e: full engines / multi-process / model-family goldens
+
 
 from tests.utils import create_tiny_llama_checkpoint
 
@@ -177,3 +179,31 @@ def test_lora_management_api(lora_setup):
     assert eng.add_lora(LoRARequest("a1", 7, a1))
     assert 7 in eng.list_loras()
     assert eng.remove_lora(7) is False or 7 not in eng.list_loras()
+
+
+def test_apply_lora_grouped_matches_dense():
+    """The O(1)-in-S grouped ragged_dot formulation == the all-slots
+    einsum formulation (reference punica bgmv contract,
+    csrc/punica/bgmv/bgmv_impl.cuh), including slot-0 null-adapter rows
+    and slots with zero tokens."""
+    import jax.numpy as jnp
+    from neural_magic_vllm_tpu.lora.layers import (apply_lora_dense,
+                                                   apply_lora_grouped)
+    rng = np.random.default_rng(3)
+    T, IN, OUT, S, r = 24, 64, 96, 12, 8
+    x = jnp.asarray(rng.standard_normal((T, IN)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((S, IN, r)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((S, r, OUT)) * 0.1, jnp.float32)
+    a = a.at[0].set(0.0)
+    b = b.at[0].set(0.0)
+    scaling = jnp.asarray(rng.uniform(0.5, 2.0, S), jnp.float32)
+    # mixed batch: null rows, a hot slot, and most slots unused
+    idx = jnp.asarray(rng.choice([0, 0, 3, 7], size=T), jnp.int32)
+    out_d = apply_lora_dense(x, a, b, scaling, idx)
+    out_g = apply_lora_grouped(x, a, b, scaling, idx)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_d),
+                               rtol=1e-4, atol=1e-4)
+    # null rows produce zero delta in both
+    null_rows = np.asarray(idx) == 0
+    np.testing.assert_allclose(np.asarray(out_g)[null_rows], 0.0,
+                               atol=1e-6)

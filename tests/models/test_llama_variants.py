@@ -6,6 +6,8 @@ import os
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e: full engines / multi-process / model-family goldens
+
 
 from tests.utils import create_tiny_llama_checkpoint, create_tiny_tokenizer
 

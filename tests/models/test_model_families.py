@@ -3,6 +3,8 @@ tiny random checkpoints for each family, engine greedy vs HF transformers
 argmax agreement."""
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e: full engines / multi-process / model-family goldens
+
 
 from tests.utils import create_tiny_tokenizer, hf_forward_logits
 
@@ -138,6 +140,48 @@ def test_llama_embedding(tmp_path, tiny_llama_dir):
             hidden = hf.model(
                 torch.tensor([prompt])).last_hidden_state[0, -1].numpy()
         np.testing.assert_allclose(emb, hidden, rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("ptype", ["CLS", "ALL"])
+def test_llama_embedding_pooling_types(tmp_path, tiny_llama_dir, ptype):
+    """Pooling types ALL and CLS (reference PoolingType, pooler.py:56):
+    CLS == HF hidden state of token 0; ALL == per-token hidden states.
+    Run with chunked prefill so the multi-chunk stash path is exercised."""
+    import json
+    import os
+    import shutil
+    d = str(tmp_path / f"llama-embed-{ptype}")
+    shutil.copytree(tiny_llama_dir, d)
+    with open(os.path.join(d, "config.json")) as f:
+        cfg = json.load(f)
+    cfg["architectures"] = ["LlamaModel"]
+    cfg["pooling_type"] = ptype
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+    from neural_magic_vllm_tpu import LLM
+    llm = LLM(model=d, dtype="float32", max_model_len=128, block_size=16,
+              num_gpu_blocks_override=64, max_num_seqs=8,
+              enforce_eager=True, disable_log_stats=True,
+              enable_chunked_prefill=True, max_num_batched_tokens=16)
+    outs = llm.encode(prompt_token_ids=PROMPTS, use_tqdm=False)
+
+    import torch
+    from transformers import AutoModelForCausalLM
+    hf = AutoModelForCausalLM.from_pretrained(tiny_llama_dir,
+                                              torch_dtype=torch.float32)
+    hf.eval()
+    for prompt, out in zip(PROMPTS, outs):
+        emb = np.asarray(out.outputs.embedding, np.float32)
+        with torch.no_grad():
+            hidden = hf.model(torch.tensor([prompt])).last_hidden_state[0]
+        if ptype == "CLS":
+            np.testing.assert_allclose(emb, hidden[0].numpy(),
+                                       rtol=2e-2, atol=2e-3)
+        else:
+            assert emb.shape == (len(prompt), hidden.shape[1])
+            np.testing.assert_allclose(emb, hidden.numpy(),
+                                       rtol=2e-2, atol=2e-3)
 
 
 def test_jamba(tmp_path):

@@ -3,6 +3,9 @@ exactly match dp=1. The decode executables row-shard the batch over the
 mesh "data" axis (model_runner._dp_batch_constraint), so this exercises
 real GSPMD batch partitioning, not just replication. Composes with TP
 (dp2 x tp2 uses 4 of the 8 virtual devices)."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: full engines / multi-process / model-family goldens
 from tests.utils import create_tiny_llama_checkpoint
 
 PROMPTS = [[1, 17, 29, 45, 8, 100], [1, 5, 9], [7, 7, 7, 2], [9, 1]]

@@ -1,5 +1,8 @@
 """Host control plane: step payloads must round-trip across processes
 (the metadata side of multi-host continuous batching; no TPU pod needed)."""
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-process zmq plane timing tests
 import multiprocessing as mp
 import time
 

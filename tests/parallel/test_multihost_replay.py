@@ -15,6 +15,8 @@ Reference contract: driver/follower loop, worker_base.py:57-66,215-282.
 import jax
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e: full engines / multi-process / model-family goldens
+
 
 from neural_magic_vllm_tpu.parallel.multihost import (StepPayload,
                                                       follower_step)

@@ -8,6 +8,8 @@ Reference contract: PP serving via virtual engines
 here a single in-graph GPipe dispatch replaces them.
 """
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e: full engines / multi-process / model-family goldens
+
 
 from neural_magic_vllm_tpu import LLM, SamplingParams
 

@@ -4,6 +4,8 @@ must exactly match TP=1, including LoRA serving (default and
 matrix)."""
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e: full engines / multi-process / model-family goldens
+
 
 from tests.utils import create_tiny_llama_checkpoint
 

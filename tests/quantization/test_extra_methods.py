@@ -168,3 +168,30 @@ def test_bitsandbytes_nf4(tiny_llama, tmp_path):
         fp_t[name] = deq.T.astype(np.float32)
     fd = _write_ckpt(tiny_llama, str(tmp_path / "bnb_fp"), fp_t)
     assert _greedy(tiny_llama, quantization="bitsandbytes") == _greedy(fd)
+
+
+@pytest.mark.parametrize("bits", [6, 12])
+def test_deepspeedfp_6_12bit(tiny_llama, tmp_path, bits):
+    """fp6 (e3m2) / fp12 (e4m7) storage: engine over LUT-coded weights ==
+    engine over the host-dequantized fp32 twin (reference deepspeedfp
+    supports 4/6/8/12 bits; TPU keeps 6/8/12)."""
+    from safetensors.numpy import load_file
+    from neural_magic_vllm_tpu.quantization.deepspeedfp import (
+        _FORMATS, _float_grid, _quantize_to_grid)
+    eb, mb = _FORMATS[bits]
+    grid = _float_grid(eb, mb)
+    fmax = float(np.max(grid))
+    src = load_file(os.path.join(tiny_llama, "model.safetensors"))
+    fp_t = {}
+    for name, w in src.items():
+        if not _is_linear(name):
+            fp_t[name] = w
+            continue
+        wt = w.T.astype(np.float32)
+        scale = np.maximum(np.abs(wt).max(0, keepdims=True), 1e-12) / fmax
+        codes = _quantize_to_grid(wt / scale, grid)
+        fp_t[name] = (grid[codes] * scale).T.astype(np.float32)
+    qd = _write_ckpt(tiny_llama, str(tmp_path / f"ds_src{bits}"), src,
+                     {"quant_method": "deepspeedfp", "bits": bits})
+    fd = _write_ckpt(tiny_llama, str(tmp_path / f"ds_fp{bits}"), fp_t)
+    assert _greedy(qd) == _greedy(fd)

@@ -196,8 +196,10 @@ def test_fused_moe_quant_vs_dense():
     out_q = fused_moe_quant(x, experts, weights, ids, bits=bits,
                             group_size=gs)
     out_d = fused_moe(x, gd, ud, dd, weights, ids)
+    # default path = grouped Pallas kernel contracting in bf16; golden in
+    # f32 — abs tolerance must track output magnitude
     np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_d),
-                               rtol=2e-2, atol=2e-3)
+                               rtol=2e-2, atol=2e-2)
 
 
 @pytest.mark.parametrize("skew", ["balanced", "one_hot", "empty_expert"])

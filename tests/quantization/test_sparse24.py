@@ -12,6 +12,8 @@ import os
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # heavy e2e: full engines / multi-process / model-family goldens
+
 
 import jax.numpy as jnp
 
