@@ -39,7 +39,9 @@ def check_decode_attention(rng):
     ctx = jnp.asarray(rng.integers(1, W * bs, (B, )).astype(np.int32))
     scale = hd**-0.5
     for kw in ({}, {"alibi_slopes": get_alibi_slopes(nqh)},
-               {"logit_cap": 30.0}, {"sliding_window": 40}):
+               {"logit_cap": 30.0}, {"sliding_window": 40},
+               {"blocksparse": (32, 1, 4, True)},
+               {"blocksparse": (32, 1, 4, False)}):
         ref = decode_attention_ref(q, kc, vc, tables, ctx, scale=scale,
                                    **kw)
         out = decode_attention(q, kc, vc, tables, ctx, scale=scale, **kw)

@@ -60,9 +60,13 @@ class Attention:
             else None
         self.blocksparse = tuple(blocksparse) if blocksparse is not None \
             else None
-        if self.blocksparse is not None:
-            backend = "jnp"
         self._prefill_fn, self._decode_fn = get_attention_backend(backend)
+        if self.blocksparse is not None:
+            # prefill keeps the jnp reference mask path; DECODE routes to
+            # the Pallas blocksparse kernel (chunk-skipping paged loop —
+            # reference runs a dedicated kernel too,
+            # backends/blocksparse_attn.py:410)
+            self._prefill_fn, _ = get_attention_backend("jnp")
 
     def __call__(
         self,

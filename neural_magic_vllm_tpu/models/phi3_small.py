@@ -88,14 +88,12 @@ class Phi3SmallForCausalLM(GPTFamilyForCausalLM):
             if self.dense_every != 1 else self.attn_dense
         if self.dense_every != 1:
             from neural_magic_vllm_tpu.logger import init_logger
-            init_logger(__name__).warning(
-                "phi3_small blocksparse layers run the jnp reference mask "
-                "path, not the paged Pallas decode kernel (reference runs "
-                "a dedicated blocksparse kernel, "
-                "backends/blocksparse_attn.py:410). Correct but "
-                "bandwidth-bound: decode reads the full context for "
-                "sparse layers. Expect materially lower decode tok/s than "
-                "dense models of this size.")
+            init_logger(__name__).info(
+                "phi3_small blocksparse: decode runs the chunk-skipping "
+                "Pallas kernel; PREFILL runs the jnp reference mask path "
+                "(reference runs a dedicated kernel for both, "
+                "backends/blocksparse_attn.py:410) — expect prefill to be "
+                "bandwidth-bound at long prompts.")
 
     def _intermediate_size(self, cfg) -> int:
         return cfg.intermediate_size

@@ -200,10 +200,202 @@ def _decode_attention_pallas(q, k_cache, v_cache, block_tables,
     return out
 
 
+# --- blocksparse decode (phi3_small vertical-stride sparsity) ----------------
+#
+# Reference runs a dedicated Triton blocksparse kernel
+# (vllm/attention/backends/blocksparse_attn.py:410). TPU design: the paged
+# decode loop iterates a PRECOMPUTED per-sequence list of needed page
+# chunks — a chunk is skipped when no position in it is visible to ANY
+# head (outside the local window and containing no vertical column). At
+# phi3_small geometry (sparse block 64, local 16, vert_stride 8) deep
+# decode reads ~1/vert_stride of the distant context instead of all of it.
+# In-chunk, per-head vertical/local masks are applied before the online
+# softmax (heads differ when homo_head_pattern=False).
+
+
+def _decode_kernel_bsparse(tables_ref, ctx_ref, chunk_idx_ref, nneed_ref,
+                           q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, sems,
+                           *, kvh: int, group: int, bs: int, hd: int,
+                           ppc: int, kv_scale: float,
+                           logit_cap: Optional[float], sbs: int,
+                           local: int, vert: int, step: int):
+    b = pl.program_id(0)
+    ctx = ctx_ref[b]
+    n = nneed_ref[b]
+    qb = (ctx - 1) // sbs
+    T = ppc * bs
+
+    def start_chunk(c, slot):
+        for p in range(ppc):
+            page = tables_ref[b, c * ppc + p]
+            pltpu.make_async_copy(k_hbm.at[page], k_buf.at[slot, p],
+                                  sems.at[slot, p, 0]).start()
+            pltpu.make_async_copy(v_hbm.at[page], v_buf.at[slot, p],
+                                  sems.at[slot, p, 1]).start()
+
+    def wait_chunk(slot):
+        for p in range(ppc):
+            pltpu.make_async_copy(k_hbm.at[0], k_buf.at[slot, p],
+                                  sems.at[slot, p, 0]).wait()
+            pltpu.make_async_copy(v_hbm.at[0], v_buf.at[slot, p],
+                                  sems.at[slot, p, 1]).wait()
+
+    start_chunk(chunk_idx_ref[b, 0], 0)
+    q = q_ref[0].astype(jnp.float32)  # [nqh, hd]
+
+    m0 = jnp.full((kvh, group, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((kvh, group, 1), jnp.float32)
+    acc0 = jnp.zeros((kvh, group, hd), jnp.float32)
+    # q-head index in reference numbering (h = kv_head * group + g)
+    h_idx = jax.lax.broadcasted_iota(jnp.int32, (kvh, group, 1), 0) * \
+        group + jax.lax.broadcasted_iota(jnp.int32, (kvh, group, 1), 1)
+
+    def body(i, carry):
+        m, l, acc = carry
+        c = chunk_idx_ref[b, i]
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n)
+        def _():
+            start_chunk(chunk_idx_ref[b, i + 1], jax.lax.rem(i + 1, 2))
+
+        wait_chunk(slot)
+        kc = k_buf[pl.ds(slot, 1)].reshape(ppc, kvh, bs, hd)
+        vc = v_buf[pl.ds(slot, 1)].reshape(ppc, kvh, bs, hd)
+        pos = c * T + jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        valid = pos < ctx  # [1, T]
+        kb = pos // sbs  # [1, T]
+        # per-head blocksparse visibility (reference
+        # blocksparse_attention/utils.py:141-199)
+        allow = ((qb - kb)[None] < local) | \
+            (jax.lax.rem(kb[None] + h_idx * step + 1, vert) == 0)
+
+        k_all = jnp.swapaxes(kc, 0, 1).reshape(kvh, T, hd).astype(
+            jnp.float32)
+        v_all = jnp.swapaxes(vc, 0, 1).reshape(kvh, T, hd).astype(
+            jnp.float32)
+        if kv_scale != 1.0:
+            k_all = k_all * kv_scale
+            v_all = v_all * kv_scale
+        q3 = q.reshape(kvh, group, hd)
+        s = jax.lax.dot_general(
+            q3, k_all, (((2, ), (2, )), ((0, ), (0, ))),
+            preferred_element_type=jnp.float32)  # [kvh, group, T]
+        if logit_cap is not None and logit_cap > 0:
+            s = jnp.tanh(s / logit_cap) * logit_cap
+        s = jnp.where(valid[None] & allow, s, -jnp.inf)
+        chunk_m = jnp.max(s, axis=-1, keepdims=True)
+        new_m = jnp.maximum(m, chunk_m)
+        safe_m = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
+        p_ = jnp.exp(jnp.where(jnp.isfinite(s), s - safe_m, -jnp.inf))
+        alpha = jnp.where(jnp.isfinite(m), jnp.exp(m - safe_m), 0.0)
+        new_l = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p_, v_all, (((2, ), (1, )), ((0, ), (0, ))),
+            preferred_element_type=jnp.float32)
+        new_acc = acc * alpha + pv
+        return (new_m, new_l, new_acc)
+
+    m, l, acc = jax.lax.fori_loop(0, n, body, (m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0] = out.reshape(kvh * group, hd).astype(o_ref.dtype)
+
+
+def _bsparse_needed_chunks(context_lens, n_chunks: int, T: int, sbs: int,
+                           local: int, vert: int, step: int, nqh: int):
+    """Per-sequence ordered list of page chunks any head can see.
+    Returns (chunk_idx [B, C] i32 — needed chunks first, ascending —
+    and n_needed [B] i32). The vertical-column test reduces to a static
+    residue set: (kb + h*step + 1) % vert == 0  <=>  kb % vert in
+    {(-(h*step) - 1) mod vert}."""
+    residues = sorted({(-(h * step) - 1) % vert for h in range(nqh)})
+    B = context_lens.shape[0]
+    c = jnp.arange(n_chunks, dtype=jnp.int32)  # [C]
+    kb0 = (c * T) // sbs
+    kb1 = ((c + 1) * T - 1) // sbs
+    ctx = context_lens[:, None]  # [B, 1]
+    qb = (ctx - 1) // sbs
+    in_ctx = (c[None] * T) < ctx  # [B, C]
+    local_overlap = kb1[None] >= (qb - local + 1)  # [B, C]
+    # any kb in [kb0, kb1] with kb % vert in residues
+    kb_per_chunk = T // sbs + 1
+    kbs = kb0[:, None] + jnp.arange(kb_per_chunk, dtype=jnp.int32)[None]
+    kb_ok = kbs <= kb1[:, None]  # [C, kbpc]
+    vert_hit = jnp.zeros_like(kb_ok)
+    for r in residues:
+        vert_hit = vert_hit | (jax.lax.rem(kbs, vert) == r)
+    any_vert = jnp.any(vert_hit & kb_ok, axis=1)  # [C]
+    needed = in_ctx & (local_overlap | any_vert[None])  # [B, C]
+    big = jnp.int32(2 ** 30)
+    key = jnp.where(needed, c[None], big)
+    chunk_idx = jnp.argsort(key, axis=1).astype(jnp.int32)
+    n_needed = jnp.sum(needed, axis=1).astype(jnp.int32)
+    return chunk_idx, n_needed
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "kv_scale",
+                                             "logit_cap", "blocksparse"))
+def _decode_attention_pallas_bsparse(q, k_cache, v_cache, block_tables,
+                                     context_lens, *, scale: float,
+                                     blocksparse, kv_scale: float = 1.0,
+                                     logit_cap: Optional[float] = None):
+    B, nqh, hd = q.shape
+    nb, kvh, bs, _ = k_cache.shape
+    group = nqh // kvh
+    sbs, local, vert, homo = blocksparse
+    step = 0 if homo else max(1, vert // nqh)
+    W = block_tables.shape[1]
+    ppc = PAGES_PER_CHUNK
+    if W % ppc != 0:
+        pad = ppc - W % ppc
+        block_tables = jnp.pad(block_tables, ((0, 0), (0, pad)))
+        W += pad
+    context_lens = jnp.maximum(context_lens, 1)
+    T = ppc * bs
+    chunk_idx, n_needed = _bsparse_needed_chunks(
+        context_lens, W // ppc, T, int(sbs), int(local), int(vert), step,
+        nqh)
+
+    q_scaled = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    kernel = functools.partial(
+        _decode_kernel_bsparse, kvh=kvh, group=group, bs=bs, hd=hd,
+        ppc=ppc, kv_scale=kv_scale, logit_cap=logit_cap, sbs=int(sbs),
+        local=int(local), vert=int(vert), step=step)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, ),
+        in_specs=[
+            pl.BlockSpec((1, nqh, hd), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, nqh, hd), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, ppc, kvh, bs, hd), k_cache.dtype),
+            pltpu.VMEM((2, ppc, kvh, bs, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, ppc, 2)),
+        ],
+    )
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nqh, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", )),
+        interpret=interpret,
+    )(block_tables, context_lens, chunk_idx, n_needed, q_scaled, k_cache,
+      v_cache)
+    return out
+
+
 def decode_attention(q, k_cache, v_cache, block_tables, context_lens, *,
                      scale: float, sliding_window: Optional[int] = None,
                      logit_cap: Optional[float] = None,
-                     kv_scale: float = 1.0, alibi_slopes=None):
+                     kv_scale: float = 1.0, alibi_slopes=None,
+                     blocksparse=None):
     """Paged decode attention; sliding windows (static or traced
     per-layer scalars, e.g. gemma2 alternation) ride the scalar-prefetch
     channel; ALiBi slopes are static per-head constants baked into the
@@ -221,7 +413,13 @@ def decode_attention(q, k_cache, v_cache, block_tables, context_lens, *,
                                     context_lens, scale=scale,
                                     sliding_window=sliding_window,
                                     logit_cap=logit_cap,
-                                    alibi_slopes=alibi_slopes)
+                                    alibi_slopes=alibi_slopes,
+                                    blocksparse=blocksparse)
+    if blocksparse is not None:
+        return _decode_attention_pallas_bsparse(
+            q, k_cache, v_cache, block_tables, context_lens, scale=scale,
+            blocksparse=tuple(blocksparse), kv_scale=kv_scale,
+            logit_cap=logit_cap)
     from neural_magic_vllm_tpu import envs
     multiseq_max = envs.NMV_TPU_DECODE_MULTISEQ_MAX_BATCH
     if B <= multiseq_max and alibi_slopes is None:

@@ -2,6 +2,8 @@
 the single-sequence prefill path (segment masking correctness e2e)."""
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # full-engine e2e
+
 
 PROMPTS = [
     [1, 17, 29, 45, 8, 100, 7],

@@ -1,7 +1,9 @@
 """Fast-reload state format: save the canonical tree, reload with
 --load-format nmv, greedy outputs must match exactly."""
+import pytest
 
 
+@pytest.mark.slow
 def test_nmv_state_roundtrip(tiny_llama_dir, tmp_path):
     from neural_magic_vllm_tpu import LLM, SamplingParams
     import shutil

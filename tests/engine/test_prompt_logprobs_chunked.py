@@ -4,6 +4,8 @@ first chunk produced logprobs; reference parity: prompt_logprobs over
 the full prompt)."""
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # full-engine e2e
+
 
 from tests.utils import create_tiny_llama_checkpoint
 

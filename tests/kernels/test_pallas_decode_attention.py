@@ -180,3 +180,34 @@ def test_kv_scale_applied_on_ref_fallback():
                            kv_scale=kv_scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("homo", [True, False])
+@pytest.mark.parametrize("sbs,local,vert", [(64, 2, 4), (32, 1, 8)])
+def test_pallas_decode_blocksparse_matches_ref(homo, sbs, local, vert):
+    """Blocksparse decode kernel (chunk-skipping paged loop) == the jnp
+    vertical-stride mask reference (reference role: the dedicated Triton
+    blocksparse kernel, backends/blocksparse_attn.py:410), for homo and
+    per-head-offset patterns, at deep/shallow/1-token contexts."""
+    from neural_magic_vllm_tpu.ops.attention import decode_attention_ref
+    from neural_magic_vllm_tpu.ops.pallas_attention import (
+        _decode_attention_pallas_bsparse)
+    rng = np.random.default_rng(0)
+    B, kvh, group, hd, bs, W = 4, 2, 4, 128, 16, 40
+    nqh = kvh * group
+    nb = B * W + 1
+    q = jnp.asarray(rng.standard_normal((B, nqh, hd)) * 0.3, jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((nb, kvh, bs, hd)) * 0.3,
+                     jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((nb, kvh, bs, hd)) * 0.3,
+                     jnp.bfloat16)
+    tables = jnp.asarray(
+        rng.permutation(nb - 1)[:B * W].reshape(B, W) + 1, jnp.int32)
+    ctx = jnp.asarray([640, 130, 17, 1], jnp.int32)
+    bsp = (sbs, local, vert, homo)
+    ref = decode_attention_ref(q, kc, vc, tables, ctx, scale=0.09,
+                               blocksparse=bsp)
+    out = _decode_attention_pallas_bsparse(q, kc, vc, tables, ctx,
+                                           scale=0.09, blocksparse=bsp)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=4e-2)
