@@ -477,7 +477,12 @@ class SpeculativeConfig:
     ngram_prompt_lookup_min: int = 0
     speculative_disable_by_batch_size: Optional[int] = None
     # "rejection_sampler" (lossless) | "typical_acceptance_sampler"
-    draft_token_acceptance_method: str = "rejection_sampler" 
+    draft_token_acceptance_method: str = "rejection_sampler"
+    # run the draft replicated (TP1) while the target stays TP-sharded —
+    # the reference's SmallerTpProposerWorker
+    # (vllm/spec_decode/smaller_tp_proposer_worker.py). None = target TP;
+    # 1 is the only reduced value supported.
+    speculative_draft_tensor_parallel_size: Optional[int] = None
 
     @property
     def enabled(self) -> bool:

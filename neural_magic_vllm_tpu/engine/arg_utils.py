@@ -74,6 +74,7 @@ class EngineArgs:
     ngram_prompt_lookup_min: Optional[int] = None
     speculative_disable_by_batch_size: Optional[int] = None
     spec_decoding_acceptance_method: str = "rejection_sampler"
+    speculative_draft_tensor_parallel_size: Optional[int] = None
     # misc
     device: str = "auto"
     served_model_name: Optional[Union[str, List[str]]] = None
@@ -116,6 +117,9 @@ class EngineArgs:
                        "(no compiles during traffic; slower start).",
         "speculative_model": "draft model for speculative decoding.",
         "num_speculative_tokens": "proposal length k.",
+        "speculative_draft_tensor_parallel_size":
+        "draft model TP; 1 runs the draft replicated while the target "
+        "stays TP-sharded (reference SmallerTpProposerWorker).",
         "guided_decoding_backend": "constrained-decoding backend.",
         "otlp_traces_endpoint": "OTLP gRPC endpoint for request traces.",
     }
@@ -276,7 +280,9 @@ class EngineArgs:
                 speculative_disable_by_batch_size=(
                     self.speculative_disable_by_batch_size),
                 draft_token_acceptance_method=(
-                    self.spec_decoding_acceptance_method))
+                    self.spec_decoding_acceptance_method),
+                speculative_draft_tensor_parallel_size=(
+                    self.speculative_draft_tensor_parallel_size))
         decoding_config = DecodingConfig(
             guided_decoding_backend=self.guided_decoding_backend)
         observability_config = ObservabilityConfig(

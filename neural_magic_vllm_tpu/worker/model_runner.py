@@ -111,8 +111,23 @@ class TPUModelRunner:
                 self.draft_model_config = spec_model_config
                 arch_d = getattr(self.draft_model_config.hf_config,
                                  "architectures", ["LlamaForCausalLM"])
+                draft_tp = getattr(speculative_config,
+                                   "speculative_draft_tensor_parallel_size",
+                                   None)
+                target_tp = (parallel_config.tensor_parallel_size
+                             if parallel_config is not None else 1)
+                if draft_tp is not None and draft_tp not in (1, target_tp):
+                    raise ValueError(
+                        "speculative_draft_tensor_parallel_size must be 1 "
+                        f"or the target TP ({target_tp}), got {draft_tp}")
+                # draft at TP1 on a TP-N mesh: replicated params + KV, no
+                # per-layer collectives for the draft (the reference's
+                # SmallerTpProposerWorker role,
+                # spec_decode/smaller_tp_proposer_worker.py)
+                self._draft_replicated = (draft_tp == 1 and target_tp > 1)
                 self.draft_model = get_model_class(arch_d)(
-                    self.draft_model_config, parallel_config)
+                    self.draft_model_config,
+                    None if self._draft_replicated else parallel_config)
             self._spec_metrics = SpecDecodeWorkerMetrics()
         elif speculative_config is not None and speculative_config.enabled \
                 and speculative_config.ngram_prompt_lookup_max > 0:
@@ -252,7 +267,14 @@ class TPUModelRunner:
             else:
                 dparams = self.draft_model.load_params(
                     self.draft_model_config.model)
-            self.draft_params = self._shard_params(dparams)
+            if getattr(self, "_draft_replicated", False) and \
+                    self.mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+                repl = NamedSharding(self.mesh, P())
+                self.draft_params = jax.device_put(dparams, repl)
+            else:
+                self.draft_params = self._shard_params(dparams)
         if self.mlp_speculator is not None:
             if self.load_config.load_format == "dummy":
                 sparams = self.mlp_speculator.init_params(
@@ -349,6 +371,8 @@ class TPUModelRunner:
         if self.mesh is None or self.draft_model_config is None:
             return None
         from jax.sharding import NamedSharding, PartitionSpec as P
+        if getattr(self, "_draft_replicated", False):
+            return NamedSharding(self.mesh, P())
         tp = self.mesh.shape.get("model", 1)
         total_kv = self.draft_model_config.get_total_num_kv_heads()
         spec = P(None, None, "model", None, None) \

@@ -78,3 +78,21 @@ def test_draft_spec_seeded_sampling_reproducible(target_and_draft):
     b = llm.generate(prompt_token_ids=[PROMPTS[0]], sampling_params=sp,
                      use_tqdm=False)[0].outputs[0].token_ids
     assert list(a) == list(b)
+
+
+@pytest.mark.slow
+def test_draft_spec_smaller_tp(target_and_draft):
+    """Draft at TP1 (replicated) while the target runs TP4 — greedy must
+    still exactly match the plain TP4 engine (reference
+    SmallerTpProposerWorker, spec_decode/smaller_tp_proposer_worker.py)."""
+    from neural_magic_vllm_tpu import LLM
+    target, draft = target_and_draft
+    base = dict(model=target, dtype="float32", max_model_len=128,
+                block_size=16, num_gpu_blocks_override=96, max_num_seqs=8,
+                enforce_eager=True, disable_log_stats=True,
+                tensor_parallel_size=4)
+    plain = _greedy(LLM(**base))
+    spec = _greedy(LLM(**base, speculative_model=draft,
+                       num_speculative_tokens=3,
+                       speculative_draft_tensor_parallel_size=1))
+    assert spec == plain
