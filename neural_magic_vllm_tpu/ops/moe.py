@@ -162,8 +162,13 @@ def _align_by_expert(topk_ids: jax.Array, num_experts: int, tile_m: int):
                               jnp.cumsum(group_sizes)[:-1].astype(jnp.int32)])
     rank = jnp.arange(M, dtype=jnp.int32) - gstart[sorted_ids]
     dest = pstart[sorted_ids] + rank
-    # static worst case: each expert wastes < tile_m rows of padding
-    M_pad = ((M + tile_m - 1) // tile_m) * tile_m + E * tile_m
+    # static worst case: each expert wastes < tile_m rows of padding.
+    # The tile count is rounded up to a multiple of 8: Mosaic faults on
+    # some scalar-prefetch array lengths (empirically, the grouped kernel
+    # kernel-faults on chip with 12 m-tiles but runs with 16 — trailing
+    # tiles are all-zero rows routed to expert E-1 and never read back).
+    n_tiles = ((M + tile_m - 1) // tile_m + E + 7) // 8 * 8
+    M_pad = n_tiles * tile_m
     tile_row = jnp.arange(M_pad // tile_m, dtype=jnp.int32) * tile_m
     cum = jnp.cumsum(padded).astype(jnp.int32)
     e_of_tile = jnp.searchsorted(cum, tile_row, side="right").astype(
