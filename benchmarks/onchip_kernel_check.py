@@ -73,12 +73,15 @@ def check_context_prefill(rng):
     kc, vc, table = jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(table)
     scale = hd**-0.5
     for kw in ({}, {"sliding_window": 48}, {"logit_cap": 30.0},
-               {"alibi_slopes": get_alibi_slopes(nqh)}):
+               {"alibi_slopes": get_alibi_slopes(nqh)},
+               {"blocksparse": (32, 1, 4, True)},
+               {"blocksparse": (32, 1, 4, False)}):
         ref = prefill_attention_ref(q, k_cur, v_cur, kc, vc, table,
                                     jnp.int32(ctx_len), scale=scale, **kw)
         out = prefill_attention(q, k_cur, v_cur, kc, vc, table,
                                 jnp.int32(ctx_len), scale=scale, **kw)
-        check(f"context_prefill {kw}", out, ref)
+        tol = {"atol": 4e-2} if "blocksparse" in kw else {}
+        check(f"context_prefill {kw}", out, ref, **tol)
 
 
 def check_segment_prefill(rng):

@@ -61,12 +61,11 @@ class Attention:
         self.blocksparse = tuple(blocksparse) if blocksparse is not None \
             else None
         self._prefill_fn, self._decode_fn = get_attention_backend(backend)
-        if self.blocksparse is not None:
-            # prefill keeps the jnp reference mask path; DECODE routes to
-            # the Pallas blocksparse kernel (chunk-skipping paged loop —
-            # reference runs a dedicated kernel too,
-            # backends/blocksparse_attn.py:410)
-            self._prefill_fn, _ = get_attention_backend("jnp")
+        # blocksparse routes inside the backend: decode AND context
+        # prefill run chunk-skipping Pallas kernels; only the batched
+        # segment-prefill path keeps the jnp mask fallback (reference
+        # runs a dedicated kernel for both phases,
+        # backends/blocksparse_attn.py:410)
 
     def __call__(
         self,

@@ -89,11 +89,10 @@ class Phi3SmallForCausalLM(GPTFamilyForCausalLM):
         if self.dense_every != 1:
             from neural_magic_vllm_tpu.logger import init_logger
             init_logger(__name__).info(
-                "phi3_small blocksparse: decode runs the chunk-skipping "
-                "Pallas kernel; PREFILL runs the jnp reference mask path "
-                "(reference runs a dedicated kernel for both, "
-                "backends/blocksparse_attn.py:410) — expect prefill to be "
-                "bandwidth-bound at long prompts.")
+                "phi3_small blocksparse: decode and context prefill run "
+                "chunk-skipping Pallas kernels; only the batched "
+                "segment-prefill path uses the jnp mask fallback "
+                "(reference kernel: backends/blocksparse_attn.py:410).")
 
     def _intermediate_size(self, cfg) -> int:
         return cfg.intermediate_size

@@ -235,30 +235,45 @@ def fused_moe_quant_dequant(x, experts: dict, topk_weights, topk_ids, *,
     return fused_moe(x, wg, wu, wd, topk_weights, topk_ids)
 
 
-def fused_moe_quant(x, experts: dict, topk_weights, topk_ids, *, bits: int,
-                    group_size: int):
-    """fused_moe over WNA16-packed expert weights. Grouped Pallas kernel by
-    default; NMV_TPU_MOE_BACKEND=dense/ragged forces the dequantizing
-    fallback."""
-    from neural_magic_vllm_tpu import envs
+def grouped_fast_path_ok(hidden: int, intermediate: int, *, bits: int,
+                         group_size: int) -> bool:
+    """True when the grouped Pallas dequant-GEMM kernel's preconditions hold
+    for this expert geometry (both GEMM directions H->I and I->H): each
+    contraction dim admits a K tile that divides it, the output dim is a
+    multiple of the 128-lane MXU width, and the quant group layout is
+    tile-local (scales per tile are one contiguous slice). Exposed so tests
+    can assert real checkpoint geometries (Mixtral-8x7B/-8x22B, qwen2_moe,
+    deepseek_v2) take the grouped path rather than the dequantizing
+    fallback — reference analogue: the per-(E,N,dtype) tuned configs of
+    /root/reference/vllm/model_executor/layers/fused_moe/fused_moe.py:402-527."""
     from neural_magic_vllm_tpu.ops.quant import select_k_tile
-    H = x.shape[1]
     pf = 32 // bits
-    I = experts["w_down_q"].shape[1] * pf
 
-    def _fast(k):
+    def _fast(k, n):
         gs = k if group_size in (-1, None) else group_size
         try:
             kt = select_k_tile(k, group_size, bits)
         except ValueError:
             return False
         stripe = kt // pf
-        n = {H: I, I: H}[k]
         return (n % 128 == 0 and
                 (gs >= kt or (kt % gs == 0 and gs % stripe == 0)))
 
-    if envs.NMV_TPU_MOE_BACKEND in ("dense", "ragged") or not (
-            _fast(H) and _fast(I)):
+    return _fast(hidden, intermediate) and _fast(intermediate, hidden)
+
+
+def fused_moe_quant(x, experts: dict, topk_weights, topk_ids, *, bits: int,
+                    group_size: int):
+    """fused_moe over WNA16-packed expert weights. Grouped Pallas kernel by
+    default; NMV_TPU_MOE_BACKEND=dense/ragged forces the dequantizing
+    fallback."""
+    from neural_magic_vllm_tpu import envs
+    H = x.shape[1]
+    pf = 32 // bits
+    I = experts["w_down_q"].shape[1] * pf
+
+    if envs.NMV_TPU_MOE_BACKEND in ("dense", "ragged") or not \
+            grouped_fast_path_ok(H, I, bits=bits, group_size=group_size):
         return fused_moe_quant_dequant(x, experts, topk_weights, topk_ids,
                                        bits=bits, group_size=group_size)
     return fused_moe_quant_grouped(x, experts, topk_weights, topk_ids,

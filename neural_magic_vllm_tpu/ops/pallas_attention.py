@@ -453,9 +453,11 @@ def decode_attention(q, k_cache, v_cache, block_tables, context_lens, *,
 
 
 def _pick_q_tile(S: int, nqh: int, kvh: int, hd: int,
-                 ppc: int, bs: int) -> Optional[int]:
+                 ppc: int, bs: int, bsparse: bool = False) -> Optional[int]:
     """Largest query tile whose VMEM footprint fits the ~16 MiB budget
-    (q/q3/out bf16, acc + scores f32, double-buffered page stage)."""
+    (q/q3/out bf16, acc + scores f32, double-buffered page stage). The
+    blocksparse variant materializes one extra [kvh, R, T]-shaped mask
+    intermediate in-register."""
     T = ppc * bs
     group = nqh // kvh
     for tq in (256, 128, 64, 32, 16):
@@ -465,6 +467,7 @@ def _pick_q_tile(S: int, nqh: int, kvh: int, hd: int,
                + tq * nqh * hd * 4  # acc (f32)
                + 2 * kvh * tq * group * T * 4  # s + exp (f32)
                + kvh * tq * group * T * 2  # p_ (bf16)
+               + (kvh * tq * group * T * 4 if bsparse else 0)  # allow mask
                + 4 * ppc * kvh * bs * hd * 2)  # k/v double buffers
         if est <= 10 * 2**20:
             return tq
@@ -643,6 +646,208 @@ def _context_prefill_pallas(q, k_cache, v_cache, block_table, context_len,
     return out
 
 
+# --- blocksparse context prefill (phi3_small vertical-stride sparsity) -------
+#
+# Same chunk-skipping design as the blocksparse decode kernel, generalized
+# to TQ query rows per program (reference runs its dedicated Triton kernel
+# for both phases, vllm/attention/backends/blocksparse_attn.py:410). Each
+# program owns one query tile; a PRECOMPUTED per-tile list of needed page
+# chunks (local window around the tile's sparse-block range + the vertical
+# columns any head can see) drives the double-buffered DMA loop, and the
+# per-head vertical/local visibility is applied in-register before the
+# online softmax. At phi3_small geometry (sparse block 64, local 16,
+# vert_stride 8) a deep-context chunk far behind the tile is only read when
+# it contains a vertical column — ~1/vert_stride of the distant context.
+
+
+def _ctx_prefill_kernel_bsparse(tables_ref, ctx_ref, chunk_idx_ref,
+                                nneed_ref, q_ref, k_hbm, v_hbm, o_ref,
+                                k_buf, v_buf, sems, *, kvh: int, group: int,
+                                bs: int, hd: int, ppc: int, TQ: int,
+                                kv_scale: float,
+                                logit_cap: Optional[float], sbs: int,
+                                local: int, vert: int, step: int):
+    t = pl.program_id(0)
+    ctx = ctx_ref[0]
+    n = nneed_ref[t]
+    R = TQ * group
+    T = ppc * bs
+
+    def start_chunk(c, slot):
+        for p in range(ppc):
+            page = tables_ref[c * ppc + p]
+            pltpu.make_async_copy(k_hbm.at[page], k_buf.at[slot, p],
+                                  sems.at[slot, p, 0]).start()
+            pltpu.make_async_copy(v_hbm.at[page], v_buf.at[slot, p],
+                                  sems.at[slot, p, 1]).start()
+
+    def wait_chunk(slot):
+        for p in range(ppc):
+            pltpu.make_async_copy(k_hbm.at[0], k_buf.at[slot, p],
+                                  sems.at[slot, p, 0]).wait()
+            pltpu.make_async_copy(v_hbm.at[0], v_buf.at[slot, p],
+                                  sems.at[slot, p, 1]).wait()
+
+    start_chunk(chunk_idx_ref[t, 0], 0)
+    q4 = q_ref[...].reshape(TQ, kvh, group, hd)
+    q3 = jnp.transpose(q4, (1, 0, 2, 3)).reshape(kvh, R, hd)
+    # row r -> query row i = r // group at position ctx + t*TQ + i
+    pos_r = (ctx + t * TQ +
+             jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) // group)
+    qb_r = pos_r // sbs  # [R, 1] sparse-block index of each query row
+    # q-head index per (kv, r): h = kv * group + (r % group) (reference
+    # head numbering, blocksparse_attention/utils.py:141-199)
+    h_idx = jax.lax.broadcasted_iota(jnp.int32, (kvh, R, 1), 0) * group + \
+        jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (kvh, R, 1), 1),
+                    group)
+
+    m0 = jnp.full((kvh, R, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((kvh, R, 1), jnp.float32)
+    acc0 = jnp.zeros((kvh, R, hd), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        c = chunk_idx_ref[t, i]
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n)
+        def _():
+            start_chunk(chunk_idx_ref[t, i + 1], jax.lax.rem(i + 1, 2))
+
+        wait_chunk(slot)
+        kc = k_buf[pl.ds(slot, 1)].reshape(ppc, kvh, bs, hd)
+        vc = v_buf[pl.ds(slot, 1)].reshape(ppc, kvh, bs, hd)
+        k_all = jnp.swapaxes(kc, 0, 1).reshape(kvh, T, hd)
+        v_all = jnp.swapaxes(vc, 0, 1).reshape(kvh, T, hd)
+        if k_all.dtype != jnp.bfloat16:  # fp8 KV: dequant dtype only
+            k_all = k_all.astype(jnp.bfloat16)
+            v_all = v_all.astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q3, k_all, (((2, ), (2, )), ((0, ), (0, ))),
+            preferred_element_type=jnp.float32)  # [kvh, R, T]
+        if kv_scale != 1.0:
+            s = s * kv_scale
+        if logit_cap is not None and logit_cap > 0:
+            s = jnp.tanh(s / logit_cap) * logit_cap
+        j = c * T + jax.lax.broadcasted_iota(jnp.int32, (R, T), 1)
+        kb = j // sbs  # [R, T]
+        causal = j <= pos_r  # [R, T]
+        allow = ((qb_r - kb) < local)[None] | \
+            (jax.lax.rem(kb[None] + h_idx * step + 1, vert) == 0)
+        s = jnp.where(causal[None] & allow, s, -jnp.inf)
+        chunk_m = jnp.max(s, axis=-1, keepdims=True)
+        new_m = jnp.maximum(m, chunk_m)
+        safe_m = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
+        p_ = jnp.exp(jnp.where(jnp.isfinite(s), s - safe_m, -jnp.inf))
+        alpha = jnp.where(jnp.isfinite(m), jnp.exp(m - safe_m), 0.0)
+        new_l = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p_.astype(jnp.bfloat16), v_all,
+            (((2, ), (1, )), ((0, ), (0, ))),
+            preferred_element_type=jnp.float32)
+        if kv_scale != 1.0:
+            pv = pv * kv_scale
+        new_acc = acc * alpha + pv
+        return (new_m, new_l, new_acc)
+
+    m, l, acc = jax.lax.fori_loop(0, n, body, (m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-30)
+    out = jnp.transpose(out.reshape(kvh, TQ, group, hd),
+                        (1, 0, 2, 3)).reshape(TQ, kvh * group, hd)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _bsparse_ctx_needed_chunks(context_len, S: int, TQ: int, n_chunks: int,
+                               T: int, sbs: int, local: int, vert: int,
+                               step: int, nqh: int):
+    """Per-query-tile ordered list of page chunks any head/row can see.
+    Returns (chunk_idx [n_tiles, C] i32 — needed chunks first, ascending —
+    and n_needed [n_tiles] i32). Vertical-column visibility reduces to the
+    same static residue set as decode (_bsparse_needed_chunks)."""
+    residues = sorted({(-(h * step) - 1) % vert for h in range(nqh)})
+    n_tiles = S // TQ
+    c = jnp.arange(n_chunks, dtype=jnp.int32)  # [C]
+    kb0 = (c * T) // sbs
+    kb1 = ((c + 1) * T - 1) // sbs
+    kb_per_chunk = T // sbs + 1
+    kbs = kb0[:, None] + jnp.arange(kb_per_chunk, dtype=jnp.int32)[None]
+    kb_ok = kbs <= kb1[:, None]  # [C, kbpc]
+    vert_hit = jnp.zeros_like(kb_ok)
+    for r in residues:
+        vert_hit = vert_hit | (jax.lax.rem(kbs, vert) == r)
+    any_vert = jnp.any(vert_hit & kb_ok, axis=1)  # [C]
+    ti = jnp.arange(n_tiles, dtype=jnp.int32)[:, None]  # [Tl, 1]
+    last_pos = context_len + ti * TQ + TQ - 1  # last row's position
+    qb0 = (context_len + ti * TQ) // sbs  # first row's sparse block
+    in_range = (c[None] * T) <= last_pos  # causal: some key <= a row pos
+    local_overlap = kb1[None] >= (qb0 - local + 1)
+    needed = in_range & (local_overlap | any_vert[None])  # [Tl, C]
+    big = jnp.int32(2 ** 30)
+    key = jnp.where(needed, c[None], big)
+    chunk_idx = jnp.argsort(key, axis=1).astype(jnp.int32)
+    n_needed = jnp.sum(needed, axis=1).astype(jnp.int32)
+    return chunk_idx, n_needed
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "kv_scale",
+                                             "logit_cap", "blocksparse"))
+def _context_prefill_pallas_bsparse(q, k_cache, v_cache, block_table,
+                                    context_len, *, scale: float,
+                                    blocksparse, kv_scale: float = 1.0,
+                                    logit_cap: Optional[float] = None):
+    S, nqh, hd = q.shape
+    nb, kvh, bs, _ = k_cache.shape
+    group = nqh // kvh
+    sbs, local, vert, homo = blocksparse
+    step = 0 if homo else max(1, vert // nqh)
+    W = block_table.shape[0]
+    ppc = PAGES_PER_CHUNK
+    if W % ppc != 0:
+        pad = ppc - W % ppc
+        block_table = jnp.pad(block_table, (0, pad))
+        W += pad
+    TQ = _pick_q_tile(S, nqh, kvh, hd, ppc, bs, bsparse=True)
+    T = ppc * bs
+    context_len = jnp.asarray(context_len, jnp.int32).reshape(1)
+    chunk_idx, n_needed = _bsparse_ctx_needed_chunks(
+        context_len[0], S, TQ, W // ppc, T, int(sbs), int(local),
+        int(vert), step, nqh)
+
+    q_scaled = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    kernel = functools.partial(
+        _ctx_prefill_kernel_bsparse, kvh=kvh, group=group, bs=bs, hd=hd,
+        ppc=ppc, TQ=TQ, kv_scale=kv_scale, logit_cap=logit_cap,
+        sbs=int(sbs), local=int(local), vert=int(vert), step=step)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(S // TQ, ),
+        in_specs=[
+            pl.BlockSpec((TQ, nqh, hd), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((TQ, nqh, hd), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, ppc, kvh, bs, hd), k_cache.dtype),
+            pltpu.VMEM((2, ppc, kvh, bs, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, ppc, 2)),
+        ],
+    )
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, nqh, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", )),
+        interpret=interpret,
+    )(block_table, context_len, chunk_idx, n_needed, q_scaled, k_cache,
+      v_cache)
+    return out
+
+
 def prefill_attention(q, k, v, k_cache, v_cache, block_table, context_len,
                       *, scale: float, sliding_window: Optional[int] = None,
                       logit_cap: Optional[float] = None,
@@ -655,8 +860,15 @@ def prefill_attention(q, k, v, k_cache, v_cache, block_table, context_len,
     ragged chunk lengths."""
     nb, kvh, bs, hd = k_cache.shape
     S, nqh, _ = q.shape
-    TQ = _pick_q_tile(S, nqh, kvh, hd, PAGES_PER_CHUNK, bs) \
+    TQ = _pick_q_tile(S, nqh, kvh, hd, PAGES_PER_CHUNK, bs,
+                      bsparse=blocksparse is not None) \
         if (hd % 128 == 0 and nqh % kvh == 0 and bs % 8 == 0) else None
+    if blocksparse is not None and TQ is not None and \
+            sliding_window is None and alibi_slopes is None:
+        return _context_prefill_pallas_bsparse(
+            q, k_cache, v_cache, block_table, context_len, scale=scale,
+            blocksparse=tuple(blocksparse), kv_scale=kv_scale,
+            logit_cap=logit_cap)
     if blocksparse is not None or TQ is None:
         if kv_scale != 1.0:
             # reference path has no in-kernel fp8 dequant (see

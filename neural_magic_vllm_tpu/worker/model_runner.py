@@ -636,7 +636,6 @@ class TPUModelRunner:
                     cache_engine.kv_caches, s)
                 logger.info("Warmup batched-prefill bucket %d: %.1fs", s,
                             time.time() - tb)
-        target = self.scheduler_config.fused_dispatch_target_ms
         for b in decode_buckets:
             tb = time.time()
             kv = self._run_dummy_decode(cache_engine.kv_caches, b)
@@ -644,21 +643,23 @@ class TPUModelRunner:
             cache_engine.kv_caches = kv
             logger.info("Warmup decode bucket %d: %.1fs", b,
                         time.time() - tb)
-            if target > 0:
-                # timed runs (chained through the donated KV cache, fresh
-                # token values, so the tunneled device cannot answer from
-                # a dispatch cache — PERF.md measurement caveats). Min of
-                # two: one noisy high reading otherwise under-fuses the
-                # most-used bucket for the whole serving session.
-                best = float("inf")
-                for fill in (1, 2):
-                    t1 = time.perf_counter()
-                    kv = self._run_dummy_decode(cache_engine.kv_caches, b,
-                                                token_fill=fill)
-                    jax.block_until_ready(jax.tree_util.tree_leaves(kv)[0])
-                    best = min(best, (time.perf_counter() - t1) * 1e3)
-                    cache_engine.kv_caches = kv
-                self._bucket_step_ms[b] = best
+            # timed runs (chained through the donated KV cache, fresh
+            # token values, so the tunneled device cannot answer from
+            # a dispatch cache — PERF.md measurement caveats). Min of
+            # two: one noisy high reading otherwise under-fuses the
+            # most-used bucket for the whole serving session. Always
+            # measured (not only under fused_dispatch_target_ms) so the
+            # headline bench and serving report the same per-bucket step
+            # cost and the warmup log never prints a placeholder.
+            best = float("inf")
+            for fill in (1, 2):
+                t1 = time.perf_counter()
+                kv = self._run_dummy_decode(cache_engine.kv_caches, b,
+                                            token_fill=fill)
+                jax.block_until_ready(jax.tree_util.tree_leaves(kv)[0])
+                best = min(best, (time.perf_counter() - t1) * 1e3)
+                cache_engine.kv_caches = kv
+            self._bucket_step_ms[b] = best
         K = self.scheduler_config.num_scheduler_steps
         if K > 1:  # the fused multi-step executable used in steady state
             for b in decode_buckets:
@@ -1068,6 +1069,30 @@ class TPUModelRunner:
             if K > 1:
                 return self._execute_decode_multi([m for _, m in decodes],
                                                   cache_engine, K)
+
+        # Mixed batch: a host-sampled minority (guided FSM /
+        # logits_processors / min_tokens) must NOT drag the on-device
+        # majority down to single-step decode — the majority keeps its ONE
+        # fused-K dispatch while the minority runs K small-bucket
+        # host-sampled steps alongside (the FSM must observe each sampled
+        # token before masking the next, so K=1-per-dispatch is inherent
+        # to the host rows only). Reference runs logits processors
+        # single-step for everyone (sampler.py:50-119); this split is the
+        # TPU answer to keeping guided traffic from serializing the batch.
+        if (not prefills and decodes and not self.has_state
+                and self.draft_model is None and self.mlp_speculator is None
+                and self._spec_proposer is None
+                and all(len(m.seq_data) == 1 for _, m in decodes)):
+            host_dec = [(i, m) for i, m in decodes
+                        if _needs_host_sampling(m.sampling_params)]
+            if host_dec and len(host_dec) < len(decodes) and not any(
+                    m.sampling_params.use_beam_search for _, m in host_dec):
+                dev_dec = [(i, m) for i, m in decodes
+                           if not _needs_host_sampling(m.sampling_params)]
+                K = self.fused_k_for_batch(len(dev_dec))
+                if K > 1:
+                    return self._execute_decode_mixed(dev_dec, host_dec,
+                                                      cache_engine, K)
 
         group_outputs: Dict[int, CompletionSequenceGroupOutput] = {}
         batchable = [(i, m) for i, m in prefills
@@ -1518,6 +1543,109 @@ class TPUModelRunner:
             outputs.append(SamplerOutput(outputs=group_outputs))
         return outputs
 
+    def _execute_decode_mixed(self, dev: List[Tuple[int, Any]],
+                              host: List[Tuple[int, Any]],
+                              cache_engine: CacheEngine, K: int
+                              ) -> List[SamplerOutput]:
+        """Fused-K dispatch for the on-device majority + K host-sampled
+        single-step dispatches for the guided/host minority, zipped back
+        into K per-step SamplerOutputs in scheduling order."""
+        dev_outs = self._execute_decode_multi([m for _, m in dev],
+                                              cache_engine, K)
+        host_steps = self._execute_decode_host_multi(
+            [m for _, m in host], cache_engine, K)
+        order = sorted(i for i, _ in dev + host)
+        outputs: List[SamplerOutput] = []
+        for k in range(K):
+            merged: Dict[int, CompletionSequenceGroupOutput] = {}
+            for j, (idx, _) in enumerate(dev):
+                merged[idx] = dev_outs[k].outputs[j]
+            for j, (idx, _) in enumerate(host):
+                merged[idx] = host_steps[k][j]
+            outputs.append(SamplerOutput(
+                outputs=[merged[i] for i in order]))
+        return outputs
+
+    def _execute_decode_host_multi(self, sgms: List[SequenceGroupMetadata],
+                                   cache_engine: CacheEngine, K: int
+                                   ) -> List[List[
+                                       CompletionSequenceGroupOutput]]:
+        """K single-step host-sampled decode iterations (token feedback on
+        the host: a guided FSM must see token k before masking step k+1).
+        Uses the scheduler's fused-window lookahead slots (K-1 reserved
+        for every running seq, config.py: num_scheduler_steps - 1), so
+        positions may advance K-1 past the scheduled slot."""
+        rows = [(sgm, next(iter(sgm.seq_data))) for sgm in sgms]
+        B = len(rows)
+        b_pad = self.scheduler_config.pad_decode_batch(B)
+        width = self._table_width(
+            [sgm.block_tables[sid] for sgm, sid in rows])
+        tables = np.zeros((b_pad, width), np.int32)
+        tokens = np.zeros((b_pad, ), np.int32)
+        positions = np.zeros((b_pad, ), np.int32)
+        out_ids: List[List[int]] = []
+        for i, (sgm, seq_id) in enumerate(rows):
+            data = sgm.seq_data[seq_id]
+            tokens[i] = data.get_last_token_id()
+            positions[i] = data.get_len() - 1
+            tables[i] = self._block_table_row(sgm.block_tables[seq_id],
+                                              width)
+            out_ids.append(list(data.output_token_ids))
+        lora, lidx = self._lora_args([sgm.lora_request for sgm, _ in rows],
+                                     b_pad)
+        fn = self._get_fn("decode_logits", 0)
+        frozen = [False] * B
+        steps: List[List[CompletionSequenceGroupOutput]] = []
+        for _ in range(K):
+            slots = np.full((b_pad, ), -1, np.int32)
+            ctx = np.ones((b_pad, ), np.int32)
+            for i in range(B):
+                p = int(positions[i])
+                slots[i] = tables[i][p // self.block_size] * \
+                    self.block_size + p % self.block_size
+                ctx[i] = p + 1
+            meta = AttentionMetadata(slot_mapping=jnp.asarray(slots),
+                                     block_tables=jnp.asarray(tables),
+                                     context_lens=jnp.asarray(ctx))
+            self._bcast("decode_logits", 0,
+                        dict(tokens=tokens, positions=positions,
+                             slot_mapping=slots, block_tables=tables,
+                             context_lens=ctx), lidx=lidx)
+            new_kv, logits = fn(self.params, cache_engine.kv_caches,
+                                jnp.asarray(tokens),
+                                jnp.asarray(positions), meta, lora, lidx)
+            cache_engine.kv_caches = new_kv
+            logits_np = np.asarray(logits[:B], np.float32)
+            step_out: List[CompletionSequenceGroupOutput] = []
+            for i, (sgm, seq_id) in enumerate(rows):
+                sp = sgm.sampling_params
+                data = sgm.seq_data[seq_id]
+                if frozen[i]:
+                    # EOS already emitted inside this window: repeat it
+                    # (the engine's stop checker drops everything after
+                    # the first EOS) instead of advancing a guided FSM
+                    # past its accept state
+                    token = int(tokens[i])
+                    lp = {token: Logprob(0.0)}
+                else:
+                    token, lp = host_sampler.sample_row(
+                        logits_np[i], sp, data.prompt_token_ids,
+                        out_ids[i],
+                        eos_token_id=sgm.eos_token_id,
+                        step_seed=int(positions[i]) + 1,
+                        entropy=hash(sgm.request_id) & (2**62 - 1),
+                        num_logprobs=sp.logprobs or 0)
+                    if sgm.eos_token_id is not None and \
+                            token == sgm.eos_token_id and not sp.ignore_eos:
+                        frozen[i] = True
+                out_ids[i].append(token)
+                step_out.append(CompletionSequenceGroupOutput(samples=[
+                    SequenceOutput(seq_id, token, lp)]))
+                tokens[i] = token
+                positions[i] += 1
+            steps.append(step_out)
+        return steps
+
     # --- speculative decode ---------------------------------------------------
     @staticmethod
     def _needs_full_sampling(sp: SamplingParams) -> bool:
@@ -1939,6 +2067,20 @@ class TPUModelRunner:
     def _execute_decode(self, sgms: List[SequenceGroupMetadata],
                         cache_engine: CacheEngine
                         ) -> List[CompletionSequenceGroupOutput]:
+        host_flags = [_needs_host_sampling(m.sampling_params) for m in sgms]
+        if any(host_flags) and not all(host_flags):
+            # Split: on-device rows keep in-graph sampling at their own
+            # bucket; host rows transfer only THEIR logits rows.
+            # (Previously one guided request pulled the full [B, V]
+            # logits to host and host-sampled every row — 263 MB/step
+            # at bs512 through the device link.)
+            host_out = iter(self._execute_decode(
+                [m for m, h in zip(sgms, host_flags) if h], cache_engine))
+            dev_out = iter(self._execute_decode(
+                [m for m, h in zip(sgms, host_flags) if not h],
+                cache_engine))
+            return [next(host_out) if h else next(dev_out)
+                    for h in host_flags]
         rows: List[Tuple[SequenceGroupMetadata, int]] = []
         for sgm in sgms:
             for seq_id in sgm.seq_data:

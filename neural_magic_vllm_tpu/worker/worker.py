@@ -40,8 +40,24 @@ class Worker:
     # --- init ------------------------------------------------------------------
     def init_device(self) -> None:
         # Persistent XLA compile cache (reference tpu_worker.py:101):
-        # first-run warmup compiles are reused across restarts.
+        # first-run warmup compiles are reused across restarts. Disabled
+        # under the axon-tunneled device unless the user points
+        # NMV_TPU_XLA_CACHE_PATH somewhere explicitly: cache-HIT
+        # deserialization through the tunnel stalls for many minutes per
+        # executable (measured round 4: fresh compile of the 8B prefill
+        # bucket 168 s, warm-cache "hit" of the same bucket >600 s and
+        # killed), so a populated cache makes every restart slower, not
+        # faster.
         if jax.default_backend() in ("tpu", "axon"):
+            on_axon_tunnel = "axon" in os.environ.get(
+                "JAX_PLATFORMS", "").lower()
+            explicit = "NMV_TPU_XLA_CACHE_PATH" in os.environ
+            if on_axon_tunnel and not explicit:
+                logger.info(
+                    "Skipping persistent XLA compile cache on the axon "
+                    "tunnel (hit-deserialization stalls; set "
+                    "NMV_TPU_XLA_CACHE_PATH to force).")
+                return
             cache_dir = envs.NMV_TPU_XLA_CACHE_PATH
             try:
                 os.makedirs(cache_dir, exist_ok=True)

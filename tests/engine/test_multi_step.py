@@ -44,3 +44,38 @@ def test_multi_step_seeded_matches_single_step(tiny_llama_dir):
     got = multi.generate(prompt_token_ids=PROMPTS[:1], sampling_params=sp,
                          use_tqdm=False)[0].outputs[0].token_ids
     assert got == ref
+
+
+def test_mixed_host_sampled_and_fused_batch(tiny_llama_dir):
+    """A host-sampled minority (logits_processors, the guided-decoding
+    path) batched with plain greedy requests must not perturb the plain
+    requests' tokens, and the processor's mask must hold — through both
+    the single-step split (num_scheduler_steps=1) and the mixed
+    fused-K + host-K path (num_scheduler_steps=4, VERDICT r3 ask #8)."""
+    import numpy as np
+    from neural_magic_vllm_tpu import SamplingParams
+
+    def force_even(output_ids, logits):
+        masked = np.full_like(logits, -np.inf)
+        masked[::2] = logits[::2]
+        return masked
+
+    sp_plain = SamplingParams(temperature=0.0, max_tokens=12,
+                              ignore_eos=True, detokenize=False)
+    sp_guided = SamplingParams(temperature=0.0, max_tokens=12,
+                               ignore_eos=True, detokenize=False,
+                               logits_processors=[force_even])
+    for steps in (1, 4):
+        llm = make_llm(tiny_llama_dir, num_scheduler_steps=steps)
+        ref = [o.outputs[0].token_ids
+               for o in llm.generate(prompt_token_ids=PROMPTS,
+                                     sampling_params=sp_plain,
+                                     use_tqdm=False)]
+        outs = llm.generate(prompt_token_ids=PROMPTS,
+                            sampling_params=[sp_plain, sp_guided, sp_plain],
+                            use_tqdm=False)
+        got = [o.outputs[0].token_ids for o in outs]
+        assert got[0] == ref[0] and got[2] == ref[2], (steps, got, ref)
+        assert all(t % 2 == 0 for t in got[1]), (steps, got[1])
+        assert len(got[1]) == 12
+        del llm

@@ -93,3 +93,30 @@ def test_pallas_context_prefill_odd_shapes_fall_back():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("homo", [True, False])
+@pytest.mark.parametrize("S,ctx_len,sbs,local,vert", [
+    (16, 0, 32, 1, 4),     # fresh short prefill
+    (64, 200, 64, 2, 4),   # deep context, chunk skipping engaged
+    (128, 350, 32, 1, 8),  # multi-tile S, sparse vert_stride 8
+    (32, 37, 32, 2, 4),    # unaligned context
+])
+def test_pallas_context_prefill_blocksparse_matches_ref(homo, S, ctx_len,
+                                                        sbs, local, vert):
+    """Blocksparse context-prefill kernel (per-tile chunk-skipping paged
+    loop) == the jnp vertical-stride mask reference (reference role: the
+    dedicated Triton blocksparse kernel running BOTH phases,
+    backends/blocksparse_attn.py:410), homo and per-head patterns."""
+    hd, bs, nqh, kvh = 128, 16, 8, 2
+    rng = np.random.default_rng(3 + S + ctx_len + vert)
+    q, k, v, kc, vc, table, ctx = _setup(S, ctx_len, nqh, kvh, hd, bs, rng)
+    scale = hd**-0.5
+    bsp = (sbs, local, vert, homo)
+    ref = prefill_attention_ref(q, k, v, kc, vc, table, ctx, scale=scale,
+                                blocksparse=bsp)
+    out = prefill_attention(q, k, v, kc, vc, table, ctx, scale=scale,
+                            blocksparse=bsp)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=4e-2)

