@@ -24,12 +24,19 @@ class RequestResult:
     success: bool = False
     ttft_s: float = 0.0
     latency_s: float = 0.0
-    itl_s: List[float] = field(default_factory=list)
+    itl_s: List[float] = field(default_factory=list)  # inter-CHUNK gaps
     output_tokens: int = 0
+    chunks: int = 0
 
 
 async def one_request(session: aiohttp.ClientSession, url: str, model: str,
                       prompt: str, output_len: int) -> RequestResult:
+    """One streamed completion. With multi-step scheduling the server
+    legitimately emits several tokens per SSE chunk (as the reference does
+    at num_scheduler_steps > 1), so output_tokens comes from the final
+    usage frame (stream_options.include_usage), NOT from counting chunks —
+    counting chunks undercounted 16x at num-scheduler-steps 16 and
+    poisoned every round-2/3 throughput figure at high K."""
     payload = {
         "model": model,
         "prompt": prompt,
@@ -37,6 +44,7 @@ async def one_request(session: aiohttp.ClientSession, url: str, model: str,
         "temperature": 0.0,
         "ignore_eos": True,
         "stream": True,
+        "stream_options": {"include_usage": True},
     }
     result = RequestResult()
     start = time.perf_counter()
@@ -49,14 +57,25 @@ async def one_request(session: aiohttp.ClientSession, url: str, model: str,
                 line = raw.decode().strip()
                 if not line.startswith("data: ") or line.endswith("[DONE]"):
                     continue
+                try:
+                    obj = json.loads(line[len("data: "):])
+                except json.JSONDecodeError:
+                    continue
+                usage = obj.get("usage")
+                if usage and usage.get("completion_tokens"):
+                    result.output_tokens = usage["completion_tokens"]
+                if not obj.get("choices"):
+                    continue
                 now = time.perf_counter()
-                if result.output_tokens == 0:
+                if result.chunks == 0:
                     result.ttft_s = now - start
                 else:
                     result.itl_s.append(now - last)
                 last = now
-                result.output_tokens += 1
+                result.chunks += 1
         result.latency_s = time.perf_counter() - start
+        if result.output_tokens == 0:
+            result.output_tokens = result.chunks  # server without usage
         result.success = result.output_tokens > 0
     except aiohttp.ClientError:
         pass

@@ -49,6 +49,11 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # "1" force grouped, "0" force all-slots einsum.
     "NMV_TPU_LORA_GROUPED":
     lambda: os.getenv("NMV_TPU_LORA_GROUPED", ""),
+    # A/B switch (benchmarking): disable the mixed fused-K + host-K decode
+    # split, reverting to whole-batch single-step host-sampled decode
+    # whenever any request needs host sampling (the pre-round-4 behavior).
+    "NMV_TPU_DISABLE_MIXED_FUSED":
+    lambda: bool(int(os.getenv("NMV_TPU_DISABLE_MIXED_FUSED", "0"))),
     # Batch-size ceiling for the multi-sequence-per-program decode
     # attention variant (small-batch/long-context regime).
     "NMV_TPU_DECODE_MULTISEQ_MAX_BATCH":

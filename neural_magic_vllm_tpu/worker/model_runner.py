@@ -1079,7 +1079,9 @@ class TPUModelRunner:
         # to the host rows only). Reference runs logits processors
         # single-step for everyone (sampler.py:50-119); this split is the
         # TPU answer to keeping guided traffic from serializing the batch.
+        from neural_magic_vllm_tpu import envs
         if (not prefills and decodes and not self.has_state
+                and not envs.NMV_TPU_DISABLE_MIXED_FUSED
                 and self.draft_model is None and self.mlp_speculator is None
                 and self._spec_proposer is None
                 and all(len(m.seq_data) == 1 for _, m in decodes)):
