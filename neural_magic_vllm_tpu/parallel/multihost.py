@@ -316,7 +316,7 @@ def follower_step(payload: StepPayload, runner, cache_engine) -> None:
             new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
                            lora, lidx, mm)
     elif kind in ("decode_sample", "decode_logits",
-                  "decode_logits_hidden"):
+                  "decode_logits_hidden", "decode_spec_verify"):
         meta = AttentionMetadata(slot_mapping=a["slot_mapping"],
                                  block_tables=a["block_tables"],
                                  context_lens=a["context_lens"],
@@ -324,6 +324,9 @@ def follower_step(payload: StepPayload, runner, cache_engine) -> None:
         if kind == "decode_sample":
             new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
                            samp, lora, lidx)
+        elif kind == "decode_spec_verify":
+            new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
+                           a["proposals"], a["plen"], lora, lidx)
         else:
             new_kv, _ = fn(params, kv, a["tokens"], a["positions"], meta,
                            lora, lidx)

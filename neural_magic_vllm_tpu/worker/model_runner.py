@@ -490,6 +490,43 @@ class TPUModelRunner:
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
+        elif kind == "decode_spec_verify":
+            # ngram/proposer verification with IN-GRAPH greedy rejection:
+            # the flat [B*S, V] logits never leave the device (the host
+            # pull was 328 MB/dispatch at bs128 k=4 on the 8B model —
+            # measured 20 s/dispatch through the tunnel, spec_bench r4).
+            # Reference runs rejection on-accelerator too
+            # (rejection_sampler.py:11). num_logprobs is reused as S=k+1.
+            S = num_logprobs
+
+            def fn(params, kv_caches, tokens, positions, meta, proposals,
+                   plen, lora, lora_idx):
+                hidden, new_caches = model.forward(params, tokens,
+                                                   positions, kv_caches,
+                                                   meta, is_prefill=False,
+                                                   lora=lora,
+                                                   lora_idx=lora_idx)
+                logits = model.compute_logits(params, hidden)
+                Bm = proposals.shape[0]
+                k = S - 1
+                lg = logits[:Bm * S].reshape(Bm, S, -1)
+                argmx = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [Bm, S]
+                jk = jax.lax.broadcasted_iota(jnp.int32, (Bm, k), 1)
+                match = (argmx[:, :k] == proposals) & (jk < plen[:, None])
+                # greedy rejection: accept the matching prefix; row n_acc
+                # (the first mismatch, or the bonus row) emits the target
+                # argmax either way -> emitted[j] = argmx[j] for j <= n_acc
+                n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32),
+                                            axis=1), axis=1)  # [Bm]
+                js = jax.lax.broadcasted_iota(jnp.int32, (Bm, S), 1)
+                emitted = jnp.where(js <= n_acc[:, None], argmx, -1)
+                lse = jax.nn.logsumexp(lg, axis=-1)  # [Bm, S]
+                chosen = jnp.take_along_axis(
+                    lg, jnp.clip(emitted, 0)[:, :, None], axis=2)[..., 0]
+                return new_caches, (emitted, n_acc + 1, chosen - lse)
+
+            jfn = jax.jit(fn, donate_argnums=(1, ))
+
         elif kind == "decode_sample":
             dp_shard = self._dp_batch_constraint()
 
@@ -1737,9 +1774,18 @@ class TPUModelRunner:
             self._spec_metrics.accepted_tokens += int(n_out[i]) - 1
             self._spec_metrics.emitted_tokens += int(n_out[i])
             L = sgm.seq_data[seq_id].get_len()
-            # valid draft KV extends through index L + accepted - 1;
-            # first unfed index = L + accepted
-            self._draft_seen[seq_id] = L + int(n_out[i]) - 1
+            # Propose fed [last, d_1..d_{k-1}], writing draft KV through
+            # index L + k - 2. On a REJECTION (accepted = n_acc < k) the
+            # first unfed committed index is L + n_acc (the resample
+            # token, which next step's propose feeds as its last token).
+            # On a FULL accept (accepted = k) the committed d_k at index
+            # L + k - 1 was never fed — propose stops at d_{k-1} — so
+            # catch-up must back-fill it next step. The old
+            # `L + accepted` formula skipped d_k forever after every full
+            # accept, leaving a permanently stale draft-KV slot per
+            # full-accept round (measured: draft==target acceptance 0.48
+            # instead of ~1.0).
+            self._draft_seen[seq_id] = L + min(int(n_out[i]) - 1, k - 1)
 
         max_len = int(n_out[:B].max())
         outputs: List[SamplerOutput] = []
@@ -1996,50 +2042,83 @@ class TPUModelRunner:
         meta = AttentionMetadata(slot_mapping=jnp.asarray(slots),
                                  block_tables=jnp.asarray(tables),
                                  context_lens=jnp.asarray(ctx_lens))
-        fn = self._get_fn("decode_logits", 0)
         spec_reqs = [sgm.lora_request for sgm, _ in rows
                      for _ in range(S)]
         lora, lidx = self._lora_args(spec_reqs, b_pad)
-        self._bcast("decode_logits", 0,
-                    dict(tokens=tokens, positions=positions,
-                         slot_mapping=slots, block_tables=tables,
-                         context_lens=ctx_lens), lidx=lidx)
-        new_kv, logits = fn(self.params, cache_engine.kv_caches,
-                            jnp.asarray(tokens), jnp.asarray(positions),
-                            meta, lora, lidx)
-        cache_engine.kv_caches = new_kv
-        logits_np = np.asarray(logits[:flat], np.float32)
 
-        from neural_magic_vllm_tpu.spec_decode import (
-            rejection_sample_greedy, rejection_sample_onehot)
-        from neural_magic_vllm_tpu.spec_decode.rejection import \
-            typical_acceptance
-        use_typical = (self.speculative_config.draft_token_acceptance_method
-                       == "typical_acceptance_sampler")
-        accepted: List[List[int]] = []
-        chosen_lp: List[List[float]] = []
-        for i, (sgm, seq_id) in enumerate(rows):
-            sp = sgm.sampling_params
-            prop = proposals[i]
-            lg = logits_np[i * S:i * S + len(prop) + 1]
-            if sp.temperature < _SAMPLING_EPS:
-                toks = rejection_sample_greedy(lg, prop)
-            elif use_typical:
-                toks = typical_acceptance(lg, prop, sp.temperature)
-            else:
-                seed_key = self._seq_key(sgm, seq_id)
-                data = sgm.seq_data[seq_id]
-                rng = np.random.default_rng(
-                    [int(seed_key[0]), int(seed_key[1]), data.get_len()])
-                toks = rejection_sample_onehot(lg, prop, sp.temperature, rng)
-            accepted.append(toks)
-            lps = []
-            for j, tok in enumerate(toks):
-                row = lg[j]
-                m_ = row.max()
-                lps.append(float(row[tok] - m_ -
-                                 np.log(np.exp(row - m_).sum())))
-            chosen_lp.append(lps)
+        all_greedy = all(sgm.sampling_params.temperature < _SAMPLING_EPS
+                         for sgm, _ in rows)
+        if all_greedy:
+            # in-graph greedy rejection: only [B_max, S] token ids +
+            # logprobs cross the device link, never the [flat, V] logits
+            B_max = b_pad // S
+            prop_arr = np.full((B_max, k), -1, np.int32)
+            plen = np.zeros((B_max, ), np.int32)
+            for i, p in enumerate(proposals):
+                prop_arr[i, :len(p)] = p
+                plen[i] = len(p)
+            fn = self._get_fn("decode_spec_verify", S)
+            self._bcast("decode_spec_verify", S,
+                        dict(tokens=tokens, positions=positions,
+                             slot_mapping=slots, block_tables=tables,
+                             context_lens=ctx_lens, proposals=prop_arr,
+                             plen=plen), lidx=lidx)
+            new_kv, ys = fn(self.params, cache_engine.kv_caches,
+                            jnp.asarray(tokens), jnp.asarray(positions),
+                            meta, jnp.asarray(prop_arr),
+                            jnp.asarray(plen), lora, lidx)
+            cache_engine.kv_caches = new_kv
+            emitted, n_emit, lp_arr = jax.device_get(ys)
+            accepted = [list(map(int, emitted[i, :n_emit[i]]))
+                        for i in range(B)]
+            chosen_lp = [[float(lp_arr[i, j])
+                          for j in range(int(n_emit[i]))]
+                         for i in range(B)]
+        else:
+            fn = self._get_fn("decode_logits", 0)
+            self._bcast("decode_logits", 0,
+                        dict(tokens=tokens, positions=positions,
+                             slot_mapping=slots, block_tables=tables,
+                             context_lens=ctx_lens), lidx=lidx)
+            new_kv, logits = fn(self.params, cache_engine.kv_caches,
+                                jnp.asarray(tokens), jnp.asarray(positions),
+                                meta, lora, lidx)
+            cache_engine.kv_caches = new_kv
+            logits_np = np.asarray(logits[:flat], np.float32)
+
+            from neural_magic_vllm_tpu.spec_decode import (
+                rejection_sample_greedy, rejection_sample_onehot)
+            from neural_magic_vllm_tpu.spec_decode.rejection import \
+                typical_acceptance
+            use_typical = (
+                self.speculative_config.draft_token_acceptance_method
+                == "typical_acceptance_sampler")
+            accepted = []
+            chosen_lp = []
+            for i, (sgm, seq_id) in enumerate(rows):
+                sp = sgm.sampling_params
+                prop = proposals[i]
+                lg = logits_np[i * S:i * S + len(prop) + 1]
+                if sp.temperature < _SAMPLING_EPS:
+                    toks = rejection_sample_greedy(lg, prop)
+                elif use_typical:
+                    toks = typical_acceptance(lg, prop, sp.temperature)
+                else:
+                    seed_key = self._seq_key(sgm, seq_id)
+                    data = sgm.seq_data[seq_id]
+                    rng = np.random.default_rng(
+                        [int(seed_key[0]), int(seed_key[1]),
+                         data.get_len()])
+                    toks = rejection_sample_onehot(lg, prop, sp.temperature,
+                                                   rng)
+                accepted.append(toks)
+                lps = []
+                for j, tok in enumerate(toks):
+                    row = lg[j]
+                    m_ = row.max()
+                    lps.append(float(row[tok] - m_ -
+                                     np.log(np.exp(row - m_).sum())))
+                chosen_lp.append(lps)
 
         self._spec_metrics.num_steps += 1
         for i, prop in enumerate(proposals):
