@@ -67,7 +67,7 @@ def build_engine(window):
         parallel_config=ParallelConfig(),
         scheduler_config=SchedulerConfig(
             max_num_seqs=BATCH, max_model_len=max_len,
-            max_num_batched_tokens=max(CTXS) + 64,
+            max_num_batched_tokens=max_len,
             num_scheduler_steps=SCHED_STEPS),
         device_config=DeviceConfig(),
         load_config=LoadConfig(load_format="nmv"),

@@ -29,6 +29,12 @@ from neural_magic_vllm_tpu.ops.attention import (decode_attention_ref,
                                                  prefill_attention_ref)
 
 PAGES_PER_CHUNK = 8
+# Context-prefill streams many query rows per chunk, so deeper chunks
+# amortize better than in decode: ppc 16 measured +10% (fresh 2048) and
+# +13% (2048 over 2048 cached) vs 8 on chip, while DECODE regresses at 16
+# (round-1 sweep: a lone chunk defeats the double buffer at short
+# context). Swept in benchmarks/kernels/prefill_tile_sweep.py (r4).
+PREFILL_PAGES_PER_CHUNK = 16
 
 
 def _decode_kernel(tables_ref, ctx_ref, win_ref, q_ref, k_hbm, v_hbm,
@@ -591,7 +597,7 @@ def _context_prefill_pallas(q, k_cache, v_cache, block_table, context_len,
     nb, kvh, bs, _ = k_cache.shape
     group = nqh // kvh
     W = block_table.shape[0]
-    ppc = PAGES_PER_CHUNK
+    ppc = PREFILL_PAGES_PER_CHUNK
     if W % ppc != 0:
         pad = ppc - W % ppc
         block_table = jnp.pad(block_table, (0, pad))
@@ -860,7 +866,9 @@ def prefill_attention(q, k, v, k_cache, v_cache, block_table, context_len,
     ragged chunk lengths."""
     nb, kvh, bs, hd = k_cache.shape
     S, nqh, _ = q.shape
-    TQ = _pick_q_tile(S, nqh, kvh, hd, PAGES_PER_CHUNK, bs,
+    ppc_used = PAGES_PER_CHUNK if blocksparse is not None \
+        else PREFILL_PAGES_PER_CHUNK
+    TQ = _pick_q_tile(S, nqh, kvh, hd, ppc_used, bs,
                       bsparse=blocksparse is not None) \
         if (hd % 128 == 0 and nqh % kvh == 0 and bs % 8 == 0) else None
     if blocksparse is not None and TQ is not None and \

@@ -21,7 +21,10 @@ from jax.experimental.pallas import tpu as pltpu
 from neural_magic_vllm_tpu.ops.attention import segment_prefill_attention_ref
 
 BLOCK_Q = 256
-BLOCK_K = 256
+# 512-deep key blocks measured ~5% faster than 256 at the 2048-token
+# serving bucket on chip (benchmarks/kernels/prefill_tile_sweep.py, r4):
+# fewer fori_loop iterations, same MXU tiling.
+BLOCK_K = 512
 
 
 def _kernel(q_ref, k_ref, v_ref, sq_ref, pq_ref, sk_ref, pk_ref, o_ref, *,
