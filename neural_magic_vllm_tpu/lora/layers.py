@@ -26,13 +26,16 @@ import jax.numpy as jnp
 
 
 def apply_lora_dense(x: jax.Array,  # [T, in]
-                     a_stack: jax.Array,  # [S, in, r]
+                     a_stack: jax.Array,  # [S, r, in] (r-major: a minor
+                     # dim of r=8..64 would cost an 8x-16x tile-padding
+                     # blowup at rest on TPU — measured 3.6 GiB of pure
+                     # padding at S=32 on the 8B model, lora_bench r4)
                      b_stack: jax.Array,  # [S, r, out]
                      scaling: jax.Array,  # [S]
                      lora_idx: jax.Array,  # [T] int32 (0 = none)
                      ) -> jax.Array:  # [T, out] delta
     S = a_stack.shape[0]
-    xa = jnp.einsum("ti,sir->tsr", x.astype(jnp.float32),
+    xa = jnp.einsum("ti,sri->tsr", x.astype(jnp.float32),
                     a_stack.astype(jnp.float32))  # [T, S, r]
     onehot = jax.nn.one_hot(lora_idx, S, dtype=jnp.float32)  # [T, S]
     xa_sel = jnp.einsum("tsr,ts->tr", xa, onehot)
@@ -42,7 +45,7 @@ def apply_lora_dense(x: jax.Array,  # [T, in]
 
 
 def apply_lora_grouped(x: jax.Array,  # [T, in]
-                       a_stack: jax.Array,  # [S, in, r]
+                       a_stack: jax.Array,  # [S, r, in]
                        b_stack: jax.Array,  # [S, r, out]
                        scaling: jax.Array,  # [S]
                        lora_idx: jax.Array,  # [T] int32 (0 = none)
@@ -56,7 +59,11 @@ def apply_lora_grouped(x: jax.Array,  # [T, in]
     order = jnp.argsort(lora_idx, stable=True)
     xs = x[order].astype(jnp.float32)
     group_sizes = jnp.zeros((S, ), jnp.int32).at[lora_idx].add(1)
-    xa = jax.lax.ragged_dot(xs, a_stack.astype(jnp.float32), group_sizes,
+    # ragged_dot wants rhs [g, k, n]; the transient [S, in, r] transpose
+    # is tile-padded but per-call only (the resident stack stays r-major)
+    xa = jax.lax.ragged_dot(xs,
+                            jnp.swapaxes(a_stack, 1, 2).astype(jnp.float32),
+                            group_sizes,
                             preferred_element_type=jnp.float32)  # [T, r]
     delta_s = jax.lax.ragged_dot(xa, b_stack.astype(jnp.float32),
                                  group_sizes,

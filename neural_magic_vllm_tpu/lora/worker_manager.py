@@ -2,7 +2,10 @@
 LRUCacheLoRAModelManager, lora/models.py:760).
 
 Owns the layer-stacked device tensors
-    A[key]: [L, S, in, r_max]   B[key]: [L, S, r_max, out]
+    A[key]: [L, S, r_max, in]   B[key]: [L, S, r_max, out]
+(A is r-major: an [.., in, r] layout pads r=8 to the 128-lane tile, a
+16x HBM blowup at rest — measured 6.6 GiB of padding at S=32 on the 8B
+model before the flip)
 (L leading so the model's lax.scan slices one layer per step; S = 1 null
 slot + max_loras). Activating an adapter writes its matrices into a slot
 with an in-place jitted update; eviction is LRU over inactive slots.
@@ -53,7 +56,7 @@ class WorkerLoRAManager:
         r = self.max_rank
         dims = self._linear_dims()
         self.a_stacks = {
-            k: self._place(jnp.zeros((L, self.num_slots, dims[k][0], r),
+            k: self._place(jnp.zeros((L, self.num_slots, r, dims[k][0]),
                                      dtype), k, "a")
             for k in _TARGET_KEYS
         }
@@ -86,10 +89,11 @@ class WorkerLoRAManager:
 
         row = key in self._ROW_KEYS
         if which == "a":
-            if row and ok(shape[2]):
-                return P(None, None, "model", None)
-            if not row and self.fully_sharded and ok(shape[3]):
+            # A is [L, S, r, in]: in = dim 3, r = dim 2
+            if row and ok(shape[3]):
                 return P(None, None, None, "model")
+            if not row and self.fully_sharded and ok(shape[2]):
+                return P(None, None, "model", None)
         else:
             if not row and ok(shape[3]):
                 return P(None, None, None, "model")
@@ -188,11 +192,12 @@ class WorkerLoRAManager:
         r = self.max_rank
         sl = jnp.int32(slot)
         for k in _TARGET_KEYS:
-            a_np = np.zeros((L, dims[k][0], r), np.float32)
+            a_np = np.zeros((L, r, dims[k][0]), np.float32)
             b_np = np.zeros((L, r, dims[k][1]), np.float32)
             for layer in range(L):
-                a_np[layer], b_np[layer] = lora.padded(
+                a_l, b_np[layer] = lora.padded(
                     k, layer, dims[k][0], dims[k][1], r)
+                a_np[layer] = a_l.T
             self.a_stacks[k] = _set_slot(self.a_stacks[k], sl,
                                          jnp.asarray(a_np, self.dtype))
             self.b_stacks[k] = _set_slot(self.b_stacks[k], sl,

@@ -192,7 +192,7 @@ def test_apply_lora_grouped_matches_dense():
     rng = np.random.default_rng(3)
     T, IN, OUT, S, r = 24, 64, 96, 12, 8
     x = jnp.asarray(rng.standard_normal((T, IN)), jnp.float32)
-    a = jnp.asarray(rng.standard_normal((S, IN, r)) * 0.1, jnp.float32)
+    a = jnp.asarray(rng.standard_normal((S, r, IN)) * 0.1, jnp.float32)
     b = jnp.asarray(rng.standard_normal((S, r, OUT)) * 0.1, jnp.float32)
     a = a.at[0].set(0.0)
     b = b.at[0].set(0.0)
