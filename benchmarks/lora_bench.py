@@ -151,7 +151,12 @@ def run_leg(leg):
     engine = build_engine(S)
     rec = {"leg": f"S={S}", "batch": BATCH, "rank": RANK}
     runner = engine.model_executor.driver_worker.model_runner
-    for mode, flag in (("dense", "0"), ("grouped", "1")):
+    # the all-slots dense apply is punica-unlike at dozens of slots by
+    # design (lora/layers.py): at S=32 its prefill intermediates exceed
+    # HBM (XLA compile measured 22.5 GiB) — measure grouped only there
+    modes = (("dense", "0"), ("grouped", "1")) if S <= 8 else \
+        (("grouped", "1"), )
+    for mode, flag in modes:
         os.environ["NMV_TPU_LORA_GROUPED"] = flag
         runner._fns.clear()  # re-trace with the other apply formulation
         ms = _measure(engine, S, f"{mode[0]}-")

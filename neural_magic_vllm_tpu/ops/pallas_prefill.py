@@ -29,7 +29,7 @@ BLOCK_K = 512
 
 def _kernel(q_ref, k_ref, v_ref, sq_ref, pq_ref, sk_ref, pk_ref, o_ref, *,
             bq: int, bk: int, group: int, hd: int, T: int, scale: float,
-            logit_cap: Optional[float]):
+            logit_cap: Optional[float], window: Optional[int] = None):
     qb = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32) * scale  # [BQ, g, hd]
     sq = sq_ref[:]  # [BQ, 1]
@@ -41,6 +41,12 @@ def _kernel(q_ref, k_ref, v_ref, sq_ref, pq_ref, sk_ref, pk_ref, o_ref, *,
     q2 = q.reshape(bq * group, hd)
 
     n_kb = ((qb + 1) * bq + bk - 1) // bk  # causal: prune above-diagonal
+    # sliding window: same-segment keys sit at flat offset (pq - pk) behind
+    # the query, so key blocks entirely before qb*bq - window + 1 are
+    # invisible to every row of this tile (cross-segment pairs are masked
+    # anyway) — the below-diagonal analogue of the causal prune
+    kb0 = 0 if window is None else jnp.maximum(
+        0, (qb * bq - window + 1) // bk)
 
     def body(kb, carry):
         m, l, acc = carry
@@ -56,6 +62,8 @@ def _kernel(q_ref, k_ref, v_ref, sq_ref, pq_ref, sk_ref, pk_ref, o_ref, *,
         if logit_cap is not None and logit_cap > 0:
             s = jnp.tanh(s / logit_cap) * logit_cap
         mask = (sq == sk) & (sq >= 0) & (pk <= pq)  # [BQ, BK]
+        if window is not None:
+            mask = mask & (pk > pq - window)
         s = jnp.where(mask[:, None, :], s, -jnp.inf)
 
         blk_m = jnp.max(s, axis=-1, keepdims=True)
@@ -70,14 +78,16 @@ def _kernel(q_ref, k_ref, v_ref, sq_ref, pq_ref, sk_ref, pk_ref, o_ref, *,
         new_acc = acc * alpha + pv.reshape(bq, group, hd)
         return new_m, new_l, new_acc
 
-    m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(kb0, n_kb, body, (m0, l0, acc0))
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "logit_cap"))
+@functools.partial(jax.jit, static_argnames=("scale", "logit_cap",
+                                             "window"))
 def _segment_prefill_pallas(q, k, v, seq_ids, q_pos, *, scale: float,
-                            logit_cap: Optional[float] = None):
+                            logit_cap: Optional[float] = None,
+                            window: Optional[int] = None):
     T, nqh, hd = q.shape
     kvh = k.shape[1]
     group = nqh // kvh
@@ -93,7 +103,8 @@ def _segment_prefill_pallas(q, k, v, seq_ids, q_pos, *, scale: float,
     pk_row = q_pos[None, :].astype(jnp.int32)
 
     kernel = functools.partial(_kernel, bq=bq, bk=bk, group=group, hd=hd,
-                               T=T, scale=scale, logit_cap=logit_cap)
+                               T=T, scale=scale, logit_cap=logit_cap,
+                               window=window)
     interpret = jax.default_backend() not in ("tpu", "axon")
     out = pl.pallas_call(
         kernel,
@@ -131,17 +142,24 @@ def _segment_prefill_pallas(q, k, v, seq_ids, q_pos, *, scale: float,
 def segment_prefill_attention(q, k, v, seq_ids, q_pos, *, scale: float,
                               sliding_window: Optional[int] = None,
                               logit_cap: Optional[float] = None):
-    """Flash segment prefill; XLA reference fallback for sliding windows,
-    odd head sizes, or tiny token counts."""
+    """Flash segment prefill (sliding windows handled in-kernel with
+    below-diagonal block pruning — r4; the jnp fallback materializes
+    O(T^2) scores, which at the 16k token bucket is a 32 GiB allocation).
+    XLA reference fallback only for odd head sizes / tiny token counts."""
+    import numpy as np
     T, nqh, hd = q.shape
     kvh = k.shape[1]
-    use_kernel = (sliding_window is None and hd % 128 == 0
-                  and nqh % kvh == 0 and T % min(BLOCK_Q, T) == 0
-                  and T >= 128 and
+    # traced per-layer windows (gemma2 alternation) cannot key a static
+    # kernel variant; only None / python-int windows take the kernel
+    static_window = sliding_window is None or isinstance(
+        sliding_window, (int, np.integer))
+    use_kernel = (static_window and hd % 128 == 0 and nqh % kvh == 0
+                  and T % min(BLOCK_Q, T) == 0 and T >= 128 and
                   jax.default_backend() in ("tpu", "axon"))
     if not use_kernel:
         return segment_prefill_attention_ref(
             q, k, v, seq_ids, q_pos, scale=scale,
             sliding_window=sliding_window, logit_cap=logit_cap)
-    return _segment_prefill_pallas(q, k, v, seq_ids, q_pos, scale=scale,
-                                   logit_cap=logit_cap)
+    return _segment_prefill_pallas(
+        q, k, v, seq_ids, q_pos, scale=scale, logit_cap=logit_cap,
+        window=int(sliding_window) if sliding_window is not None else None)

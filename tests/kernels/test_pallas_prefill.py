@@ -50,3 +50,20 @@ def test_pallas_segment_prefill_logit_cap():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), rtol=2e-2,
                                atol=2e-2)
+
+
+@pytest.mark.parametrize("window", [32, 200])
+def test_pallas_segment_prefill_sliding_window(window):
+    """In-kernel sliding window + below-diagonal block pruning == the jnp
+    masked reference (r4: the ref fallback materializes O(T^2) scores —
+    32 GiB at the 16k bucket — so windowed prefill must run the kernel)."""
+    q, k, v, seq_ids, q_pos = _inputs(512, 8, 2, 128, [0, 100, 300, 460])
+    scale = 128**-0.5
+    ref = segment_prefill_attention_ref(q, k, v, seq_ids, q_pos,
+                                        scale=scale, sliding_window=window)
+    out = _segment_prefill_pallas(q, k, v, seq_ids, q_pos, scale=scale,
+                                  window=window)
+    valid = np.asarray(seq_ids) >= 0
+    np.testing.assert_allclose(np.asarray(out, np.float32)[valid],
+                               np.asarray(ref, np.float32)[valid],
+                               rtol=2e-2, atol=2e-2)
