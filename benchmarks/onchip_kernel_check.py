@@ -104,6 +104,11 @@ def check_segment_prefill(rng):
                                         scale=scale)
     out = segment_prefill_attention(q, k, v, seq_ids, q_pos, scale=scale)
     check("segment_prefill", out, ref)
+    ref_w = segment_prefill_attention_ref(q, k, v, seq_ids, q_pos,
+                                          scale=scale, sliding_window=40)
+    out_w = segment_prefill_attention(q, k, v, seq_ids, q_pos, scale=scale,
+                                      sliding_window=40)
+    check("segment_prefill sliding_window", out_w, ref_w)
 
 
 def check_dequant_gemm(rng):
