@@ -401,11 +401,32 @@ class TPUModelRunner:
         return constrain
 
     # --- step executables -----------------------------------------------------
+    def _out_replicator(self):
+        """Host-fetched dispatch outputs (sampled ids, logprobs, logits)
+        must be fully replicated under a MULTI-PROCESS mesh: a
+        data-sharded output spans non-addressable devices and
+        jax.device_get on the driver raises. The constraint is a tiny
+        all-gather of token ids (or the logits rows on the host-sampling
+        path); KV caches keep their sharded layout. Caught by the
+        4-process dp2 x tp4 e2e test — invisible on single-process
+        meshes where every device is addressable."""
+        if self.mesh is None:
+            return lambda t: t
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(self.mesh, P())
+
+        def rep(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, repl), tree)
+
+        return rep
+
     def _get_fn(self, kind: str, num_logprobs: int):
         key = (kind, num_logprobs)
         if key in self._fns:
             return self._fns[key]
         model = self.model
+        rep = self._out_replicator()
 
         if kind == "prefill_sample":
 
@@ -423,7 +444,7 @@ class TPUModelRunner:
                                                    0)
                 out = sample(logits, _fold_position(samp, pos),
                              max_logprobs=num_logprobs)
-                return new_caches, out
+                return new_caches, rep(out)
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
@@ -443,7 +464,7 @@ class TPUModelRunner:
                 pos_sel = jnp.take(positions, sample_idx, axis=0)
                 out = sample(logits, _fold_position(samp, pos_sel),
                              max_logprobs=num_logprobs)
-                return new_caches, out
+                return new_caches, rep(out)
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
@@ -470,7 +491,7 @@ class TPUModelRunner:
                                                    lora=lora,
                                                    lora_idx=lora_idx,
                                                    mm=mm)
-                return new_caches, hidden
+                return new_caches, rep(hidden)
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
@@ -486,7 +507,7 @@ class TPUModelRunner:
                                                    lora_idx=lora_idx,
                                                    mm=mm)
                 logits = model.compute_logits(params, hidden)
-                return new_caches, logits
+                return new_caches, rep(logits)
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
@@ -523,7 +544,8 @@ class TPUModelRunner:
                 lse = jax.nn.logsumexp(lg, axis=-1)  # [Bm, S]
                 chosen = jnp.take_along_axis(
                     lg, jnp.clip(emitted, 0)[:, :, None], axis=2)[..., 0]
-                return new_caches, (emitted, n_acc + 1, chosen - lse)
+                return new_caches, rep((emitted, n_acc + 1,
+                                        chosen - lse))
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
@@ -542,7 +564,7 @@ class TPUModelRunner:
                 logits = model.compute_logits(params, hidden)
                 out = sample(logits, _fold_position(samp, positions),
                              max_logprobs=num_logprobs)
-                return new_caches, out
+                return new_caches, rep(out)
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
@@ -597,7 +619,7 @@ class TPUModelRunner:
                 if has_pen:
                     init = init + (samp.output_tokens, samp.output_len)
                 carry_out, ys = jax.lax.scan(body, init, None, length=K)
-                return carry_out[0], ys
+                return carry_out[0], rep(ys)
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
@@ -611,7 +633,7 @@ class TPUModelRunner:
                                                    lora=lora,
                                                    lora_idx=lora_idx)
                 logits = model.compute_logits(params, hidden)
-                return new_caches, logits
+                return new_caches, rep(logits)
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
@@ -628,7 +650,7 @@ class TPUModelRunner:
                                                    lora=lora,
                                                    lora_idx=lora_idx)
                 logits = model.compute_logits(params, hidden)
-                return new_caches, (logits, hidden)
+                return new_caches, rep((logits, hidden))
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
