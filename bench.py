@@ -17,6 +17,7 @@ config for apples-to-apples history.
 """
 import json
 import os
+import statistics
 import re
 import sys
 import time
@@ -269,7 +270,11 @@ def main():
     samples = [_timed_decode_window(engine, BATCH, PROMPT_LEN,
                                     DECODE_STEPS, f"m{w}-")
                for w in range(windows)]
-    tok_per_s = max(samples)
+    # Headline = MEDIAN of the windows (advisor r4: max() biased the
+    # figure up and broke comparability with earlier fixed-config rows).
+    # All samples are still recorded in window_samples; best_window is
+    # kept as a separate, clearly-labeled field.
+    tok_per_s = statistics.median(samples)
 
     # Speed of light = the binding roofline. Weight-stream: every decode
     # step reads all packed weights once (batch rows amortize). Compute:
@@ -293,6 +298,7 @@ def main():
         "decode_window_steps": DECODE_STEPS,
         "fused_steps": SCHED_STEPS,
         "window_samples": [round(s, 1) for s in samples],
+        "best_window": round(max(samples), 1),
     }
 
     # Fixed-config history row (bs256, prompt 64, fused-16, 64-step

@@ -384,6 +384,30 @@ class SchedulerConfig:
         out.append(final)
         return sorted(set(out))
 
+    def host_logits_buckets(self) -> List[int]:
+        """Coarse batch lattice for the host-sampled decode_logits
+        executables (guided decoding, beam search, penalties minority).
+        Powers of 4 keep the count tiny (cap 512 -> [8, 32, 128, 512])
+        so --full-warmup can pre-compile every one and the first guided
+        request in steady state never hits a serve-time XLA compile
+        (advisor r4). The pad penalty is bounded 4x on the MINORITY rows
+        only, and below ~bs128 the decode forward is weight-stream-bound
+        (batch-invariant), so padding 9 -> 32 costs ~nothing."""
+        final = self.decode_buckets()[-1]
+        out = []
+        b = max(self.min_decode_bucket, 8)
+        while b < final:
+            out.append(b)
+            b *= 4
+        out.append(final)
+        return sorted(set(out))
+
+    def pad_host_batch(self, n: int) -> int:
+        for b in self.host_logits_buckets():
+            if n <= b:
+                return b
+        return self.host_logits_buckets()[-1]
+
     def pad_prefill_len(self, n: int) -> int:
         for b in self.prefill_buckets():
             if n <= b:

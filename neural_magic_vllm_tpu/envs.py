@@ -6,6 +6,16 @@ os.environ. Names use the NMV_TPU_ prefix.
 import os
 from typing import Any, Callable, Dict
 
+
+def _env_bool(name: str, default: str = "0") -> bool:
+    """Tolerant boolean env parsing: accepts 1/0, true/false, yes/no,
+    on/off (any case); empty string means unset (use default)."""
+    raw = os.getenv(name)
+    if raw is None or raw.strip() == "":
+        raw = default
+    return raw.strip().lower() in ("1", "true", "yes", "on")
+
+
 environment_variables: Dict[str, Callable[[], Any]] = {
     # Logging
     "NMV_TPU_CONFIGURE_LOGGING":
@@ -29,17 +39,17 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     lambda: int(os.getenv("NMV_TPU_ENGINE_ITERATION_TIMEOUT_S", "300")),
     # Test hook: artificial preemption (reference scheduler.py:21-24).
     "NMV_TPU_TEST_ENABLE_ARTIFICIAL_PREEMPT":
-    lambda: bool(int(os.getenv("NMV_TPU_TEST_ENABLE_ARTIFICIAL_PREEMPT", "0"))),
+    lambda: _env_bool("NMV_TPU_TEST_ENABLE_ARTIFICIAL_PREEMPT", "0"),
     # Force on-host sampling fallback (debugging).
     "NMV_TPU_FORCE_HOST_SAMPLING":
-    lambda: bool(int(os.getenv("NMV_TPU_FORCE_HOST_SAMPLING", "0"))),
+    lambda: _env_bool("NMV_TPU_FORCE_HOST_SAMPLING", "0"),
     # Usage-stat opt-out (reference: VLLM_NO_USAGE_STATS). No-op placeholder.
     "NMV_TPU_NO_USAGE_STATS":
-    lambda: bool(int(os.getenv("NMV_TPU_NO_USAGE_STATS", "1"))),
+    lambda: _env_bool("NMV_TPU_NO_USAGE_STATS", "1"),
     # Hang debugging: trace every package-local function call to a temp
     # log (reference VLLM_TRACE_FUNCTION, envs.py:199). Very slow.
     "NMV_TPU_TRACE_FUNCTION":
-    lambda: bool(int(os.getenv("NMV_TPU_TRACE_FUNCTION", "0"))),
+    lambda: _env_bool("NMV_TPU_TRACE_FUNCTION", "0"),
     # MoE expert-GEMM backend: "auto" (grouped Pallas dequant-GEMM for
     # packed experts, ragged_dot for dense), "ragged" (force
     # dequant+ragged_dot) or "dense" (force dense-dispatch einsum).
@@ -53,7 +63,7 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # split, reverting to whole-batch single-step host-sampled decode
     # whenever any request needs host sampling (the pre-round-4 behavior).
     "NMV_TPU_DISABLE_MIXED_FUSED":
-    lambda: bool(int(os.getenv("NMV_TPU_DISABLE_MIXED_FUSED", "0"))),
+    lambda: _env_bool("NMV_TPU_DISABLE_MIXED_FUSED", "0"),
     # Batch-size ceiling for the multi-sequence-per-program decode
     # attention variant (small-batch/long-context regime).
     "NMV_TPU_DECODE_MULTISEQ_MAX_BATCH":
@@ -66,7 +76,7 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # dequant-GEMM and contract in native int8 on the MXU (2x bf16 rate
     # on real TPUs). Changes numerics vs W4A16; off by default.
     "NMV_TPU_W4A8":
-    lambda: bool(int(os.getenv("NMV_TPU_W4A8", "0"))),
+    lambda: _env_bool("NMV_TPU_W4A8", "0"),
 
     # Per-engine-step JSONL trace path (serving decomposition; empty = off)
     "NMV_TPU_STEP_TRACE":

@@ -742,6 +742,17 @@ class TPUModelRunner:
                 logger.info("Warmup fused-%d decode bucket %d: %.1fs "
                             "(step %.0f ms)", K_b, b, time.time() - tb,
                             self._bucket_step_ms.get(b, -1.0))
+        if full:
+            # host-sampled decode_logits executables (guided / beam /
+            # penalty minority) ride a coarse powers-of-4 lattice; warm
+            # every bucket so the FIRST guided request in steady state
+            # never triggers a serve-time XLA compile (advisor r4).
+            for b in self.scheduler_config.host_logits_buckets():
+                tb = time.time()
+                cache_engine.kv_caches = self._run_dummy_decode_logits(
+                    cache_engine.kv_caches, b)
+                logger.info("Warmup decode_logits bucket %d: %.1fs", b,
+                            time.time() - tb)
         if not full:
             # batched-prefill executable at the largest token bucket only
             cache_engine.kv_caches = self._run_dummy_prefill_batch(
@@ -818,6 +829,20 @@ class TPUModelRunner:
                        jnp.full((b, ), token_fill, jnp.int32),
                        jnp.zeros((b, ), jnp.int32), meta,
                        self._dummy_samp(b), lora, lidx)
+        return new_kv
+
+    def _run_dummy_decode_logits(self, kv_caches, b: int):
+        meta = AttentionMetadata(
+            slot_mapping=jnp.full((b, ), -1, jnp.int32),
+            block_tables=jnp.zeros((b, self.max_blocks_per_seq), jnp.int32),
+            context_lens=jnp.ones((b, ), jnp.int32),
+            state_slots=jnp.full((b, ), self.num_state_slots, jnp.int32)
+            if self.has_state else None)
+        fn = self._get_fn("decode_logits", 0)
+        lora, lidx = self._lora_args(None, b)
+        new_kv, _ = fn(self.params, kv_caches,
+                       jnp.zeros((b, ), jnp.int32),
+                       jnp.zeros((b, ), jnp.int32), meta, lora, lidx)
         return new_kv
 
     def _pick_fused_k(self, bucket: int, k_cfg: int) -> int:
@@ -1638,7 +1663,8 @@ class TPUModelRunner:
         positions may advance K-1 past the scheduled slot."""
         rows = [(sgm, next(iter(sgm.seq_data))) for sgm in sgms]
         B = len(rows)
-        b_pad = self.scheduler_config.pad_decode_batch(B)
+        # coarse lattice: see host_logits_buckets (warmup pre-compiles it)
+        b_pad = self.scheduler_config.pad_host_batch(B)
         width = self._table_width(
             [sgm.block_tables[sid] for sgm, sid in rows])
         tables = np.zeros((b_pad, width), np.int32)
@@ -2189,7 +2215,11 @@ class TPUModelRunner:
             for seq_id in sgm.seq_data:
                 rows.append((sgm, seq_id))
         B = len(rows)
-        b_pad = self.scheduler_config.pad_decode_batch(B)
+        # Host rows ride the coarse host_logits_buckets lattice so full
+        # warmup can pre-compile every decode_logits bucket (advisor r4).
+        all_host = bool(host_flags) and all(host_flags)
+        b_pad = (self.scheduler_config.pad_host_batch(B) if all_host
+                 else self.scheduler_config.pad_decode_batch(B))
 
         tokens = np.zeros((b_pad, ), np.int32)
         positions = np.zeros((b_pad, ), np.int32)

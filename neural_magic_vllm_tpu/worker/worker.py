@@ -49,8 +49,9 @@ class Worker:
         # killed), so a populated cache makes every restart slower, not
         # faster.
         if jax.default_backend() in ("tpu", "axon"):
-            on_axon_tunnel = "axon" in os.environ.get(
-                "JAX_PLATFORMS", "").lower()
+            on_axon_tunnel = (
+                jax.default_backend() == "axon"
+                or "axon" in os.environ.get("JAX_PLATFORMS", "").lower())
             explicit = "NMV_TPU_XLA_CACHE_PATH" in os.environ
             if on_axon_tunnel and not explicit:
                 logger.info(
