@@ -81,6 +81,24 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # Per-engine-step JSONL trace path (serving decomposition; empty = off)
     "NMV_TPU_STEP_TRACE":
     lambda: os.getenv("NMV_TPU_STEP_TRACE", ""),
+
+    # On-device guided decoding: compile regex/JSON-schema DFAs to
+    # device bitmask/rank tables so guided rows ride the fused-K decode
+    # dispatch (guided_decoding/device_fsm.py). "0" forces the host
+    # logits-processor path for every guided row.
+    "NMV_TPU_GUIDED_DEVICE":
+    lambda: _env_bool("NMV_TPU_GUIDED_DEVICE", "1"),
+    # Device-table budgets: max resident DFA states / transitions.
+    # 1024 states x ceil(V/8) bytes ~= 16 MiB of HBM at a 128k vocab;
+    # 2^23 transitions = 32 MiB. FSMs exceeding either fall to host.
+    "NMV_TPU_GUIDED_DEVICE_STATES":
+    lambda: int(os.getenv("NMV_TPU_GUIDED_DEVICE_STATES", "1024")),
+    "NMV_TPU_GUIDED_DEVICE_NNZ":
+    lambda: int(os.getenv("NMV_TPU_GUIDED_DEVICE_NNZ", str(1 << 23))),
+    # Wall-clock budget for materializing one DFA (vectorized build;
+    # typical guided_choice/JSON-schema patterns take well under 10 s).
+    "NMV_TPU_GUIDED_BUILD_BUDGET_S":
+    lambda: float(os.getenv("NMV_TPU_GUIDED_BUILD_BUDGET_S", "60")),
 }
 
 

@@ -71,6 +71,21 @@ class FSMLogitsProcessor:
 
     def __call__(self, generated_ids: List[int],
                  logits: np.ndarray) -> np.ndarray:
+        # Fast path: when the worker has materialized this FSM for the
+        # fused on-device dispatch (guided_decoding/device_fsm.py), reuse
+        # its compressed tables here too — a stateless numpy walk +
+        # bitmask row, instead of the lazy per-state 0.5 s/state token
+        # walk. Masks are identical by construction (tested in
+        # tests/guided_decoding/test_device_fsm.py).
+        dfsm = getattr(self.fsm, "_device_fsm", None)
+        if dfsm and dfsm.eos_token_id == self.eos_token_id:
+            state = dfsm.state_for(generated_ids)
+            row = dfsm.allowed_row(state)
+            mask = np.full_like(logits, -math.inf)
+            n = min(logits.shape[-1], row.shape[0])
+            idx = np.nonzero(row[:n])[0]
+            mask[idx] = logits[idx]
+            return mask
         self._state = self._state_for(generated_ids)
         if self._state is None:
             # walked off the automaton (shouldn't happen): only EOS

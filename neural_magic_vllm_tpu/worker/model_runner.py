@@ -213,6 +213,51 @@ class TPUModelRunner:
         # so follower hosts enter the same global-mesh executable
         # (parallel/multihost.py; reference worker_base.py:215-282).
         self.control_plane = None
+        # On-device guided decoding: packed DFA tables (lazy; see
+        # guided_decoding/device_fsm.py).
+        self._guided_mgr = None
+
+    def _get_guided_mgr(self):
+        if self._guided_mgr is None:
+            from neural_magic_vllm_tpu import envs
+            from neural_magic_vllm_tpu.guided_decoding.device_fsm import \
+                GuidedTableManager
+            self._guided_mgr = GuidedTableManager(
+                vocab_size=self.model_config.get_vocab_size(),
+                max_states=envs.NMV_TPU_GUIDED_DEVICE_STATES,
+                max_transitions=envs.NMV_TPU_GUIDED_DEVICE_NNZ,
+                mesh=self.mesh)
+        return self._guided_mgr
+
+    def _device_guided_fsm(self, sgm: SequenceGroupMetadata):
+        """DeviceFSM for a guided row that can ride the fused in-graph
+        dispatch, or None (-> host logits-processor path). Device tables
+        are driver-local; multi-host serving keeps the host path so
+        followers replay identical dispatches."""
+        from neural_magic_vllm_tpu import envs
+        if not envs.NMV_TPU_GUIDED_DEVICE or self.control_plane is not None:
+            return None
+        sp = sgm.sampling_params
+        if sp is None or sp.min_tokens > 0 or sp.use_beam_search:
+            return None
+        procs = sp.logits_processors or []
+        if len(procs) != 1:
+            return None
+        from neural_magic_vllm_tpu.guided_decoding import FSMLogitsProcessor
+        from neural_magic_vllm_tpu.guided_decoding.device_fsm import \
+            build_device_fsm
+        p = procs[0]
+        if not isinstance(p, FSMLogitsProcessor):
+            return None
+        eos = sgm.eos_token_id
+        dfsm = build_device_fsm(
+            p.fsm, self.model_config.get_vocab_size(), eos,
+            max_states=envs.NMV_TPU_GUIDED_DEVICE_STATES,
+            max_transitions=envs.NMV_TPU_GUIDED_DEVICE_NNZ,
+            time_budget_s=envs.NMV_TPU_GUIDED_BUILD_BUDGET_S)
+        if dfsm is None or dfsm.eos_token_id != eos:
+            return None
+        return dfsm
 
     def _bcast(self, kind: str, nlp, arrays: Dict[str, Any],
                samp=None, lidx=None) -> None:
@@ -623,6 +668,66 @@ class TPUModelRunner:
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
+        elif kind == "decode_multi_guided":
+            # decode_multi + in-graph guided decoding: rows carrying a
+            # DFA state id (gstate >= 0) mask their logits by the packed
+            # allow-table and advance their state after sampling, all
+            # inside the K-step scan — guided rows ride the SAME fused
+            # dispatch (VERDICT r4 #2; reference masks per step on host,
+            # outlines_logits_processors.py:67-148).
+            from neural_magic_vllm_tpu.ops.guided import (
+                guided_advance, guided_gather_rows, guided_mask)
+            K, nlp = num_logprobs
+            bs = self.block_size
+            dp_shard = self._dp_batch_constraint()
+
+            def fn(params, kv_caches, tokens, positions, tables, valid,
+                   samp, lora, lora_idx, gstate, eos_ids, gtab):
+                tokens = dp_shard(tokens)
+                positions = dp_shard(positions)
+                tables = dp_shard(tables)
+                valid = dp_shard(valid)
+                has_pen = samp.output_tokens is not None
+
+                def body(carry, _):
+                    if has_pen:
+                        kv, toks, pos, gs, obuf, widx = carry
+                    else:
+                        kv, toks, pos, gs = carry
+                    blk = jnp.take_along_axis(tables, (pos // bs)[:, None],
+                                              axis=1)[:, 0]
+                    slots = jnp.where(valid, blk * bs + pos % bs, -1)
+                    meta = AttentionMetadata(slot_mapping=slots,
+                                             block_tables=tables,
+                                             context_lens=pos + 1)
+                    hidden, newkv = model.forward(params, toks, pos, kv,
+                                                  meta, is_prefill=False,
+                                                  lora=lora,
+                                                  lora_idx=lora_idx)
+                    logits = model.compute_logits(params, hidden)
+                    arows, rrows = guided_gather_rows(gtab, gs)
+                    logits = guided_mask(logits, gs, arows)
+                    samp_k = _fold_position(samp, pos)
+                    if has_pen:
+                        samp_k = samp_k._replace(output_tokens=obuf)
+                    out = sample(logits, samp_k, max_logprobs=nlp)
+                    tid = out[0]
+                    gs = guided_advance(gtab, gs, tid, eos_ids, rrows)
+                    if has_pen:
+                        obuf = obuf.at[jnp.arange(obuf.shape[0]),
+                                       widx].set(tid, mode="drop")
+                        return (newkv, tid, pos + 1, gs, obuf,
+                                widx + 1), out
+                    return (newkv, tid, pos + 1, gs), out
+
+                init = (kv_caches, tokens, positions, gstate)
+                if has_pen:
+                    init = init + (samp.output_tokens, samp.output_len)
+                carry_out, ys = jax.lax.scan(body, init, None, length=K)
+                return carry_out[0], rep(ys)
+
+            jfn = jax.jit(fn, donate_argnums=(1, ))
+
         elif kind == "decode_logits":
 
             def fn(params, kv_caches, tokens, positions, meta, lora,
@@ -743,6 +848,22 @@ class TPUModelRunner:
                             "(step %.0f ms)", K_b, b, time.time() - tb,
                             self._bucket_step_ms.get(b, -1.0))
         if full:
+            from neural_magic_vllm_tpu import envs as _envs
+            if K > 1 and _envs.NMV_TPU_GUIDED_DEVICE and \
+                    self.control_plane is None:
+                # guided fused-decode variant: same bucket x K_b lattice
+                # as decode_multi so the first device-guided request
+                # never compiles at serve time
+                for b in decode_buckets:
+                    K_b = self._fused_k_table.get(b, K)
+                    if K_b <= 1:
+                        continue
+                    tb = time.time()
+                    cache_engine.kv_caches = \
+                        self._run_dummy_decode_multi_guided(
+                            cache_engine.kv_caches, b, K_b)
+                    logger.info("Warmup guided fused-%d decode bucket "
+                                "%d: %.1fs", K_b, b, time.time() - tb)
             # host-sampled decode_logits executables (guided / beam /
             # penalty minority) ride a coarse powers-of-4 lattice; warm
             # every bucket so the FIRST guided request in steady state
@@ -829,6 +950,21 @@ class TPUModelRunner:
                        jnp.full((b, ), token_fill, jnp.int32),
                        jnp.zeros((b, ), jnp.int32), meta,
                        self._dummy_samp(b), lora, lidx)
+        return new_kv
+
+    def _run_dummy_decode_multi_guided(self, kv_caches, b: int, K: int):
+        mgr = self._get_guided_mgr()
+        fn = self._get_fn("decode_multi_guided", (K, 0))
+        lora, lidx = self._lora_args(None, b)
+        new_kv, _ = fn(self.params, kv_caches,
+                       jnp.zeros((b, ), jnp.int32),
+                       jnp.zeros((b, ), jnp.int32),
+                       jnp.zeros((b, self.max_blocks_per_seq), jnp.int32),
+                       jnp.zeros((b, ), jnp.bool_), self._dummy_samp(b),
+                       lora, lidx,
+                       jnp.full((b, ), -1, jnp.int32),
+                       jnp.full((b, ), -1, jnp.int32),
+                       mgr.device_tables)
         return new_kv
 
     def _run_dummy_decode_logits(self, kv_caches, b: int):
@@ -1116,12 +1252,31 @@ class TPUModelRunner:
             self._active_seq_ids = {
                 sid for m in seq_group_metadata_list for sid in m.seq_data}
 
+        # Guided rows whose DFA fits the device tables ride the fused
+        # dispatch in-graph instead of dropping to host sampling
+        # (guided_decoding/device_fsm.py; VERDICT r4 #2).
+        guided_dev: Dict[int, Any] = {}
+        if decodes and not prefills and \
+                self.scheduler_config.num_scheduler_steps > 1:
+            for i, m in decodes:
+                if len(m.seq_data) == 1 and \
+                        _needs_host_sampling(m.sampling_params):
+                    d = self._device_guided_fsm(m)
+                    if d is not None:
+                        guided_dev[i] = d
+            if guided_dev:
+                uniq = list({id(d): d
+                             for d in guided_dev.values()}.values())
+                if self._get_guided_mgr().admit(uniq) is None:
+                    guided_dev = {}
+
         all_single_decode = (not prefills and decodes and all(
             len(m.seq_data) == 1 for _, m in decodes) and not any(
-                _needs_host_sampling(m.sampling_params)
-                for _, m in decodes))
+                _needs_host_sampling(m.sampling_params) and
+                i not in guided_dev for i, m in decodes))
+        all_plain_decode = all_single_decode and not guided_dev
 
-        if self.draft_model is not None and all_single_decode and \
+        if self.draft_model is not None and all_plain_decode and \
                 not any(self._needs_full_sampling(m.sampling_params)
                         for _, m in decodes):
             sc = self.speculative_config
@@ -1130,7 +1285,7 @@ class TPUModelRunner:
                 return self._execute_decode_spec_draft(
                     [m for _, m in decodes], cache_engine)
 
-        if self.mlp_speculator is not None and all_single_decode and \
+        if self.mlp_speculator is not None and all_plain_decode and \
                 not any(self._needs_full_sampling(m.sampling_params)
                         for _, m in decodes):
             sc = self.speculative_config
@@ -1139,7 +1294,7 @@ class TPUModelRunner:
                 return self._execute_decode_spec_mlp(
                     [m for _, m in decodes], cache_engine)
 
-        if self._spec_proposer is not None and all_single_decode and \
+        if self._spec_proposer is not None and all_plain_decode and \
                 not any(_uses_penalties(m.sampling_params)
                         for _, m in decodes):
             sc = self.speculative_config
@@ -1151,8 +1306,10 @@ class TPUModelRunner:
         if all_single_decode:
             K = self.fused_k_for_batch(len(decodes))
             if K > 1:
-                return self._execute_decode_multi([m for _, m in decodes],
-                                                  cache_engine, K)
+                return self._execute_decode_multi(
+                    [m for _, m in decodes], cache_engine, K,
+                    guided=[guided_dev.get(i) for i, _ in decodes]
+                    if guided_dev else None)
 
         # Mixed batch: a host-sampled minority (guided FSM /
         # logits_processors / min_tokens) must NOT drag the on-device
@@ -1170,15 +1327,19 @@ class TPUModelRunner:
                 and self._spec_proposer is None
                 and all(len(m.seq_data) == 1 for _, m in decodes)):
             host_dec = [(i, m) for i, m in decodes
-                        if _needs_host_sampling(m.sampling_params)]
+                        if _needs_host_sampling(m.sampling_params)
+                        and i not in guided_dev]
             if host_dec and len(host_dec) < len(decodes) and not any(
                     m.sampling_params.use_beam_search for _, m in host_dec):
                 dev_dec = [(i, m) for i, m in decodes
-                           if not _needs_host_sampling(m.sampling_params)]
+                           if not _needs_host_sampling(m.sampling_params)
+                           or i in guided_dev]
                 K = self.fused_k_for_batch(len(dev_dec))
                 if K > 1:
-                    return self._execute_decode_mixed(dev_dec, host_dec,
-                                                      cache_engine, K)
+                    return self._execute_decode_mixed(
+                        dev_dec, host_dec, cache_engine, K,
+                        guided=[guided_dev.get(i) for i, _ in dev_dec]
+                        if guided_dev else None)
 
         group_outputs: Dict[int, CompletionSequenceGroupOutput] = {}
         batchable = [(i, m) for i, m in prefills
@@ -1568,10 +1729,12 @@ class TPUModelRunner:
     # --- fused multi-step decode --------------------------------------------
     def _execute_decode_multi(self, sgms: List[SequenceGroupMetadata],
                               cache_engine: CacheEngine,
-                              K: int) -> List[SamplerOutput]:
+                              K: int, guided=None) -> List[SamplerOutput]:
         """K decode iterations in one dispatch (in-graph token feedback).
         Precondition: single-seq groups, device sampling, lookahead slots
-        already allocated by the scheduler for K-1 extra tokens."""
+        already allocated by the scheduler for K-1 extra tokens. ``guided``
+        (optional, row-aligned) carries a DeviceFSM per guided row — those
+        rows mask + advance their DFA in-graph (decode_multi_guided)."""
         rows = [(sgm, next(iter(sgm.seq_data))) for sgm in sgms]
         B = len(rows)
         b_pad = self.scheduler_config.pad_decode_batch(B)
@@ -1593,19 +1756,43 @@ class TPUModelRunner:
         any_logprobs = any((sgm.sampling_params.logprobs or 0) > 0
                            for sgm, _ in rows)
         nlp = self.max_logprobs if any_logprobs else 0
-        fn = self._get_fn("decode_multi", (K, nlp))
         pad_rows = rows + [rows[-1]] * (b_pad - B)
         samp = self._samp_tensors(pad_rows, lookahead=K)
         lora, lidx = self._lora_args([sgm.lora_request for sgm, _ in rows],
                                      b_pad)
-        self._bcast("decode_multi", (K, nlp),
-                    dict(tokens=tokens, positions=positions,
-                         block_tables=tables, valid=valid), samp,
-                    lidx=lidx)
-        new_kv, ys = fn(self.params, cache_engine.kv_caches,
-                        jnp.asarray(tokens), jnp.asarray(positions),
-                        jnp.asarray(tables), jnp.asarray(valid), samp,
-                        lora, lidx)
+        use_guided = guided is not None and any(g is not None
+                                                for g in guided)
+        if use_guided:
+            mgr = self._get_guided_mgr()
+            bases = mgr.admit(list(
+                {id(g): g for g in guided if g is not None}.values()))
+            assert bases is not None, "caller must pre-admit guided FSMs"
+            gstate = np.full((b_pad, ), -1, np.int32)
+            eos_ids = np.full((b_pad, ), -1, np.int32)
+            for i, (sgm, seq_id) in enumerate(rows):
+                d = guided[i]
+                if d is None:
+                    continue
+                out_ids = sgm.seq_data[seq_id].output_token_ids
+                gstate[i] = bases[id(d)] + d.state_for(out_ids)
+                if sgm.eos_token_id is not None:
+                    eos_ids[i] = sgm.eos_token_id
+            fn = self._get_fn("decode_multi_guided", (K, nlp))
+            new_kv, ys = fn(self.params, cache_engine.kv_caches,
+                            jnp.asarray(tokens), jnp.asarray(positions),
+                            jnp.asarray(tables), jnp.asarray(valid), samp,
+                            lora, lidx, jnp.asarray(gstate),
+                            jnp.asarray(eos_ids), mgr.device_tables)
+        else:
+            fn = self._get_fn("decode_multi", (K, nlp))
+            self._bcast("decode_multi", (K, nlp),
+                        dict(tokens=tokens, positions=positions,
+                             block_tables=tables, valid=valid), samp,
+                        lidx=lidx)
+            new_kv, ys = fn(self.params, cache_engine.kv_caches,
+                            jnp.asarray(tokens), jnp.asarray(positions),
+                            jnp.asarray(tables), jnp.asarray(valid), samp,
+                            lora, lidx)
         cache_engine.kv_caches = new_kv
         tid, chosen, tv, ti = jax.device_get(ys)  # each [K, b_pad, ...]
 
@@ -1631,13 +1818,15 @@ class TPUModelRunner:
 
     def _execute_decode_mixed(self, dev: List[Tuple[int, Any]],
                               host: List[Tuple[int, Any]],
-                              cache_engine: CacheEngine, K: int
-                              ) -> List[SamplerOutput]:
-        """Fused-K dispatch for the on-device majority + K host-sampled
-        single-step dispatches for the guided/host minority, zipped back
-        into K per-step SamplerOutputs in scheduling order."""
+                              cache_engine: CacheEngine, K: int,
+                              guided=None) -> List[SamplerOutput]:
+        """Fused-K dispatch for the on-device majority (including
+        device-guided rows) + K host-sampled single-step dispatches for
+        the remaining host minority, zipped back into K per-step
+        SamplerOutputs in scheduling order."""
         dev_outs = self._execute_decode_multi([m for _, m in dev],
-                                              cache_engine, K)
+                                              cache_engine, K,
+                                              guided=guided)
         host_steps = self._execute_decode_host_multi(
             [m for _, m in host], cache_engine, K)
         order = sorted(i for i, _ in dev + host)
