@@ -336,6 +336,20 @@ class SchedulerConfig:
         # over-reserve when the worker runs fewer steps).
         self.fused_dispatch_target_ms = fused_dispatch_target_ms
 
+    def mixed_chunk_width(self) -> int:
+        """Static prefill-lane width (tokens per scan iteration) of the
+        mixed fused decode+prefill window (worker decode_multi_mixed).
+        One fused-K dispatch advances a chunked prefill by up to
+        K * mixed_chunk_width tokens while every decode row advances K
+        steps — the chunk rides the decode batch's weight stream instead
+        of stalling it (reference runs both phases in one kernel launch,
+        flash_attn.py:252-367). Power of two in [64, 512] near
+        max_num_batched_tokens / K so a scheduler-budget-sized chunk
+        fills the window."""
+        k = max(1, self.num_scheduler_steps)
+        c = next_power_of_2(max(1, self.max_num_batched_tokens // k))
+        return min(512, max(64, c))
+
     # --- static-shape bucket lattice --------------------------------------
     def prefill_buckets(self) -> List[int]:
         """Padded prefill token counts: powers of two from min bucket up to

@@ -355,6 +355,13 @@ class Scheduler:
         if enable_chunking and len(seqs) == 1:
             num_new_tokens = min(num_new_tokens,
                                  budget.remaining_tokens())
+            sc = self.scheduler_config
+            if sc.num_scheduler_steps > 1 and num_new_tokens > 1:
+                # windowed mixed mode: a chunk must fit the fused
+                # window's K x mixed_chunk_width prefill lanes
+                num_new_tokens = min(
+                    num_new_tokens,
+                    sc.num_scheduler_steps * sc.mixed_chunk_width())
         return num_new_tokens
 
     def _can_append_slots(self, seq_group: SequenceGroup) -> bool:
@@ -465,20 +472,29 @@ class Scheduler:
         budget: StepBudget,
         loras: LoraLedger,
         enable_chunking: bool = False,
+        max_prefill_groups: Optional[int] = None,
     ) -> Tuple[Deque[SequenceGroup], SchedulerRunningOutputs]:
         """Schedule groups already RUNNING; preempt from the back of the
-        priority order when slots run out (reference _schedule_running:388)."""
+        priority order when slots run out (reference _schedule_running:388).
+        ``max_prefill_groups`` caps in-flight chunked prefills scheduled
+        this step (mixed fused window runs exactly one chunk per dispatch;
+        extras stay RUNNING and resume next step, FCFS)."""
         blocks_to_swap_out: List[Tuple[int, int]] = []
         blocks_to_copy: List[Tuple[int, int]] = []
         decode_seq_groups: List[ScheduledSequenceGroup] = []
         prefill_seq_groups: List[ScheduledSequenceGroup] = []
         preempted: List[SequenceGroup] = []
         swapped_out: List[SequenceGroup] = []
+        skipped_prefills: List[SequenceGroup] = []
 
         running_queue = order_by_arrival(running_queue)
 
         while running_queue:
             seq_group = running_queue[0]
+            if (max_prefill_groups is not None and seq_group.is_prefill()
+                    and len(prefill_seq_groups) >= max_prefill_groups):
+                skipped_prefills.append(running_queue.popleft())
+                continue
             num_running_tokens = self._get_num_new_tokens(
                 seq_group, SequenceStatus.RUNNING, enable_chunking, budget)
             if num_running_tokens == 0:
@@ -523,6 +539,7 @@ class Scheduler:
                     budget.claim_seqs(seq_group.request_id,
                                       seq_group.get_max_num_running_seqs())
 
+        running_queue.extend(skipped_prefills)
         return running_queue, SchedulerRunningOutputs(
             decode_seq_groups=decode_seq_groups,
             prefill_seq_groups=prefill_seq_groups,
@@ -622,6 +639,7 @@ class Scheduler:
         budget: StepBudget,
         loras: LoraLedger,
         enable_chunking: bool = False,
+        max_groups: Optional[int] = None,
     ) -> Tuple[Deque[SequenceGroup], SchedulerPrefillOutputs]:
         """Admit WAITING groups (reference _schedule_prefills:616)."""
         ignored_seq_groups: List[SequenceGroup] = []
@@ -630,6 +648,8 @@ class Scheduler:
         leftover_waiting_sequences: Deque[SequenceGroup] = deque()
 
         while self._passed_delay(time.time()) and waiting_queue:
+            if max_groups is not None and len(seq_groups) >= max_groups:
+                break
             seq_group = waiting_queue[0]
             waiting_seqs = seq_group.get_seqs(status=SequenceStatus.WAITING)
             assert len(waiting_seqs) == 1, (
@@ -772,9 +792,17 @@ class Scheduler:
         )
         loras = self._lora_ledger()
 
+        # Windowed mixed mode (multi-step decode + chunked prefill): one
+        # prefill chunk per step rides INSIDE the fused decode dispatch
+        # (worker decode_multi_mixed), so cap scheduled prefill groups at
+        # one — extras wait a window (FCFS), decodes never stall.
+        windowed = self.scheduler_config.num_scheduler_steps > 1
+        cap = 1 if windowed else None
+
         # Decodes (and in-flight chunked prefills) first.
         self.running, running_scheduled = self._schedule_running(
-            self.running, budget, loras, enable_chunking=True)
+            self.running, budget, loras, enable_chunking=True,
+            max_prefill_groups=cap)
 
         swapped_in = SchedulerSwappedInOutputs.create_empty()
         if (len(running_scheduled.preempted) +
@@ -783,8 +811,15 @@ class Scheduler:
                 self.swapped, budget, loras)
 
         # New prefills fill the remaining token budget.
-        self.waiting, prefills = self._schedule_prefills(
-            self.waiting, budget, loras, enable_chunking=True)
+        in_flight = (len(running_scheduled.prefill_seq_groups) +
+                     len(swapped_in.prefill_seq_groups))
+        new_cap = None if cap is None else max(0, cap - in_flight)
+        if new_cap == 0:
+            prefills = SchedulerPrefillOutputs.create_empty()
+        else:
+            self.waiting, prefills = self._schedule_prefills(
+                self.waiting, budget, loras, enable_chunking=True,
+                max_groups=new_cap)
 
         assert budget.used_tokens <= \
             self.scheduler_config.max_num_batched_tokens

@@ -334,8 +334,12 @@ class LLMEngine:
                 per_step = [outputs[k].outputs[gi] for k in range(n_steps)]
                 if (isinstance(per_step[0], EmbeddingSequenceGroupOutput)
                         or per_step[0].prompt_logprobs is not None
+                        or not per_step[0].samples
                         or not self.output_processor.can_fast_append(
                             seq_group)):
+                    # empty step-0 samples: a chunked prefill riding the
+                    # mixed fused window emits its (single) sample at its
+                    # final chunk's step — step-wise processing applies
                     slow_groups.append((gi, scheduled))
                     continue
                 applied = self.output_processor.process_outputs_multi(
@@ -369,10 +373,18 @@ class LLMEngine:
                     continue
                 if step_i > 0 and not group_output.samples:
                     # variable-length fused steps (spec decode): this seq
-                    # accepted fewer tokens than the longest in the batch
+                    # accepted fewer tokens than the longest in the batch;
+                    # or a mixed-window prefill before/after its sample step
                     continue
-                seq_group.update_num_computed_tokens(
-                    scheduled.token_chunk_size if step_i == 0 else 1)
+                if step_i == 0:
+                    seq_group.update_num_computed_tokens(
+                        scheduled.token_chunk_size)
+                elif gi >= scheduler_outputs.num_prefill_groups:
+                    # decodes advance one computed token per fused step; a
+                    # mixed-window prefill's chunk was fully accounted at
+                    # step 0 (its first generated token is computed only
+                    # when decoded next step)
+                    seq_group.update_num_computed_tokens(1)
                 gen_tokens += self.output_processor.process_outputs(
                     seq_group, group_output)
                 seq_group.maybe_set_first_token_time(now)

@@ -82,6 +82,14 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "NMV_TPU_STEP_TRACE":
     lambda: os.getenv("NMV_TPU_STEP_TRACE", ""),
 
+    # Mixed fused decode+prefill window: with chunked prefill + multi-step
+    # decode, run one prompt's chunk INSIDE the fused-K decode dispatch
+    # (one scan iteration per mixed_chunk_width tokens) so decodes never
+    # stall behind prefill dispatches. "0" reverts to separate prefill
+    # dispatches (the pre-round-5 behavior).
+    "NMV_TPU_MIXED_PREFILL_WINDOW":
+    lambda: _env_bool("NMV_TPU_MIXED_PREFILL_WINDOW", "1"),
+
     # On-device guided decoding: compile regex/JSON-schema DFAs to
     # device bitmask/rank tables so guided rows ride the fused-K decode
     # dispatch (guided_decoding/device_fsm.py). "0" forces the host

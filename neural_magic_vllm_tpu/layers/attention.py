@@ -31,6 +31,14 @@ class AttentionMetadata(NamedTuple):
     # stateful (mamba) models only: recurrent-state slot per sequence
     # (prefill: [1]; decode: [B], padded rows OOB -> writes dropped)
     state_slots: Optional[jax.Array] = None
+    # mixed fused window (decode rows + one prefill chunk in the SAME
+    # forward; worker decode_multi_mixed): rows [:B] are decode
+    # (block_tables/context_lens as usual, B = context_lens.shape[0]),
+    # rows [B:] are one sequence's prefill chunk attending to its cached
+    # context through p_block_tables [1, W] with p_context_lens [1]
+    # cached-tokens-before-chunk. slot_mapping covers ALL rows.
+    p_block_tables: Optional[jax.Array] = None
+    p_context_lens: Optional[jax.Array] = None
 
 
 class Attention:
@@ -127,6 +135,32 @@ class Attention:
                                    sliding_window=sliding,
                                    logit_cap=self.logit_cap,
                                    alibi_slopes=self.alibi_slopes, **kw)
+        elif meta.p_block_tables is not None:
+            # mixed fused window: decode rows + one prefill chunk share
+            # this forward's GEMMs (the whole point: the chunk rides the
+            # decode batch's weight stream); attention splits into the
+            # paged-decode kernel and the context-prefill kernel.
+            # Reference unifies the two phases in one flash_attn launch
+            # (vllm/attention/backends/flash_attn.py:252-367) — on TPU the
+            # static split is two Pallas calls over the same cache.
+            kw = {} if self.blocksparse is None else \
+                {"blocksparse": self.blocksparse}
+            B = meta.context_lens.shape[0]
+            out_d = self._decode_fn(q[:B], k_cache, v_cache,
+                                    meta.block_tables + block_off,
+                                    meta.context_lens,
+                                    scale=self.scale,
+                                    sliding_window=sliding,
+                                    logit_cap=self.logit_cap,
+                                    alibi_slopes=self.alibi_slopes, **kw)
+            out_p = self._prefill_fn(q[B:], k[B:], v[B:], k_cache, v_cache,
+                                     meta.p_block_tables[0] + block_off,
+                                     meta.p_context_lens[0],
+                                     scale=self.scale,
+                                     sliding_window=sliding,
+                                     logit_cap=self.logit_cap,
+                                     alibi_slopes=self.alibi_slopes, **kw)
+            out = jnp.concatenate([out_d, out_p], axis=0)
         else:
             kw = {} if self.blocksparse is None else \
                 {"blocksparse": self.blocksparse}

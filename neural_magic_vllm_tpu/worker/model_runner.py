@@ -668,6 +668,65 @@ class TPUModelRunner:
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
+        elif kind == "decode_multi_mixed":
+            # K fused decode iterations + one chunked prefill advancing
+            # mixed_chunk_width tokens PER ITERATION in the same forward
+            # (VERDICT r4 #1). The chunk's GEMM rows concatenate onto the
+            # decode rows, so prefill rides the decode batch's weight
+            # stream; attention splits decode-paged / context-prefill in
+            # layers/attention.py. Per-iteration chunk inputs arrive as
+            # scan xs; the prompt's first generated token is sampled
+            # in-graph at its final chunk (p_sample_idx >= 0). Reference:
+            # unified prefill+decode batch in one flash_attn launch
+            # (flash_attn.py:252-367) under the chunked-prefill policy
+            # (scheduler.py:846).
+            K, nlp = num_logprobs
+            bs = self.block_size
+
+            def fn(params, kv_caches, tokens, positions, tables, valid,
+                   samp, lora, lora_idx, p_tokens, p_positions, p_slots,
+                   p_ctx, p_sample_idx, p_table, p_samp):
+                def body(carry, xs):
+                    kv, toks, pos = carry
+                    (ptok_k, ppos_k, pslot_k, pctx_k, psi_k) = xs
+                    blk = jnp.take_along_axis(tables, (pos // bs)[:, None],
+                                              axis=1)[:, 0]
+                    slots = jnp.where(valid, blk * bs + pos % bs, -1)
+                    all_tokens = jnp.concatenate([toks, ptok_k])
+                    all_pos = jnp.concatenate([pos, ppos_k])
+                    meta = AttentionMetadata(
+                        slot_mapping=jnp.concatenate([slots, pslot_k]),
+                        block_tables=tables,
+                        context_lens=pos + 1,
+                        p_block_tables=p_table,
+                        p_context_lens=pctx_k[None])
+                    hidden, newkv = model.forward(params, all_tokens,
+                                                  all_pos, kv, meta,
+                                                  is_prefill=False,
+                                                  lora=lora,
+                                                  lora_idx=lora_idx)
+                    B = toks.shape[0]
+                    logits = model.compute_logits(params, hidden[:B])
+                    out = sample(logits, _fold_position(samp, pos),
+                                 max_logprobs=nlp)
+                    tid = out[0]
+                    # prefill sample (gated by p_sample_idx >= 0 on host;
+                    # always computed in-graph — one row)
+                    prow = hidden[B + jnp.clip(psi_k, 0)]
+                    p_logits = model.compute_logits(params, prow[None])
+                    p_out = sample(
+                        p_logits,
+                        _fold_position(p_samp, (pctx_k + psi_k)[None]),
+                        max_logprobs=nlp)
+                    return (newkv, tid, pos + 1), (out, p_out)
+
+                xs = (p_tokens, p_positions, p_slots, p_ctx, p_sample_idx)
+                carry_out, (ys, p_ys) = jax.lax.scan(
+                    body, (kv_caches, tokens, positions), xs, length=K)
+                return carry_out[0], (rep(ys), rep(p_ys))
+
+            jfn = jax.jit(fn, donate_argnums=(1, ))
+
         elif kind == "decode_multi_guided":
             # decode_multi + in-graph guided decoding: rows carrying a
             # DFA state id (gstate >= 0) mask their logits by the packed
@@ -849,6 +908,26 @@ class TPUModelRunner:
                             self._bucket_step_ms.get(b, -1.0))
         if full:
             from neural_magic_vllm_tpu import envs as _envs
+            if K > 1 and _envs.NMV_TPU_MIXED_PREFILL_WINDOW and \
+                    self.scheduler_config.chunked_prefill_enabled and \
+                    self.control_plane is None and not self.has_state and \
+                    self.draft_model is None and \
+                    self.mlp_speculator is None and \
+                    self._spec_proposer is None and \
+                    (self.mesh is None or
+                     self.mesh.shape.get("dp", 1) <= 1):
+                # mixed decode+prefill window executables
+                for b in decode_buckets:
+                    K_b = self._fused_k_table.get(b, K)
+                    if K_b <= 1:
+                        continue
+                    tb = time.time()
+                    cache_engine.kv_caches = self._run_dummy_decode_mixed(
+                        cache_engine.kv_caches, b, K_b)
+                    logger.info("Warmup mixed fused-%d decode bucket %d "
+                                "(+%d-token chunk lane): %.1fs", K_b, b,
+                                self.scheduler_config.mixed_chunk_width(),
+                                time.time() - tb)
             if K > 1 and _envs.NMV_TPU_GUIDED_DEVICE and \
                     self.control_plane is None:
                 # guided fused-decode variant: same bucket x K_b lattice
@@ -950,6 +1029,25 @@ class TPUModelRunner:
                        jnp.full((b, ), token_fill, jnp.int32),
                        jnp.zeros((b, ), jnp.int32), meta,
                        self._dummy_samp(b), lora, lidx)
+        return new_kv
+
+    def _run_dummy_decode_mixed(self, kv_caches, b: int, K: int):
+        C = self.scheduler_config.mixed_chunk_width()
+        fn = self._get_fn("decode_multi_mixed", (K, 0))
+        lora, lidx = self._lora_args(None, b + C)
+        new_kv, _ = fn(self.params, kv_caches,
+                       jnp.zeros((b, ), jnp.int32),
+                       jnp.zeros((b, ), jnp.int32),
+                       jnp.zeros((b, self.max_blocks_per_seq), jnp.int32),
+                       jnp.zeros((b, ), jnp.bool_), self._dummy_samp(b),
+                       lora, lidx,
+                       jnp.zeros((K, C), jnp.int32),
+                       jnp.zeros((K, C), jnp.int32),
+                       jnp.full((K, C), -1, jnp.int32),
+                       jnp.zeros((K, ), jnp.int32),
+                       jnp.full((K, ), -1, jnp.int32),
+                       jnp.zeros((1, self.max_blocks_per_seq), jnp.int32),
+                       self._dummy_samp(1))
         return new_kv
 
     def _run_dummy_decode_multi_guided(self, kv_caches, b: int, K: int):
@@ -1275,6 +1373,13 @@ class TPUModelRunner:
                 _needs_host_sampling(m.sampling_params) and
                 i not in guided_dev for i, m in decodes))
         all_plain_decode = all_single_decode and not guided_dev
+
+        if prefills and decodes and self._mixed_window_ok(
+                prefills, decodes, guided_dev):
+            return self._execute_mixed_window(
+                prefills[0][0], prefills[0][1], decodes, cache_engine,
+                self.fused_k_for_batch(len(decodes)),
+                len(seq_group_metadata_list))
 
         if self.draft_model is not None and all_plain_decode and \
                 not any(self._needs_full_sampling(m.sampling_params)
@@ -1814,6 +1919,162 @@ class TPUModelRunner:
                         SequenceOutput(seq_id, tid_k[i], lp)
                     ]))
             outputs.append(SamplerOutput(outputs=group_outputs))
+        return outputs
+
+    def _mixed_window_ok(self, prefills, decodes, guided_dev) -> bool:
+        """Gate for the mixed fused decode+prefill window: exactly one
+        plain chunked prefill + >= 1 plain device-sampled decodes."""
+        from neural_magic_vllm_tpu import envs
+        if not envs.NMV_TPU_MIXED_PREFILL_WINDOW:
+            return False
+        if len(prefills) != 1 or not decodes or guided_dev:
+            return False
+        if (self.has_state or self.draft_model is not None
+                or self.mlp_speculator is not None
+                or self._spec_proposer is not None
+                or self.control_plane is not None):
+            return False
+        if self.mesh is not None and self.mesh.shape.get("dp", 1) > 1:
+            # concatenated prefill rows break the dp batch sharding
+            return False
+        sgm = prefills[0][1]
+        sp = sgm.sampling_params
+        if (getattr(sgm, "pooling_params", None) is not None
+                or getattr(sgm, "multi_modal_data", None)
+                or sgm.computed_block_nums):
+            return False
+        if sp is None or _needs_host_sampling(sp) or _uses_penalties(sp) \
+                or sp.prompt_logprobs is not None or sp.best_of > 1:
+            return False
+        for _, m in decodes:
+            if len(m.seq_data) != 1:
+                return False
+            msp = m.sampling_params
+            if _needs_host_sampling(msp) or _uses_penalties(msp):
+                return False
+        # the scheduled chunk must fit the window's K x C token lanes
+        seq_id = next(iter(sgm.seq_data))
+        K = self.fused_k_for_batch(len(decodes))
+        C = self.scheduler_config.mixed_chunk_width()
+        if K <= 1 or sgm.token_chunk_size > K * C:
+            return False
+        return True
+
+    def _execute_mixed_window(self, pidx: int,
+                              psgm: SequenceGroupMetadata,
+                              dec: List[Tuple[int, Any]],
+                              cache_engine: CacheEngine, K: int,
+                              n_groups: int) -> List[SamplerOutput]:
+        """One fused dispatch: K decode steps for ``dec`` + the scheduled
+        prefill chunk of ``psgm`` split into ceil(chunk/C) scan
+        iterations of C tokens each (front-loaded; trailing iterations
+        carry no chunk tokens). The prompt's first generated token is
+        sampled in-graph at its final chunk when do_sample."""
+        C = self.scheduler_config.mixed_chunk_width()
+        sgms = [m for _, m in dec]
+        rows = [(sgm, next(iter(sgm.seq_data))) for sgm in sgms]
+        B = len(rows)
+        b_pad = self.scheduler_config.pad_decode_batch(B)
+
+        tokens = np.zeros((b_pad, ), np.int32)
+        positions = np.zeros((b_pad, ), np.int32)
+        valid = np.zeros((b_pad, ), np.bool_)
+        width = self._table_width(
+            [sgm.block_tables[sid] for sgm, sid in rows])
+        tables = np.zeros((b_pad, width), np.int32)
+        for i, (sgm, seq_id) in enumerate(rows):
+            data = sgm.seq_data[seq_id]
+            tokens[i] = data.get_last_token_id()
+            positions[i] = data.get_len() - 1
+            valid[i] = True
+            tables[i] = self._block_table_row(sgm.block_tables[seq_id],
+                                              width)
+
+        # --- prefill chunk lanes -------------------------------------------
+        p_seq_id = next(iter(psgm.seq_data))
+        p_data = psgm.seq_data[p_seq_id]
+        computed = p_data.get_num_computed_tokens()
+        chunk = psgm.token_chunk_size
+        end = computed + chunk
+        token_ids = p_data.get_token_ids()
+        p_table_list = psgm.block_tables[p_seq_id]
+        p_width = self._prefill_table_width(end)
+        p_table = self._block_table_row(p_table_list, p_width)[None, :]
+
+        p_tokens = np.zeros((K, C), np.int32)
+        p_positions = np.zeros((K, C), np.int32)
+        p_slots = np.full((K, C), -1, np.int32)
+        p_ctx = np.zeros((K, ), np.int32)
+        p_sample_idx = np.full((K, ), -1, np.int32)
+        n_iters = cdiv(chunk, C)
+        for it in range(n_iters):
+            lo = computed + it * C
+            hi = min(lo + C, end)
+            n = hi - lo
+            p_tokens[it, :n] = token_ids[lo:hi]
+            p_positions[it, :n] = np.arange(lo, hi, dtype=np.int32)
+            for j, p in enumerate(range(lo, hi)):
+                p_slots[it, j] = (p_table_list[p // self.block_size] *
+                                  self.block_size + p % self.block_size)
+            p_ctx[it] = lo
+        # iterations past the chunk: no tokens (slots -1), harmless
+        # garbage rows in the GEMMs; keep ctx at end for mask sanity
+        p_ctx[n_iters:] = end
+        do_sample = bool(getattr(psgm, "do_sample", True))
+        if do_sample:
+            p_sample_idx[n_iters - 1] = (chunk - 1) % C
+
+        any_logprobs = any((sgm.sampling_params.logprobs or 0) > 0
+                           for sgm, _ in rows) or \
+            bool(psgm.sampling_params.logprobs)
+        nlp = self.max_logprobs if any_logprobs else 0
+        pad_rows = rows + [rows[-1]] * (b_pad - B)
+        samp = self._samp_tensors(pad_rows, lookahead=K)
+        p_samp = self._samp_tensors([(psgm, p_seq_id)])
+        # rows [0:B] decode, [B:b_pad] padding, [b_pad:b_pad+C] chunk
+        lora, lidx = self._lora_args(
+            [sgm.lora_request for sgm, _ in rows] +
+            [None] * (b_pad - B) + [psgm.lora_request],
+            b_pad + C, spans=[1] * b_pad + [C])
+        fn = self._get_fn("decode_multi_mixed", (K, nlp))
+        new_kv, (ys, p_ys) = fn(
+            self.params, cache_engine.kv_caches,
+            jnp.asarray(tokens), jnp.asarray(positions),
+            jnp.asarray(tables), jnp.asarray(valid), samp, lora, lidx,
+            jnp.asarray(p_tokens), jnp.asarray(p_positions),
+            jnp.asarray(p_slots), jnp.asarray(p_ctx),
+            jnp.asarray(p_sample_idx), jnp.asarray(p_table), p_samp)
+        cache_engine.kv_caches = new_kv
+        tid, chosen, tv, ti = jax.device_get(ys)
+        p_tid, p_chosen, p_tv, p_ti = jax.device_get(p_ys)
+
+        tid_l = np.asarray(tid)[:, :B].tolist()
+        chosen_l = np.asarray(chosen)[:, :B].tolist()
+        dec_idx = [i for i, _ in dec]
+        outputs: List[SamplerOutput] = []
+        for k in range(K):
+            merged: Dict[int, CompletionSequenceGroupOutput] = {}
+            tid_k, chosen_k = tid_l[k], chosen_l[k]
+            for i, (sgm, seq_id) in enumerate(rows):
+                num_lp = sgm.sampling_params.logprobs or 0
+                lp = self._logprob_dict(tid_k[i], chosen_k[i],
+                                        tv[k, i] if nlp else None,
+                                        ti[k, i] if nlp else None, num_lp)
+                merged[dec_idx[i]] = CompletionSequenceGroupOutput(
+                    samples=[SequenceOutput(seq_id, tid_k[i], lp)])
+            if do_sample and k == n_iters - 1:
+                num_lp = psgm.sampling_params.logprobs or 0
+                lp = self._logprob_dict(
+                    int(p_tid[k][0]), float(p_chosen[k][0]),
+                    p_tv[k][0] if nlp else None,
+                    p_ti[k][0] if nlp else None, num_lp)
+                merged[pidx] = CompletionSequenceGroupOutput(samples=[
+                    SequenceOutput(p_seq_id, int(p_tid[k][0]), lp)])
+            else:
+                merged[pidx] = CompletionSequenceGroupOutput(samples=[])
+            outputs.append(SamplerOutput(outputs=[
+                merged.get(i, CompletionSequenceGroupOutput(samples=[]))
+                for i in range(n_groups)]))
         return outputs
 
     def _execute_decode_mixed(self, dev: List[Tuple[int, Any]],
