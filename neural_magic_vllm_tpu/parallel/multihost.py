@@ -348,6 +348,9 @@ def follower_loop(control: HostControlPlane, runner, cache_engine,
     recv forever."""
     timeout_ms = None if liveness_timeout_s is None else int(
         liveness_timeout_s * 1e3)
+    # followers must trace the same executables as the driver: disable
+    # driver-local arg rewrites (e.g. LoRA active-slot compaction)
+    runner.is_follower = True
     while True:
         payload = control.recv(timeout_ms=timeout_ms)
         if payload is None:

@@ -29,7 +29,7 @@ from neural_magic_vllm_tpu.sequence import (CompletionSequenceGroupOutput,
                                             Logprob, SamplerOutput,
                                             SequenceGroupMetadata,
                                             SequenceOutput)
-from neural_magic_vllm_tpu.utils import cdiv
+from neural_magic_vllm_tpu.utils import cdiv, next_power_of_2
 from neural_magic_vllm_tpu.worker import host_sampler
 from neural_magic_vllm_tpu.worker.cache_engine import CacheEngine
 
@@ -216,6 +216,8 @@ class TPUModelRunner:
         # On-device guided decoding: packed DFA tables (lazy; see
         # guided_decoding/device_fsm.py).
         self._guided_mgr = None
+        # jitted active-slot LoRA gather (see _compact_lora)
+        self._lora_compact_fn = None
 
     def _get_guided_mgr(self):
         if self._guided_mgr is None:
@@ -1174,6 +1176,7 @@ class TPUModelRunner:
         if self.lora_manager is None:
             return None, None
         idx = np.zeros((n, ), np.int32)
+        slots: List[int] = []
         if lora_requests is not None:
             slots = self.lora_manager.slots_for(lora_requests)
             if spans is None:
@@ -1183,7 +1186,44 @@ class TPUModelRunner:
                 for slot, span in zip(slots, spans):
                     idx[cursor:cursor + span] = slot
                     cursor += span
-        return self.lora_manager.lora_params(), jnp.asarray(idx)
+        lora = self.lora_manager.lora_params()
+        S = int(lora["scaling"].shape[0])
+        # Active-slot compaction (reference punica bgmv touches only
+        # active adapters' rows, csrc/punica/bgmv/bgmv_impl.cuh:451):
+        # above the dense crossover, gather ONLY the slots present in
+        # this dispatch into a compact [L, S_act, r, *] stack on device,
+        # then every layer (x K fused steps) streams O(active) instead of
+        # O(total-loaded) adapter bytes — and small active sets drop back
+        # into the dense-einsum formulation. Disabled under multi-host
+        # (followers must trace the identical full-stack executable).
+        if S > 8 and self.control_plane is None and \
+                not getattr(self, "is_follower", False):
+            active = sorted(set(slots) | {0})
+            s_act = max(8, next_power_of_2(len(active)))
+            if s_act < S:
+                active_arr = np.zeros((s_act, ), np.int32)
+                active_arr[:len(active)] = active
+                remap = np.zeros((S, ), np.int32)
+                remap[active_arr[:len(active)]] = np.arange(
+                    len(active), dtype=np.int32)
+                idx = remap[idx]
+                lora = self._compact_lora(lora, jnp.asarray(active_arr))
+        return lora, jnp.asarray(idx)
+
+    def _compact_lora(self, lora, active):
+        """Jitted device-side gather of the active adapter slots (one
+        tiny dispatch per step; the fused-K scan then re-reads only the
+        compact stacks every layer x step)."""
+        if self._lora_compact_fn is None:
+            def gather(tree, act):
+                return {
+                    "a": {k: v[:, act] for k, v in tree["a"].items()},
+                    "b": {k: v[:, act] for k, v in tree["b"].items()},
+                    "scaling": tree["scaling"][act],
+                    "pos_scale": tree["pos_scale"][act],
+                }
+            self._lora_compact_fn = jax.jit(gather)
+        return self._lora_compact_fn(lora, active)
 
     def _get_spec_fn(self):
         """Fused draft-propose + verify + rejection executable (built once;
