@@ -596,6 +596,33 @@ class TPUModelRunner:
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
+        elif kind == "decode_spec_verify_stoch":
+            # ngram verification with IN-GRAPH seeded one-hot rejection
+            # sampling (VERDICT r4 #4): accept proposal d_j with prob
+            # p_target(d_j) (one-hot draft), resample the first reject
+            # from the residual (p with d_j zeroed), bonus-sample p_k on
+            # full accept — lossless, and only ids + logprobs cross the
+            # link. Reference runs rejection on-accelerator too
+            # (vllm/model_executor/layers/rejection_sampler.py:11).
+            from neural_magic_vllm_tpu.spec_decode.rejection import \
+                onehot_rejection_ingraph
+            S = num_logprobs
+
+            def fn(params, kv_caches, tokens, positions, meta, proposals,
+                   plen, base_pos, temperature, keys, lora, lora_idx):
+                hidden, new_caches = model.forward(params, tokens,
+                                                   positions, kv_caches,
+                                                   meta, is_prefill=False,
+                                                   lora=lora,
+                                                   lora_idx=lora_idx)
+                logits = model.compute_logits(params, hidden)
+                Bm = proposals.shape[0]
+                lg = logits[:Bm * S].reshape(Bm, S, -1).astype(jnp.float32)
+                return new_caches, rep(onehot_rejection_ingraph(
+                    lg, proposals, plen, base_pos, temperature, keys))
+
+            jfn = jax.jit(fn, donate_argnums=(1, ))
+
         elif kind == "decode_sample":
             dp_shard = self._dp_batch_constraint()
 
@@ -2605,6 +2632,39 @@ class TPUModelRunner:
                             jnp.asarray(tokens), jnp.asarray(positions),
                             meta, jnp.asarray(prop_arr),
                             jnp.asarray(plen), lora, lidx)
+            cache_engine.kv_caches = new_kv
+            emitted, n_emit, lp_arr = jax.device_get(ys)
+            accepted = [list(map(int, emitted[i, :n_emit[i]]))
+                        for i in range(B)]
+            chosen_lp = [[float(lp_arr[i, j])
+                          for j in range(int(n_emit[i]))]
+                         for i in range(B)]
+        elif self.speculative_config.draft_token_acceptance_method \
+                != "typical_acceptance_sampler" and \
+                self.control_plane is None:
+            # mixed/stochastic temperatures: in-graph seeded one-hot
+            # rejection sampling (VERDICT r4 #4) — the [flat, V] logits
+            # never leave the device (host pull was 328 MB/dispatch at
+            # bs128 k=4 on the 8B model, spec_bench r4)
+            B_max = b_pad // S
+            prop_arr = np.full((B_max, k), -1, np.int32)
+            plen = np.zeros((B_max, ), np.int32)
+            base_pos = np.zeros((B_max, ), np.int32)
+            temp = np.zeros((B_max, ), np.float32)
+            keys = np.zeros((B_max, 2), np.uint32)
+            for i, (sgm, seq_id) in enumerate(rows):
+                prop_arr[i, :len(proposals[i])] = proposals[i]
+                plen[i] = len(proposals[i])
+                base_pos[i] = sgm.seq_data[seq_id].get_len() - 1
+                temp[i] = sgm.sampling_params.temperature
+                keys[i] = self._seq_key(sgm, seq_id)
+            fn = self._get_fn("decode_spec_verify_stoch", S)
+            new_kv, ys = fn(self.params, cache_engine.kv_caches,
+                            jnp.asarray(tokens), jnp.asarray(positions),
+                            meta, jnp.asarray(prop_arr),
+                            jnp.asarray(plen), jnp.asarray(base_pos),
+                            jnp.asarray(temp), jnp.asarray(keys),
+                            lora, lidx)
             cache_engine.kv_caches = new_kv
             emitted, n_emit, lp_arr = jax.device_get(ys)
             accepted = [list(map(int, emitted[i, :n_emit[i]]))
