@@ -5,6 +5,7 @@ import dataclasses
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Union
 
+from neural_magic_vllm_tpu import envs
 from neural_magic_vllm_tpu.config import (CacheConfig, DecodingConfig,
                                           DeviceConfig, EngineConfig,
                                           LoadConfig, LoRAConfig,
@@ -48,6 +49,10 @@ class EngineArgs:
     num_scheduler_steps: int = 1
     scheduler_delay_factor: float = 0.0
     preemption_mode: Optional[str] = None
+    # prompt tokenization offload threads for the async engine (reference
+    # --tokenizer-pool-size, Ray actors there; threads here since HF fast
+    # tokenizers release the GIL). 0 = tokenize inline.
+    tokenizer_pool_size: int = 0
     full_warmup: bool = False
     fused_dispatch_target_ms: float = 0.0
     # model
@@ -99,6 +104,8 @@ class EngineArgs:
         "block_size": "paged-KV block size in tokens.",
         "enable_prefix_caching": "hash-based prefix cache reuse.",
         "swap_space": "GiB of host KV swap space per chip.",
+        "tokenizer_pool_size": "Thread count for async prompt "
+        "tokenization offload (0 = inline).",
         "gpu_memory_utilization": "fraction of HBM usable (0, 1].",
         "num_gpu_blocks_override": "skip profiling; force KV block count.",
         "max_num_batched_tokens": "per-step token budget.",
@@ -233,7 +240,9 @@ class EngineArgs:
             block_size=self.block_size,
             hbm_utilization=(self.hbm_utilization
                              or self.gpu_memory_utilization),
-            swap_space=self.swap_space,
+            swap_space=(envs.NMV_TPU_SWAP_SPACE_GB
+                        if envs.NMV_TPU_SWAP_SPACE_GB is not None
+                        else self.swap_space),
             cache_dtype=self.kv_cache_dtype,
             num_gpu_blocks_override=self.num_gpu_blocks_override,
             sliding_window=model_config.get_sliding_window(),

@@ -152,12 +152,19 @@ class AsyncLLMEngine:
     """Asyncio front end over LLMEngine (reference AsyncLLMEngine)."""
 
     def __init__(self, engine: LLMEngine,
-                 start_engine_loop: bool = True) -> None:
+                 start_engine_loop: bool = True,
+                 tokenizer_pool_size: int = 0) -> None:
         self.engine = engine
         self._request_tracker: Optional[RequestTracker] = None
         self._background_loop: Optional[asyncio.Task] = None
         self._errored_with: Optional[Exception] = None
         self.start_engine_loop = start_engine_loop
+        self._tokenizer_pool = None
+        if tokenizer_pool_size > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            self._tokenizer_pool = ThreadPoolExecutor(
+                max_workers=tokenizer_pool_size,
+                thread_name_prefix="nmv-tok")
 
     @classmethod
     def from_engine_args(cls, engine_args: AsyncEngineArgs,
@@ -165,7 +172,9 @@ class AsyncLLMEngine:
         engine_config = engine_args.create_engine_config()
         engine = LLMEngine(engine_config,
                            log_stats=not engine_args.disable_log_stats)
-        return cls(engine, start_engine_loop=start_engine_loop)
+        return cls(engine, start_engine_loop=start_engine_loop,
+                   tokenizer_pool_size=getattr(engine_args,
+                                               "tokenizer_pool_size", 0))
 
     # --- loop lifecycle ---------------------------------------------------------
     @property
@@ -242,6 +251,19 @@ class AsyncLLMEngine:
             else:
                 raise AsyncEngineDeadError(
                     "Background loop is not running.")
+        if self._tokenizer_pool is not None and \
+                kwargs.get("prompt_token_ids") is None and \
+                kwargs.get("prompt") is not None and \
+                getattr(self.engine, "tokenizer", None) is not None:
+            # --tokenizer-pool-size N: offload prompt tokenization to a
+            # thread pool so long prompts never block the event loop /
+            # engine step (reference TokenizerGroup pool role,
+            # vllm/transformers_utils/tokenizer_group/: Ray actors there,
+            # threads here — HF fast tokenizers release the GIL).
+            loop = asyncio.get_event_loop()
+            kwargs["prompt_token_ids"] = await loop.run_in_executor(
+                self._tokenizer_pool, self.engine.tokenizer.encode,
+                kwargs["prompt"])
         return self._request_tracker.add_request(request_id, **kwargs)
 
     async def generate(

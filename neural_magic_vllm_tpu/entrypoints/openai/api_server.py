@@ -254,6 +254,10 @@ def wrap_app(app: web.Application, args) -> web.Application:
     """Apply the server-level CLI policies: API-key auth, CORS, custom
     middleware import paths, and --root-path mounting (reference
     api_server.py middleware / CORSMiddleware setup)."""
+    # env fallback (reference VLLM_API_KEY, envs.py:161)
+    if not getattr(args, "api_key", None):
+        from neural_magic_vllm_tpu import envs
+        args.api_key = envs.NMV_TPU_API_KEY
     if args.api_key:
         @web.middleware
         async def auth(request, handler):

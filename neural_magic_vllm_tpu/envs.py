@@ -82,6 +82,25 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "NMV_TPU_STEP_TRACE":
     lambda: os.getenv("NMV_TPU_STEP_TRACE", ""),
 
+    # OpenAI-server API key fallback (reference VLLM_API_KEY, envs.py:161;
+    # the --api-key CLI flag wins when both are set).
+    "NMV_TPU_API_KEY":
+    lambda: os.getenv("NMV_TPU_API_KEY", None),
+    # Full logging.config dictConfig JSON path (reference
+    # VLLM_LOGGING_CONFIG_PATH, envs.py:189); see logger.py.
+    "NMV_TPU_LOGGING_CONFIG_PATH":
+    lambda: os.getenv("NMV_TPU_LOGGING_CONFIG_PATH", None),
+    # Opt-out alias honored alongside NMV_TPU_NO_USAGE_STATS (reference
+    # VLLM_DO_NOT_TRACK / DO_NOT_TRACK, envs.py:178).
+    "NMV_TPU_DO_NOT_TRACK":
+    lambda: _env_bool("NMV_TPU_DO_NOT_TRACK",
+                      os.getenv("DO_NOT_TRACK", "0")),
+    # Host KV swap-space override in GiB (reference VLLM_CPU_KVCACHE_SPACE
+    # role, envs.py:213): when set, overrides the --swap-space default.
+    "NMV_TPU_SWAP_SPACE_GB":
+    lambda: (float(os.environ["NMV_TPU_SWAP_SPACE_GB"])
+             if "NMV_TPU_SWAP_SPACE_GB" in os.environ else None),
+
     # Mixed fused decode+prefill window: with chunked prefill + multi-step
     # decode, run one prompt's chunk INSIDE the fused-K decode dispatch
     # (one scan iteration per mixed_chunk_width tokens) so decodes never

@@ -28,8 +28,25 @@ def _setup_logger():
     _root_logger.propagate = False
 
 
+def _setup_from_config_file(path: str) -> None:
+    """NMV_TPU_LOGGING_CONFIG_PATH: full logging.config.dictConfig JSON
+    (reference VLLM_LOGGING_CONFIG_PATH, vllm/logger.py:63-85) —
+    overrides the built-in handler entirely."""
+    import json
+    import logging.config
+    if not os.path.exists(path):
+        raise RuntimeError(
+            f"NMV_TPU_LOGGING_CONFIG_PATH={path} does not exist")
+    with open(path) as f:
+        logging.config.dictConfig(json.load(f))
+
+
 if os.environ.get("NMV_TPU_CONFIGURE_LOGGING", "1") == "1":
-    _setup_logger()
+    _config_path = os.environ.get("NMV_TPU_LOGGING_CONFIG_PATH")
+    if _config_path:
+        _setup_from_config_file(_config_path)
+    else:
+        _setup_logger()
 
 
 def init_logger(name: str) -> logging.Logger:

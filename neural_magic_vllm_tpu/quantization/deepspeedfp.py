@@ -7,14 +7,16 @@ TPU version, by bit width:
 - 8-bit: fp8 (e4m3) storage with a per-output-channel absmax scale —
   native fp8 arrays in HBM, dequant fused into the matmul epilogue (the
   scale is per-column so it commutes with the contraction).
-- 6-bit (e3m2) / 12-bit (e4m7): no native TPU storage dtype, so the
-  weights are rounded to the exact fp6/fp12 value grid at load and stored
-  as integer CODES (uint8 / uint16); dequant is one in-graph LUT gather
-  (64 / 4096 entries). Numerics match the DeepSpeed float format
-  bit-for-bit; storage rounds up to the container byte width (1 B / 2 B
-  per weight), which still halves (or quarters) bf16 residency.
-4-bit is rejected (reference supports 4/6/8/12; fp4 accuracy without
-DeepSpeed's own finetuning flow is not a serving configuration we keep).
+- 4-bit (e2m1) / 6-bit (e3m2) / 12-bit (e4m7): no native TPU storage
+  dtype, so the weights are rounded to the exact fp4/fp6/fp12 value grid
+  at load and stored as integer CODES (uint8 / uint16); dequant is one
+  in-graph LUT gather (16 / 64 / 4096 entries). Numerics match the
+  DeepSpeed float format bit-for-bit; storage rounds up to the container
+  byte width, which still halves (or quarters) bf16 residency.
+  fp4's 16-level grid is coarse — the reference ships it for Arctic's
+  finetuned checkpoints (deepspeedfp.py quant_bits 4/6/8/12) and so do
+  we, gated by the same per-output-channel absmax scaling; expect a
+  larger perplexity delta than fp6/fp8 on non-finetuned weights.
 """
 from typing import Any, Dict
 
@@ -45,7 +47,7 @@ def _float_grid(exp_bits: int, man_bits: int) -> np.ndarray:
     return (sign * np.where(exp == 0, subnormal, normal)).astype(np.float32)
 
 
-_FORMATS = {6: (3, 2), 12: (4, 7)}  # bits -> (exp_bits, man_bits)
+_FORMATS = {4: (2, 1), 6: (3, 2), 12: (4, 7)}  # bits -> (e, m)
 
 
 def _quantize_to_grid(w: np.ndarray, grid: np.ndarray) -> np.ndarray:
@@ -103,7 +105,8 @@ class DeepSpeedFPLinearMethod(LinearMethod):
         else:
             scale = np.maximum(absmax, 1e-12) / self._fmax
             codes = _quantize_to_grid(w / scale, self._grid)
-            q = codes.astype(np.uint8) if self.weight_bits == 6 else codes
+            q = codes.astype(np.uint8) if self.weight_bits <= 6 \
+                else codes
         params = {"qweight": q, "weight_scale": scale.astype(np.float32)}
         if "bias" in raw:
             params["bias"] = raw["bias"].astype(np.float32)
@@ -128,10 +131,10 @@ class DeepSpeedFPConfig(QuantizationConfig):
 
     def __init__(self, weight_bits: int = 8,
                  group_size: int = 512) -> None:
-        if weight_bits not in (6, 8, 12):
+        if weight_bits not in (4, 6, 8, 12):
             raise ValueError(
-                f"deepspeedfp quant_bits={weight_bits} unsupported on TPU "
-                "(6 / 8 / 12; fp4 rejected — see module docstring)")
+                f"deepspeedfp quant_bits={weight_bits} unsupported "
+                "(4 / 6 / 8 / 12, matching the reference)")
         self.weight_bits = weight_bits
         self.group_size = group_size
 

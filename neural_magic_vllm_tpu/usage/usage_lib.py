@@ -13,7 +13,7 @@ _USAGE_PATH = os.path.expanduser("~/.cache/nmv_tpu/usage_stats.jsonl")
 
 
 def report_usage(model_architecture: str, context: Dict[str, Any]) -> None:
-    if envs.NMV_TPU_NO_USAGE_STATS:
+    if envs.NMV_TPU_NO_USAGE_STATS or envs.NMV_TPU_DO_NOT_TRACK:
         return
     try:
         os.makedirs(os.path.dirname(_USAGE_PATH), exist_ok=True)

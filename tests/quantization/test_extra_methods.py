@@ -170,11 +170,11 @@ def test_bitsandbytes_nf4(tiny_llama, tmp_path):
     assert _greedy(tiny_llama, quantization="bitsandbytes") == _greedy(fd)
 
 
-@pytest.mark.parametrize("bits", [6, 12])
+@pytest.mark.parametrize("bits", [4, 6, 12])
 def test_deepspeedfp_6_12bit(tiny_llama, tmp_path, bits):
-    """fp6 (e3m2) / fp12 (e4m7) storage: engine over LUT-coded weights ==
-    engine over the host-dequantized fp32 twin (reference deepspeedfp
-    supports 4/6/8/12 bits; TPU keeps 6/8/12)."""
+    """fp4 (e2m1) / fp6 (e3m2) / fp12 (e4m7) storage: engine over
+    LUT-coded weights == engine over the host-dequantized fp32 twin
+    (reference deepspeedfp supports 4/6/8/12 bits; so do we)."""
     from safetensors.numpy import load_file
     from neural_magic_vllm_tpu.quantization.deepspeedfp import (
         _FORMATS, _float_grid, _quantize_to_grid)
