@@ -78,6 +78,11 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     "NMV_TPU_W4A8":
     lambda: _env_bool("NMV_TPU_W4A8", "0"),
 
+    # Write each step executable's optimized HLO (op_name metadata
+    # intact) to this directory on first use — the attribution source
+    # for tools/profile_table.py (the axon tunnel scrubs --xla_dump_to).
+    "NMV_TPU_DUMP_HLO":
+    lambda: os.getenv("NMV_TPU_DUMP_HLO", ""),
     # Per-engine-step JSONL trace path (serving decomposition; empty = off)
     "NMV_TPU_STEP_TRACE":
     lambda: os.getenv("NMV_TPU_STEP_TRACE", ""),

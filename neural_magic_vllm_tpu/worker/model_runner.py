@@ -62,6 +62,38 @@ def _uses_penalties(sp: SamplingParams) -> bool:
             or abs(sp.repetition_penalty - 1.0) >= _SAMPLING_EPS)
 
 
+def _hlo_dump_wrapper(jfn, kind, opts, dump_dir):
+    """NMV_TPU_DUMP_HLO=<dir>: write each executable's optimized HLO
+    (with op_name metadata) on first use per arg-shape signature. The
+    axon tunnel scrubs --xla_dump_to on its remote compile helper, so
+    tools/profile_table.py gets its fusion -> module attribution source
+    from here instead."""
+    import functools
+    import os
+    seen = set()
+
+    @functools.wraps(jfn)
+    def wrapped(*args, **kw):
+        sig = jax.tree_util.tree_structure((args, kw)), tuple(
+            (getattr(x, "shape", None), str(getattr(x, "dtype", "")))
+            for x in jax.tree_util.tree_leaves((args, kw)))
+        h = hash(sig)
+        if h not in seen:
+            seen.add(h)
+            try:
+                text = jfn.lower(*args, **kw).compile().as_text()
+                os.makedirs(dump_dir, exist_ok=True)
+                fname = (f"{kind}_{str(opts).replace(' ', '')}_"
+                         f"{len(seen)}.after_optimizations.txt")
+                with open(os.path.join(dump_dir, fname), "w") as f:
+                    f.write(text)
+            except Exception as e:  # pragma: no cover
+                logger.warning("HLO dump failed for %s: %s", kind, e)
+        return jfn(*args, **kw)
+
+    return wrapped
+
+
 class TPUModelRunner:
 
     def __init__(self, model_config, cache_config, scheduler_config,
@@ -857,6 +889,10 @@ class TPUModelRunner:
             jfn = jax.jit(fn)
         else:
             raise ValueError(kind)
+        from neural_magic_vllm_tpu import envs as _envs
+        if _envs.NMV_TPU_DUMP_HLO:
+            jfn = _hlo_dump_wrapper(jfn, kind, num_logprobs,
+                                    _envs.NMV_TPU_DUMP_HLO)
         self._fns[key] = jfn
         return jfn
 
