@@ -4,13 +4,15 @@ Drives the 8B W4A16 bench engine at bs64 with a fraction of requests
 carrying a REAL regex-FSM logits processor (the guided-decoding serving
 path) and measures engine-level decode throughput:
 
-  - f=0        : all-device fused-K baseline
-  - f=1/16 ON  : mixed path (majority keeps fused-K, guided rows run K
-                 host-sampled small-bucket steps alongside)
-  - f=1/16 OFF : NMV_TPU_DISABLE_MIXED_FUSED=1 — the pre-round-4
-                 behavior (one guided request drops the WHOLE batch to
-                 single-step host sampling with full-batch logits pulls)
-  - f=1/4  ON  : heavier guided share
+  - f=0              : all-device fused-K baseline
+  - f=1/16 device    : round-5 ON-DEVICE guided path — DFA tables in HBM,
+                       guided rows ride the SAME fused-K dispatch
+                       (decode_multi_guided; in-graph mask + advance)
+  - f=1/16 host-mixed: round-4 behavior (majority fused-K, guided rows
+                       run K host-sampled small-bucket steps alongside)
+  - f=1/16 legacy    : pre-round-4 (one guided request drops the WHOLE
+                       batch to single-step host sampling)
+  - f=1/4 device     : heavier guided share on the device path
 
 Reference anchor: outlines_logits_processors.py:30-148 (guided masks run
 as per-step host logits processors inside the sampler for everyone).
@@ -143,16 +145,20 @@ def main():
     eos_id = tok.eos_token_id
     engine = build_engine()
     legs = [
-        ("all-device", 0, "0"),
-        ("guided-1of16-mixed", 16, "0"),
-        ("guided-1of16-legacy", 16, "1"),
-        ("guided-1of4-mixed", 4, "0"),
+        # (label, guided_every, DISABLE_MIXED_FUSED, GUIDED_DEVICE)
+        ("all-device", 0, "0", "1"),
+        ("guided-1of16-device", 16, "0", "1"),
+        ("guided-1of16-host-mixed", 16, "0", "0"),
+        ("guided-1of16-legacy", 16, "1", "0"),
+        ("guided-1of4-device", 4, "0", "1"),
     ]
     print(json.dumps({"fsm_build_s": round(fsm_build_s, 2),
                       "pattern": PATTERN}), flush=True)
-    for label, every, disable in legs:
+    for label, every, disable, device in legs:
         os.environ["NMV_TPU_DISABLE_MIXED_FUSED"] = disable
+        os.environ["NMV_TPU_GUIDED_DEVICE"] = device
         rec = run_leg(engine, tok, fsm, eos_id, every, label)
+        rec["guided_device"] = device == "1"
         print(json.dumps(rec), flush=True)
 
 

@@ -118,6 +118,32 @@ class StepBudget:
         return self._used_seqs
 
 
+class LaneBudget:
+    """Scan-iteration lanes of the mixed fused window (windowed chunked
+    prefill): K iterations x C tokens each; a prefill chunk of t tokens
+    occupies ceil(t / C) whole iterations (chunks never share an
+    iteration — the context-prefill kernel handles one sequence per
+    call)."""
+
+    def __init__(self, k: int, c: int) -> None:
+        self.k = k
+        self.c = c
+        self.used = 0
+
+    def lanes_for(self, tokens: int) -> int:
+        return -(-tokens // self.c)
+
+    def remaining(self) -> int:
+        return self.k - self.used
+
+    def trim(self, tokens: int) -> int:
+        """Largest chunk <= tokens fitting the remaining lanes."""
+        return min(tokens, max(0, self.remaining()) * self.c)
+
+    def claim(self, tokens: int) -> None:
+        self.used += self.lanes_for(tokens)
+
+
 class LoraLedger:
     """Refcount of distinct LoRA adapters held by in-batch groups.
 
@@ -472,13 +498,15 @@ class Scheduler:
         budget: StepBudget,
         loras: LoraLedger,
         enable_chunking: bool = False,
-        max_prefill_groups: Optional[int] = None,
+        lane_budget: Optional["LaneBudget"] = None,
     ) -> Tuple[Deque[SequenceGroup], SchedulerRunningOutputs]:
         """Schedule groups already RUNNING; preempt from the back of the
         priority order when slots run out (reference _schedule_running:388).
-        ``max_prefill_groups`` caps in-flight chunked prefills scheduled
-        this step (mixed fused window runs exactly one chunk per dispatch;
-        extras stay RUNNING and resume next step, FCFS)."""
+        ``lane_budget`` (windowed mixed mode) bounds the chunked-prefill
+        groups scheduled this step by the fused window's K x C iteration
+        lanes — each group occupies ceil(chunk / C) scan iterations in
+        the mixed dispatch; overflow groups stay RUNNING and resume next
+        step, FCFS."""
         blocks_to_swap_out: List[Tuple[int, int]] = []
         blocks_to_copy: List[Tuple[int, int]] = []
         decode_seq_groups: List[ScheduledSequenceGroup] = []
@@ -491,14 +519,25 @@ class Scheduler:
 
         while running_queue:
             seq_group = running_queue[0]
-            if (max_prefill_groups is not None and seq_group.is_prefill()
-                    and len(prefill_seq_groups) >= max_prefill_groups):
+            if (lane_budget is not None and seq_group.is_prefill()
+                    and lane_budget.remaining() <= 0):
                 skipped_prefills.append(running_queue.popleft())
                 continue
             num_running_tokens = self._get_num_new_tokens(
                 seq_group, SequenceStatus.RUNNING, enable_chunking, budget)
             if num_running_tokens == 0:
                 break
+            if lane_budget is not None and seq_group.is_prefill():
+                need = lane_budget.lanes_for(num_running_tokens)
+                if need > lane_budget.remaining():
+                    # trim the chunk to the remaining lanes instead of
+                    # skipping outright (keeps big prompts progressing)
+                    num_running_tokens = lane_budget.trim(
+                        num_running_tokens)
+                    if num_running_tokens == 0:
+                        skipped_prefills.append(running_queue.popleft())
+                        continue
+                lane_budget.claim(num_running_tokens)
             running_queue.popleft()
             while not self._can_append_slots(seq_group):
                 budget.release_tokens(seq_group.request_id)
@@ -639,16 +678,17 @@ class Scheduler:
         budget: StepBudget,
         loras: LoraLedger,
         enable_chunking: bool = False,
-        max_groups: Optional[int] = None,
+        lane_budget: Optional["LaneBudget"] = None,
     ) -> Tuple[Deque[SequenceGroup], SchedulerPrefillOutputs]:
-        """Admit WAITING groups (reference _schedule_prefills:616)."""
+        """Admit WAITING groups (reference _schedule_prefills:616).
+        ``lane_budget``: see _schedule_running."""
         ignored_seq_groups: List[SequenceGroup] = []
         seq_groups: List[ScheduledSequenceGroup] = []
         waiting_queue = deque(waiting_queue)
         leftover_waiting_sequences: Deque[SequenceGroup] = deque()
 
         while self._passed_delay(time.time()) and waiting_queue:
-            if max_groups is not None and len(seq_groups) >= max_groups:
+            if lane_budget is not None and lane_budget.remaining() <= 0:
                 break
             seq_group = waiting_queue[0]
             waiting_seqs = seq_group.get_seqs(status=SequenceStatus.WAITING)
@@ -691,6 +731,15 @@ class Scheduler:
                 waiting_queue.popleft()
                 continue
 
+            if lane_budget is not None:
+                trimmed = lane_budget.trim(num_new_tokens)
+                if trimmed == 0:
+                    break
+                if trimmed < num_new_tokens and not enable_chunking:
+                    break  # whole-prompt admission cannot be trimmed
+                if enable_chunking:
+                    num_new_tokens = trimmed
+
             num_new_seqs = seq_group.get_max_num_running_seqs()
             if (num_new_tokens == 0 or not budget.fits(
                     num_new_tokens=num_new_tokens,
@@ -699,6 +748,8 @@ class Scheduler:
 
             waiting_queue.popleft()
             loras.acquire(seq_group.lora_int_id)
+            if lane_budget is not None:
+                lane_budget.claim(num_new_tokens)
             self._allocate_and_set_running(seq_group)
             seq_group.maybe_set_first_scheduled_time(time.time())
             seq_groups.append(
@@ -792,17 +843,22 @@ class Scheduler:
         )
         loras = self._lora_ledger()
 
-        # Windowed mixed mode (multi-step decode + chunked prefill): one
-        # prefill chunk per step rides INSIDE the fused decode dispatch
-        # (worker decode_multi_mixed), so cap scheduled prefill groups at
-        # one — extras wait a window (FCFS), decodes never stall.
+        # Windowed mixed mode (multi-step decode + chunked prefill):
+        # prefill chunks ride INSIDE the fused decode dispatch (worker
+        # decode_multi_mixed) — each group occupies ceil(chunk / C) of
+        # the window's K scan-iteration lanes, so prefill scheduling is
+        # bounded by a lane budget instead of a token budget alone.
+        # Overflow groups wait a window (FCFS); decodes never stall.
         windowed = self.scheduler_config.num_scheduler_steps > 1
-        cap = 1 if windowed else None
+        lanes = None
+        if windowed:
+            lanes = LaneBudget(self.scheduler_config.num_scheduler_steps,
+                               self.scheduler_config.mixed_chunk_width())
 
         # Decodes (and in-flight chunked prefills) first.
         self.running, running_scheduled = self._schedule_running(
             self.running, budget, loras, enable_chunking=True,
-            max_prefill_groups=cap)
+            lane_budget=lanes)
 
         swapped_in = SchedulerSwappedInOutputs.create_empty()
         if (len(running_scheduled.preempted) +
@@ -810,16 +866,10 @@ class Scheduler:
             self.swapped, swapped_in = self._schedule_swapped(
                 self.swapped, budget, loras)
 
-        # New prefills fill the remaining token budget.
-        in_flight = (len(running_scheduled.prefill_seq_groups) +
-                     len(swapped_in.prefill_seq_groups))
-        new_cap = None if cap is None else max(0, cap - in_flight)
-        if new_cap == 0:
-            prefills = SchedulerPrefillOutputs.create_empty()
-        else:
-            self.waiting, prefills = self._schedule_prefills(
-                self.waiting, budget, loras, enable_chunking=True,
-                max_groups=new_cap)
+        # New prefills fill the remaining token budget / window lanes.
+        self.waiting, prefills = self._schedule_prefills(
+            self.waiting, budget, loras, enable_chunking=True,
+            lane_budget=lanes)
 
         assert budget.used_tokens <= \
             self.scheduler_config.max_num_batched_tokens

@@ -746,10 +746,16 @@ class TPUModelRunner:
 
             def fn(params, kv_caches, tokens, positions, tables, valid,
                    samp, lora, lora_idx, p_tokens, p_positions, p_slots,
-                   p_ctx, p_sample_idx, p_table, p_samp):
+                   p_ctx, p_sample_idx, p_tables, p_samp):
+                # per-iteration chunk inputs ride the scan xs — each
+                # iteration may belong to a DIFFERENT prompt (its own
+                # block table, context offset and sampling row), so one
+                # window prefills up to K short prompts while decodes
+                # advance K steps
                 def body(carry, xs):
                     kv, toks, pos = carry
-                    (ptok_k, ppos_k, pslot_k, pctx_k, psi_k) = xs
+                    (ptok_k, ppos_k, pslot_k, pctx_k, psi_k, ptab_k,
+                     psamp_k) = xs
                     blk = jnp.take_along_axis(tables, (pos // bs)[:, None],
                                               axis=1)[:, 0]
                     slots = jnp.where(valid, blk * bs + pos % bs, -1)
@@ -759,7 +765,7 @@ class TPUModelRunner:
                         slot_mapping=jnp.concatenate([slots, pslot_k]),
                         block_tables=tables,
                         context_lens=pos + 1,
-                        p_block_tables=p_table,
+                        p_block_tables=ptab_k[None],
                         p_context_lens=pctx_k[None])
                     hidden, newkv = model.forward(params, all_tokens,
                                                   all_pos, kv, meta,
@@ -777,11 +783,12 @@ class TPUModelRunner:
                     p_logits = model.compute_logits(params, prow[None])
                     p_out = sample(
                         p_logits,
-                        _fold_position(p_samp, (pctx_k + psi_k)[None]),
+                        _fold_position(psamp_k, (pctx_k + psi_k)[None]),
                         max_logprobs=nlp)
                     return (newkv, tid, pos + 1), (out, p_out)
 
-                xs = (p_tokens, p_positions, p_slots, p_ctx, p_sample_idx)
+                xs = (p_tokens, p_positions, p_slots, p_ctx,
+                      p_sample_idx, p_tables, p_samp)
                 carry_out, (ys, p_ys) = jax.lax.scan(
                     body, (kv_caches, tokens, positions), xs, length=K)
                 return carry_out[0], (rep(ys), rep(p_ys))
@@ -1100,6 +1107,9 @@ class TPUModelRunner:
         C = self.scheduler_config.mixed_chunk_width()
         fn = self._get_fn("decode_multi_mixed", (K, 0))
         lora, lidx = self._lora_args(None, b + C)
+        one = self._dummy_samp(1)
+        p_samp = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *([one] * K))
         new_kv, _ = fn(self.params, kv_caches,
                        jnp.zeros((b, ), jnp.int32),
                        jnp.zeros((b, ), jnp.int32),
@@ -1111,8 +1121,8 @@ class TPUModelRunner:
                        jnp.full((K, C), -1, jnp.int32),
                        jnp.zeros((K, ), jnp.int32),
                        jnp.full((K, ), -1, jnp.int32),
-                       jnp.zeros((1, self.max_blocks_per_seq), jnp.int32),
-                       self._dummy_samp(1))
+                       jnp.zeros((K, self.max_blocks_per_seq), jnp.int32),
+                       p_samp)
         return new_kv
 
     def _run_dummy_decode_multi_guided(self, kv_caches, b: int, K: int):
@@ -1480,7 +1490,7 @@ class TPUModelRunner:
         if prefills and decodes and self._mixed_window_ok(
                 prefills, decodes, guided_dev):
             return self._execute_mixed_window(
-                prefills[0][0], prefills[0][1], decodes, cache_engine,
+                prefills, decodes, cache_engine,
                 self.fused_k_for_batch(len(decodes)),
                 len(seq_group_metadata_list))
 
@@ -2025,12 +2035,13 @@ class TPUModelRunner:
         return outputs
 
     def _mixed_window_ok(self, prefills, decodes, guided_dev) -> bool:
-        """Gate for the mixed fused decode+prefill window: exactly one
-        plain chunked prefill + >= 1 plain device-sampled decodes."""
+        """Gate for the mixed fused decode+prefill window: 1..K plain
+        chunked prefills whose chunks fit the K x C iteration lanes,
+        plus >= 1 plain device-sampled decodes."""
         from neural_magic_vllm_tpu import envs
         if not envs.NMV_TPU_MIXED_PREFILL_WINDOW:
             return False
-        if len(prefills) != 1 or not decodes or guided_dev:
+        if not prefills or not decodes or guided_dev:
             return False
         if (self.has_state or self.draft_model is not None
                 or self.mlp_speculator is not None
@@ -2040,14 +2051,26 @@ class TPUModelRunner:
         if self.mesh is not None and self.mesh.shape.get("dp", 1) > 1:
             # concatenated prefill rows break the dp batch sharding
             return False
-        sgm = prefills[0][1]
-        sp = sgm.sampling_params
-        if (getattr(sgm, "pooling_params", None) is not None
-                or getattr(sgm, "multi_modal_data", None)
-                or sgm.computed_block_nums):
+        K = self.fused_k_for_batch(len(decodes))
+        C = self.scheduler_config.mixed_chunk_width()
+        if K <= 1:
             return False
-        if sp is None or _needs_host_sampling(sp) or _uses_penalties(sp) \
-                or sp.prompt_logprobs is not None or sp.best_of > 1:
+        lanes = 0
+        for _, sgm in prefills:
+            sp = sgm.sampling_params
+            if (getattr(sgm, "pooling_params", None) is not None
+                    or getattr(sgm, "multi_modal_data", None)
+                    or sgm.computed_block_nums):
+                return False
+            if sp is None or _needs_host_sampling(sp) \
+                    or _uses_penalties(sp) \
+                    or sp.prompt_logprobs is not None or sp.best_of > 1:
+                return False
+            if sgm.lora_request is not None and len(prefills) > 1:
+                # chunk-lane lora_idx is static across iterations
+                return False
+            lanes += cdiv(sgm.token_chunk_size, C)
+        if lanes > K:
             return False
         for _, m in decodes:
             if len(m.seq_data) != 1:
@@ -2055,24 +2078,19 @@ class TPUModelRunner:
             msp = m.sampling_params
             if _needs_host_sampling(msp) or _uses_penalties(msp):
                 return False
-        # the scheduled chunk must fit the window's K x C token lanes
-        seq_id = next(iter(sgm.seq_data))
-        K = self.fused_k_for_batch(len(decodes))
-        C = self.scheduler_config.mixed_chunk_width()
-        if K <= 1 or sgm.token_chunk_size > K * C:
-            return False
         return True
 
-    def _execute_mixed_window(self, pidx: int,
-                              psgm: SequenceGroupMetadata,
+    def _execute_mixed_window(self, prefills: List[Tuple[int, Any]],
                               dec: List[Tuple[int, Any]],
                               cache_engine: CacheEngine, K: int,
                               n_groups: int) -> List[SamplerOutput]:
         """One fused dispatch: K decode steps for ``dec`` + the scheduled
-        prefill chunk of ``psgm`` split into ceil(chunk/C) scan
+        chunks of 1..K prefill groups packed into consecutive scan
         iterations of C tokens each (front-loaded; trailing iterations
-        carry no chunk tokens). The prompt's first generated token is
-        sampled in-graph at its final chunk when do_sample."""
+        carry no chunk tokens). Each completing prompt's first generated
+        token is sampled in-graph at its final chunk iteration."""
+        self._mixed_window_max_groups = max(
+            getattr(self, "_mixed_window_max_groups", 0), len(prefills))
         C = self.scheduler_config.mixed_chunk_width()
         sgms = [m for _, m in dec]
         rows = [(sgm, next(iter(sgm.seq_data))) for sgm in sgms]
@@ -2093,51 +2111,67 @@ class TPUModelRunner:
             tables[i] = self._block_table_row(sgm.block_tables[seq_id],
                                               width)
 
-        # --- prefill chunk lanes -------------------------------------------
-        p_seq_id = next(iter(psgm.seq_data))
-        p_data = psgm.seq_data[p_seq_id]
-        computed = p_data.get_num_computed_tokens()
-        chunk = psgm.token_chunk_size
-        end = computed + chunk
-        token_ids = p_data.get_token_ids()
-        p_table_list = psgm.block_tables[p_seq_id]
-        p_width = self._prefill_table_width(end)
-        p_table = self._block_table_row(p_table_list, p_width)[None, :]
-
+        # --- prefill chunk lanes (one group per iteration range) -----------
+        p_width = self._prefill_table_width(max(
+            m.seq_data[next(iter(m.seq_data))].get_num_computed_tokens() +
+            m.token_chunk_size for _, m in prefills))
         p_tokens = np.zeros((K, C), np.int32)
         p_positions = np.zeros((K, C), np.int32)
         p_slots = np.full((K, C), -1, np.int32)
         p_ctx = np.zeros((K, ), np.int32)
         p_sample_idx = np.full((K, ), -1, np.int32)
-        n_iters = cdiv(chunk, C)
-        for it in range(n_iters):
-            lo = computed + it * C
-            hi = min(lo + C, end)
-            n = hi - lo
-            p_tokens[it, :n] = token_ids[lo:hi]
-            p_positions[it, :n] = np.arange(lo, hi, dtype=np.int32)
-            for j, p in enumerate(range(lo, hi)):
-                p_slots[it, j] = (p_table_list[p // self.block_size] *
-                                  self.block_size + p % self.block_size)
-            p_ctx[it] = lo
-        # iterations past the chunk: no tokens (slots -1), harmless
-        # garbage rows in the GEMMs; keep ctx at end for mask sanity
-        p_ctx[n_iters:] = end
-        do_sample = bool(getattr(psgm, "do_sample", True))
-        if do_sample:
-            p_sample_idx[n_iters - 1] = (chunk - 1) % C
+        p_tables = np.zeros((K, p_width), np.int32)
+        # iteration -> (group list index, is_final_chunk_iteration)
+        it_owner: List[Optional[int]] = [None] * K
+        samp_rows: List[Tuple[Any, int]] = []
+        it = 0
+        for g, (pidx, psgm) in enumerate(prefills):
+            p_seq_id = next(iter(psgm.seq_data))
+            p_data = psgm.seq_data[p_seq_id]
+            computed = p_data.get_num_computed_tokens()
+            chunk = psgm.token_chunk_size
+            end = computed + chunk
+            token_ids = p_data.get_token_ids()
+            p_table_list = psgm.block_tables[p_seq_id]
+            trow = self._block_table_row(p_table_list, p_width)
+            n_iters = cdiv(chunk, C)
+            for j in range(n_iters):
+                lo = computed + j * C
+                hi = min(lo + C, end)
+                n = hi - lo
+                p_tokens[it, :n] = token_ids[lo:hi]
+                p_positions[it, :n] = np.arange(lo, hi, dtype=np.int32)
+                for jj, p in enumerate(range(lo, hi)):
+                    p_slots[it, jj] = (
+                        p_table_list[p // self.block_size] *
+                        self.block_size + p % self.block_size)
+                p_ctx[it] = lo
+                p_tables[it] = trow
+                it_owner[it] = g
+                if j == n_iters - 1 and bool(
+                        getattr(psgm, "do_sample", True)):
+                    p_sample_idx[it] = (chunk - 1) % C
+                it += 1
+            samp_rows.append((psgm, p_seq_id))
+        # idle trailing iterations: no tokens (slots -1); ctx 0 harmless
 
         any_logprobs = any((sgm.sampling_params.logprobs or 0) > 0
-                           for sgm, _ in rows) or \
-            bool(psgm.sampling_params.logprobs)
+                           for sgm, _ in rows) or any(
+            bool(m.sampling_params.logprobs) for _, m in prefills)
         nlp = self.max_logprobs if any_logprobs else 0
         pad_rows = rows + [rows[-1]] * (b_pad - B)
         samp = self._samp_tensors(pad_rows, lookahead=K)
-        p_samp = self._samp_tensors([(psgm, p_seq_id)])
+        # per-iteration prefill sampling rows (stacked along the scan)
+        g_samps = [self._samp_tensors([sr]) for sr in samp_rows]
+        it_samps = [g_samps[it_owner[k]] if it_owner[k] is not None
+                    else g_samps[0] for k in range(K)]
+        p_samp = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *it_samps)
         # rows [0:B] decode, [B:b_pad] padding, [b_pad:b_pad+C] chunk
+        p_lora_req = prefills[0][1].lora_request
         lora, lidx = self._lora_args(
             [sgm.lora_request for sgm, _ in rows] +
-            [None] * (b_pad - B) + [psgm.lora_request],
+            [None] * (b_pad - B) + [p_lora_req],
             b_pad + C, spans=[1] * b_pad + [C])
         fn = self._get_fn("decode_multi_mixed", (K, nlp))
         new_kv, (ys, p_ys) = fn(
@@ -2146,7 +2180,7 @@ class TPUModelRunner:
             jnp.asarray(tables), jnp.asarray(valid), samp, lora, lidx,
             jnp.asarray(p_tokens), jnp.asarray(p_positions),
             jnp.asarray(p_slots), jnp.asarray(p_ctx),
-            jnp.asarray(p_sample_idx), jnp.asarray(p_table), p_samp)
+            jnp.asarray(p_sample_idx), jnp.asarray(p_tables), p_samp)
         cache_engine.kv_caches = new_kv
         tid, chosen, tv, ti = jax.device_get(ys)
         p_tid, p_chosen, p_tv, p_ti = jax.device_get(p_ys)
@@ -2165,7 +2199,10 @@ class TPUModelRunner:
                                         ti[k, i] if nlp else None, num_lp)
                 merged[dec_idx[i]] = CompletionSequenceGroupOutput(
                     samples=[SequenceOutput(seq_id, tid_k[i], lp)])
-            if do_sample and k == n_iters - 1:
+            if p_sample_idx[k] >= 0:
+                g = it_owner[k]
+                pidx, psgm = prefills[g]
+                p_seq_id = samp_rows[g][1]
                 num_lp = psgm.sampling_params.logprobs or 0
                 lp = self._logprob_dict(
                     int(p_tid[k][0]), float(p_chosen[k][0]),
@@ -2173,8 +2210,6 @@ class TPUModelRunner:
                     p_ti[k][0] if nlp else None, num_lp)
                 merged[pidx] = CompletionSequenceGroupOutput(samples=[
                     SequenceOutput(p_seq_id, int(p_tid[k][0]), lp)])
-            else:
-                merged[pidx] = CompletionSequenceGroupOutput(samples=[])
             outputs.append(SamplerOutput(outputs=[
                 merged.get(i, CompletionSequenceGroupOutput(samples=[]))
                 for i in range(n_groups)]))

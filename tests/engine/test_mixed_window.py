@@ -80,3 +80,32 @@ def test_mixed_window_seeded_sampling_conforms(tiny_llama_dir):
     b = llm.generate(PROMPTS[:3], sp)
     for x, y in zip(a, b):
         assert list(x.outputs[0].token_ids) == list(y.outputs[0].token_ids)
+
+
+def test_mixed_window_packs_multiple_prompts(tiny_llama_dir):
+    """Several short prompts arriving while decodes run must share ONE
+    fused window (round-5 multi-prompt lanes), not trickle one per
+    window."""
+    llm = _mk_llm(tiny_llama_dir)
+    engine = llm.llm_engine
+    sp = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+    done = {}
+    engine.add_request("w0", "warm prompt", sp)
+    for _ in range(2):
+        for out in engine.step():
+            if out.finished:
+                done[out.request_id] = out
+    for i in range(4):  # four tiny prompts, all waiting at once
+        engine.add_request(f"s{i}", f"tiny {i}", sp)
+    for _ in range(120):
+        for out in engine.step():
+            if out.finished:
+                done[out.request_id] = out
+        if len(done) == 5:
+            break
+    assert len(done) == 5
+    for rid, out in done.items():
+        assert len(out.outputs[0].token_ids) == 16, rid
+    runner = _runner(llm)
+    assert getattr(runner, "_mixed_window_max_groups", 0) >= 2, \
+        "multiple prompts never packed into one window"
