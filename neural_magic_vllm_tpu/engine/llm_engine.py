@@ -342,11 +342,19 @@ class LLMEngine:
                     # final chunk's step — step-wise processing applies
                     slow_groups.append((gi, scheduled))
                     continue
+                # chunk accounting BEFORE appending: the stage flips to
+                # DECODE exactly when the chunk covers the prompt, and
+                # appended tokens must not count as computed yet (a
+                # mixed-window prefill completing at step 0 otherwise
+                # stays PREFILL forever, rescheduled as a 1-token chunk
+                # each window — caught by the round-5 serving trace)
+                seq_group.update_num_computed_tokens(
+                    scheduled.token_chunk_size)
                 applied = self.output_processor.process_outputs_multi(
                     seq_group, per_step)
                 gen_tokens += applied
-                seq_group.update_num_computed_tokens(
-                    scheduled.token_chunk_size + max(applied - 1, 0))
+                if applied > 1:
+                    seq_group.update_num_computed_tokens(applied - 1)
                 seq_group.maybe_set_first_token_time(now)
                 seq_group.metrics.last_token_time = now
             step_iter = [(step_i, sampler_output, slow_groups)

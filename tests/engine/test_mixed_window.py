@@ -109,3 +109,29 @@ def test_mixed_window_packs_multiple_prompts(tiny_llama_dir):
     runner = _runner(llm)
     assert getattr(runner, "_mixed_window_max_groups", 0) >= 2, \
         "multiple prompts never packed into one window"
+
+
+def test_mixed_window_full_cadence_after_prefill(tiny_llama_dir):
+    """A prompt completing its prefill inside the window must flip to
+    DECODE stage and then emit K tokens per engine step — the round-5
+    serving trace caught completing-at-step-0 prompts stuck in PREFILL,
+    rescheduled as 1-token chunks emitting one token per window."""
+    llm = _mk_llm(tiny_llama_dir)
+    engine = llm.llm_engine
+    sp = SamplingParams(temperature=0.0, max_tokens=40, ignore_eos=True)
+    engine.add_request("warm", "warm", sp)
+    engine.step()  # warm decode exists so the window engages for r1
+    engine.add_request("r1", "short", sp)  # completes at iteration 0
+    steps = 0
+    done = 0
+    for _ in range(60):
+        steps += 1
+        for out in engine.step():
+            if out.finished:
+                done += 1
+        if done == 2:
+            break
+    assert done == 2
+    # 40 tokens at K=4 => ~10 windows + prefill + slack. The stuck-stage
+    # bug took 40+ steps (one token per window).
+    assert steps <= 11 + 6, f"cadence collapsed: {steps} steps"
