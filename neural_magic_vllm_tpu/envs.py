@@ -113,6 +113,11 @@ environment_variables: Dict[str, Callable[[], Any]] = {
     # dispatches (the pre-round-5 behavior).
     "NMV_TPU_MIXED_PREFILL_WINDOW":
     lambda: _env_bool("NMV_TPU_MIXED_PREFILL_WINDOW", "1"),
+    # Minimum PADDED decode batch for the fused K-window to carry prefill
+    # lanes (below it, a prefill-heavy step takes the piggyback dispatch
+    # or the dedicated prefill path — measured crossover, PERF.md r5).
+    "NMV_TPU_MIXED_WINDOW_MIN_DECODE":
+    lambda: int(os.getenv("NMV_TPU_MIXED_WINDOW_MIN_DECODE", "64")),
 
     # On-device guided decoding: compile regex/JSON-schema DFAs to
     # device bitmask/rank tables so guided rows ride the fused-K decode

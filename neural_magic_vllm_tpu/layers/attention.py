@@ -135,6 +135,40 @@ class Attention:
                                    sliding_window=sliding,
                                    logit_cap=self.logit_cap,
                                    alibi_slopes=self.alibi_slopes, **kw)
+        elif meta.seq_ids is not None:
+            # piggyback dispatch: rows [:B] decode + rows [B:] a batched
+            # context-free prefill SEGMENT (several fresh prompts) in the
+            # same forward — the prefill keeps its tokens-per-weight-
+            # stream efficiency while the decode batch advances one step
+            # instead of stalling (reference unified batch,
+            # flash_attn.py:252-367, with prefill majority).
+            kw = {} if self.blocksparse is None else \
+                {"blocksparse": self.blocksparse}
+            B = meta.context_lens.shape[0]
+            out_d = self._decode_fn(q[:B], k_cache, v_cache,
+                                    meta.block_tables + block_off,
+                                    meta.context_lens,
+                                    scale=self.scale,
+                                    sliding_window=sliding,
+                                    logit_cap=self.logit_cap,
+                                    alibi_slopes=self.alibi_slopes, **kw)
+            if self.alibi_slopes is not None or self.blocksparse is not None:
+                from neural_magic_vllm_tpu.ops.attention import \
+                    segment_prefill_attention_ref
+                out_p = segment_prefill_attention_ref(
+                    q[B:], k[B:], v[B:], meta.seq_ids, meta.q_pos,
+                    scale=self.scale, sliding_window=sliding,
+                    logit_cap=self.logit_cap,
+                    alibi_slopes=self.alibi_slopes,
+                    blocksparse=self.blocksparse)
+            else:
+                from neural_magic_vllm_tpu.ops.pallas_prefill import \
+                    segment_prefill_attention
+                out_p = segment_prefill_attention(
+                    q[B:], k[B:], v[B:], meta.seq_ids, meta.q_pos,
+                    scale=self.scale, sliding_window=sliding,
+                    logit_cap=self.logit_cap)
+            out = jnp.concatenate([out_d, out_p], axis=0)
         elif meta.p_block_tables is not None:
             # mixed fused window: decode rows + one prefill chunk share
             # this forward's GEMMs (the whole point: the chunk rides the

@@ -729,6 +729,43 @@ class TPUModelRunner:
 
             jfn = jax.jit(fn, donate_argnums=(1, ))
 
+        elif kind == "prefill_batch_decode":
+            # piggyback: [b_dec decode rows] + [t_pad batched-prefill
+            # segment rows] share ONE weight stream; decode rows advance
+            # one step and sample in-graph, each prompt samples its last
+            # token (reference's prefill-majority unified batch,
+            # flash_attn.py:252-367)
+            def fn(params, kv_caches, d_tokens, d_positions, d_slots,
+                   d_tables, d_ctx, d_samp, p_tokens, p_positions,
+                   p_slots, p_seq_ids, sample_idx, p_samp, lora,
+                   lora_idx):
+                Bd = d_tokens.shape[0]
+                tokens = jnp.concatenate([d_tokens, p_tokens])
+                positions = jnp.concatenate([d_positions, p_positions])
+                meta = AttentionMetadata(
+                    slot_mapping=jnp.concatenate([d_slots, p_slots]),
+                    block_tables=d_tables,
+                    context_lens=d_ctx,
+                    seq_ids=p_seq_ids,
+                    q_pos=p_positions)
+                hidden, new_caches = model.forward(params, tokens,
+                                                   positions, kv_caches,
+                                                   meta, is_prefill=False,
+                                                   lora=lora,
+                                                   lora_idx=lora_idx)
+                d_logits = model.compute_logits(params, hidden[:Bd])
+                d_out = sample(d_logits,
+                               _fold_position(d_samp, d_positions),
+                               max_logprobs=num_logprobs)
+                sel = jnp.take(hidden[Bd:], sample_idx, axis=0)
+                p_logits = model.compute_logits(params, sel)
+                pos_sel = jnp.take(p_positions, sample_idx, axis=0)
+                p_out = sample(p_logits, _fold_position(p_samp, pos_sel),
+                               max_logprobs=num_logprobs)
+                return new_caches, (rep(d_out), rep(p_out))
+
+            jfn = jax.jit(fn, donate_argnums=(1, ))
+
         elif kind == "decode_multi_mixed":
             # K fused decode iterations + one chunked prefill advancing
             # mixed_chunk_width tokens PER ITERATION in the same forward
@@ -931,6 +968,23 @@ class TPUModelRunner:
                     cache_engine.kv_caches, s)
                 logger.info("Warmup batched-prefill bucket %d: %.1fs", s,
                             time.time() - tb)
+                from neural_magic_vllm_tpu import envs as _envs
+                if _envs.NMV_TPU_MIXED_PREFILL_WINDOW and \
+                        self.scheduler_config.chunked_prefill_enabled and \
+                        self.control_plane is None and \
+                        not self.has_state and \
+                        self.draft_model is None and \
+                        self.mlp_speculator is None and \
+                        self._spec_proposer is None and \
+                        (self.mesh is None or
+                         self.mesh.shape.get("dp", 1) <= 1):
+                    tb = time.time()
+                    cache_engine.kv_caches = \
+                        self._run_dummy_prefill_batch_decode(
+                            cache_engine.kv_caches, s)
+                    logger.info("Warmup piggyback prefill bucket %d "
+                                "(+%d decode rows): %.1fs", s,
+                                self._piggyback_rows(), time.time() - tb)
         for b in decode_buckets:
             tb = time.time()
             kv = self._run_dummy_decode(cache_engine.kv_caches, b)
@@ -1100,6 +1154,26 @@ class TPUModelRunner:
         new_kv, _ = fn(self.params, kv_caches,
                        jnp.full((b, ), token_fill, jnp.int32),
                        jnp.zeros((b, ), jnp.int32), meta,
+                       self._dummy_samp(b), lora, lidx)
+        return new_kv
+
+    def _run_dummy_prefill_batch_decode(self, kv_caches, s: int):
+        b = self._prefill_batch_width(s)
+        bd = self._piggyback_rows()
+        fn = self._get_fn("prefill_batch_decode", 0)
+        lora, lidx = self._lora_args(None, bd + s)
+        new_kv, _ = fn(self.params, kv_caches,
+                       jnp.zeros((bd, ), jnp.int32),
+                       jnp.zeros((bd, ), jnp.int32),
+                       jnp.full((bd, ), -1, jnp.int32),
+                       jnp.zeros((bd, self.max_blocks_per_seq), jnp.int32),
+                       jnp.ones((bd, ), jnp.int32),
+                       self._dummy_samp(bd),
+                       jnp.zeros((s, ), jnp.int32),
+                       jnp.arange(s, dtype=jnp.int32),
+                       jnp.full((s, ), -1, jnp.int32),
+                       jnp.full((s, ), -1, jnp.int32),
+                       jnp.zeros((b, ), jnp.int32),
                        self._dummy_samp(b), lora, lidx)
         return new_kv
 
@@ -1487,12 +1561,27 @@ class TPUModelRunner:
                 i not in guided_dev for i, m in decodes))
         all_plain_decode = all_single_decode and not guided_dev
 
-        if prefills and decodes and self._mixed_window_ok(
-                prefills, decodes, guided_dev):
-            return self._execute_mixed_window(
-                prefills, decodes, cache_engine,
-                self.fused_k_for_batch(len(decodes)),
-                len(seq_group_metadata_list))
+        # Mixed prefill+decode policy (round-5, evidence-driven — PERF.md
+        # "serving trace r5"): a LARGE decode batch with a SMALL prefill
+        # load takes the fused K-window (prefill lanes ride the decode
+        # weight streams, decodes never stall); a prefill-heavy step
+        # takes the piggyback dispatch below (dedicated batched prefill
+        # keeps its tokens-per-weight-stream efficiency, the decode batch
+        # rides it one step). Windowed prefill measured ~1.6k tok/s vs
+        # 4.5k dedicated, so the window is reserved for decode-dominated
+        # steps where protecting decode cadence wins.
+        if prefills and decodes:
+            ptoks = sum(m.token_chunk_size for _, m in prefills)
+            C = self.scheduler_config.mixed_chunk_width()
+            from neural_magic_vllm_tpu import envs as _envs
+            big_decode = self.scheduler_config.pad_decode_batch(
+                len(decodes)) >= _envs.NMV_TPU_MIXED_WINDOW_MIN_DECODE
+            if big_decode and ptoks <= 2 * C and self._mixed_window_ok(
+                    prefills, decodes, guided_dev):
+                return self._execute_mixed_window(
+                    prefills, decodes, cache_engine,
+                    self.fused_k_for_batch(len(decodes)),
+                    len(seq_group_metadata_list))
 
         if self.draft_model is not None and all_plain_decode and \
                 not any(self._needs_full_sampling(m.sampling_params)
@@ -1562,14 +1651,23 @@ class TPUModelRunner:
         group_outputs: Dict[int, CompletionSequenceGroupOutput] = {}
         batchable = [(i, m) for i, m in prefills
                      if self._prefill_batchable(m)]
-        if len(batchable) >= 2:
+        used_piggyback = False
+        if batchable and decodes and self._piggyback_ok(decodes):
+            res = self._execute_prefill_batch(batchable, cache_engine,
+                                              decodes=decodes)
+            if res:
+                used_piggyback = True
+                group_outputs.update(res)
+                prefills = [(i, m) for i, m in prefills
+                            if i not in group_outputs]
+        if not used_piggyback and len(batchable) >= 2:
             group_outputs.update(
                 self._execute_prefill_batch(batchable, cache_engine))
             prefills = [(i, m) for i, m in prefills
                         if i not in group_outputs]
         for idx, sgm in prefills:
             group_outputs[idx] = self._execute_prefill(sgm, cache_engine)
-        if decodes:
+        if decodes and not used_piggyback:
             for idx, out in zip(
                 [i for i, _ in decodes],
                     self._execute_decode([m for _, m in decodes],
@@ -1609,9 +1707,47 @@ class TPUModelRunner:
         prompt counts; overflow items fall back to the single path."""
         return max(8, t_pad // 16)
 
-    def _execute_prefill_batch(self, items, cache_engine: CacheEngine
+    def _piggyback_rows(self) -> int:
+        """Static decode-row count of the piggyback executable (one per
+        prefill token bucket; tying it to the decode bucket lattice would
+        multiply the executable space 12x)."""
+        return min(256, self.scheduler_config.pad_decode_batch(
+            self.scheduler_config.max_num_seqs))
+
+    def _piggyback_ok(self, decodes) -> bool:
+        """Decode rows may ride a batched-prefill dispatch when they are
+        plain single-seq device-sampled rows fitting the static row
+        count."""
+        from neural_magic_vllm_tpu import envs
+        if not envs.NMV_TPU_MIXED_PREFILL_WINDOW or not decodes:
+            return False
+        if (self.has_state or self.draft_model is not None
+                or self.mlp_speculator is not None
+                or self._spec_proposer is not None
+                or self.control_plane is not None):
+            return False
+        if self.mesh is not None and self.mesh.shape.get("dp", 1) > 1:
+            return False
+        if len(decodes) > self._piggyback_rows():
+            return False
+        for _, m in decodes:
+            if len(m.seq_data) != 1:
+                return False
+            msp = m.sampling_params
+            if _needs_host_sampling(msp) or _uses_penalties(msp):
+                return False
+        return True
+
+    def _execute_prefill_batch(self, items, cache_engine: CacheEngine,
+                               decodes=None
                                ) -> Dict[int, CompletionSequenceGroupOutput]:
-        """One weight pass over several concatenated fresh prompts."""
+        """One weight pass over several concatenated fresh prompts; with
+        ``decodes``, the decode batch rides the SAME weight stream and
+        advances one step (piggyback — the prefill-majority unified batch
+        of reference flash_attn.py:252-367). The prefill keeps its
+        tokens-per-weight-stream efficiency (the round-5 serving trace
+        measured windowed prefill at ~1.6k tok/s vs 4.5k dedicated), and
+        decodes never fully stall behind it."""
         while True:
             total = sum(next(iter(m.seq_data.values())).get_len()
                         for _, m in items)
@@ -1669,25 +1805,36 @@ class TPUModelRunner:
                 self._draft_seen[sid] = sgm.seq_data[sid].get_len()
 
         any_logprobs = any((sgm.sampling_params.logprobs or 0) > 0
-                           for sgm, _ in rows)
+                           for sgm, _ in rows) or (decodes and any(
+                               (m.sampling_params.logprobs or 0) > 0
+                               for _, m in decodes))
         nlp = self.max_logprobs if any_logprobs else 0
-        fn = self._get_fn("prefill_batch", nlp)
         pad_rows = rows + [rows[-1]] * (b_pad - B)
         samp = self._samp_tensors(pad_rows)
+        d_extra = self._piggyback_rows() if decodes else 0
         if self.lora_manager is not None:
             # activate adapters BEFORE snapshotting the (immutable) stacks
+            d_reqs = [m.lora_request for _, m in decodes] if decodes else []
             slot_of = self.lora_manager.slots_for(
-                [sgm.lora_request for sgm, _ in rows])
-            li = np.zeros((t_pad, ), np.int32)
-            cursor = 0
+                d_reqs + [sgm.lora_request for sgm, _ in rows])
+            li = np.zeros((d_extra + t_pad, ), np.int32)
+            li[:len(d_reqs)] = slot_of[:len(d_reqs)]
+            cursor = d_extra
             for row, (sgm, sid) in enumerate(rows):
                 S = sgm.seq_data[sid].get_len()
-                li[cursor:cursor + S] = slot_of[row]
+                li[cursor:cursor + S] = slot_of[len(d_reqs) + row]
                 cursor += S
             lora = self.lora_manager.lora_params()
             lidx_flat = jnp.asarray(li)
         else:
             lora, lidx_flat = None, None
+
+        if decodes:
+            return self._dispatch_piggyback(
+                items, rows, decodes, cache_engine, tokens, positions,
+                slots, seq_ids, sample_idx, samp, nlp, lora, lidx_flat)
+
+        fn = self._get_fn("prefill_batch", nlp)
         self._bcast("prefill_batch", nlp,
                     dict(tokens=tokens, positions=positions,
                          slot_mapping=slots, seq_ids=seq_ids,
@@ -1708,6 +1855,67 @@ class TPUModelRunner:
                                     ti[row] if nlp else None, num_lp)
             outputs[idx] = CompletionSequenceGroupOutput(
                 samples=[SequenceOutput(seq_id, int(tid[row]), lp)])
+        return outputs
+
+    def _dispatch_piggyback(self, items, rows, decodes, cache_engine,
+                            p_tokens, p_positions, p_slots, p_seq_ids,
+                            sample_idx, p_samp, nlp, lora, lidx_flat
+                            ) -> Dict[int, CompletionSequenceGroupOutput]:
+        """Combined dispatch: [b_dec decode rows] + [t_pad prefill
+        segment rows]; returns outputs for BOTH group sets."""
+        b_dec = self._piggyback_rows()
+        d_rows = [(m, next(iter(m.seq_data))) for _, m in decodes]
+        Bd = len(d_rows)
+        d_tokens = np.zeros((b_dec, ), np.int32)
+        d_positions = np.zeros((b_dec, ), np.int32)
+        d_slots = np.full((b_dec, ), -1, np.int32)
+        d_ctx = np.ones((b_dec, ), np.int32)
+        width = self._table_width(
+            [m.block_tables[sid] for m, sid in d_rows])
+        d_tables = np.zeros((b_dec, width), np.int32)
+        for i, (m, sid) in enumerate(d_rows):
+            data = m.seq_data[sid]
+            L = data.get_len()
+            d_tokens[i] = data.get_last_token_id()
+            d_positions[i] = L - 1
+            table = m.block_tables[sid]
+            d_slots[i] = table[(L - 1) // self.block_size] * \
+                self.block_size + (L - 1) % self.block_size
+            d_ctx[i] = L
+            d_tables[i] = self._block_table_row(table, width)
+        d_pad = d_rows + [d_rows[-1]] * (b_dec - Bd)
+        d_samp = self._samp_tensors(d_pad)
+
+        fn = self._get_fn("prefill_batch_decode", nlp)
+        new_kv, (d_out, p_out) = fn(
+            self.params, cache_engine.kv_caches,
+            jnp.asarray(d_tokens), jnp.asarray(d_positions),
+            jnp.asarray(d_slots), jnp.asarray(d_tables),
+            jnp.asarray(d_ctx), d_samp,
+            jnp.asarray(p_tokens), jnp.asarray(p_positions),
+            jnp.asarray(p_slots), jnp.asarray(p_seq_ids),
+            jnp.asarray(sample_idx), p_samp, lora, lidx_flat)
+        cache_engine.kv_caches = new_kv
+        d_tid, d_chosen, d_tv, d_ti = jax.device_get(d_out)
+        tid, chosen, tv, ti = jax.device_get(p_out)
+
+        outputs: Dict[int, CompletionSequenceGroupOutput] = {}
+        for row, (idx, sgm) in enumerate(items):
+            seq_id = rows[row][1]
+            num_lp = sgm.sampling_params.logprobs or 0
+            lp = self._logprob_dict(int(tid[row]), float(chosen[row]),
+                                    tv[row] if nlp else None,
+                                    ti[row] if nlp else None, num_lp)
+            outputs[idx] = CompletionSequenceGroupOutput(
+                samples=[SequenceOutput(seq_id, int(tid[row]), lp)])
+        for i, (idx, m) in enumerate(decodes):
+            sid = d_rows[i][1]
+            num_lp = m.sampling_params.logprobs or 0
+            lp = self._logprob_dict(int(d_tid[i]), float(d_chosen[i]),
+                                    d_tv[i] if nlp else None,
+                                    d_ti[i] if nlp else None, num_lp)
+            outputs[idx] = CompletionSequenceGroupOutput(
+                samples=[SequenceOutput(sid, int(d_tid[i]), lp)])
         return outputs
 
     def _execute_prefill(self, sgm: SequenceGroupMetadata,

@@ -8,6 +8,10 @@ from neural_magic_vllm_tpu import LLM, SamplingParams
 
 
 def _mk_llm(tiny_llama_dir, **kw):
+    import os
+    # window at any decode batch size (default crossover is 64; these
+    # tests exercise the window path itself at tiny batches)
+    os.environ["NMV_TPU_MIXED_WINDOW_MIN_DECODE"] = "1"
     return LLM(model=tiny_llama_dir, dtype="float32", max_model_len=128,
                block_size=16, num_gpu_blocks_override=192, max_num_seqs=8,
                num_scheduler_steps=4, enable_chunked_prefill=True,
