@@ -108,11 +108,16 @@ def build_engine(spec_kind, max_decode_tokens):
 def run_leg(leg):
     from neural_magic_vllm_tpu.sampling_params import SamplingParams
     max_new = DISPATCHES * (K_SPEC + 1) + 2 * (K_SPEC + 1)
-    engine = build_engine(leg if leg in ("ngram", "draft") else None,
-                          max_new)
+    base_leg = leg.replace("-t1", "")
+    engine = build_engine(base_leg if base_leg in ("ngram", "draft")
+                          else None, max_new)
     vocab = 128256
     rng = np.random.default_rng(0)
-    sp = SamplingParams(temperature=0.0, max_tokens=max_new,
+    # "-t1" legs: temperature 1 with a seed — the IN-GRAPH stochastic
+    # rejection path (VERDICT r4 #4); plain legs stay greedy
+    temp = 1.0 if leg.endswith("-t1") else 0.0
+    sp = SamplingParams(temperature=temp, seed=7 if temp else None,
+                        max_tokens=max_new,
                         ignore_eos=True, detokenize=False)
     for i in range(BATCH):
         # repetitive tail: gives the ngram proposer matches to propose
@@ -144,7 +149,8 @@ def run_leg(leg):
     emitted = _total_output_tokens(engine) - out0
 
     rec = {
-        "leg": leg, "batch": BATCH, "k": K_SPEC if leg != "plain" else 0,
+        "leg": leg, "batch": BATCH,
+        "k": K_SPEC if base_leg != "plain" else 0,
         "dispatches": n,
         "ms_per_dispatch": round(dt / n * 1000, 2),
         "tokens_per_s": round(emitted / dt, 1),
@@ -206,7 +212,7 @@ def main():
         import subprocess
         env = dict(os.environ)
         t_plain = None
-        for leg in ("plain", "ngram", "draft", "accept"):
+        for leg in ("plain", "ngram", "ngram-t1", "draft", "accept"):
             if t_plain:
                 env["SPEC_BENCH_T_PLAIN"] = str(t_plain)
             out = subprocess.run(
