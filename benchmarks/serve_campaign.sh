@@ -19,7 +19,7 @@ NMV_TPU_STEP_TRACE="$TRACE" python -m \
 SERVER_PID=$!
 trap 'kill $SERVER_PID 2>/dev/null' EXIT
 
-for i in $(seq 1 250); do
+for i in $(seq 1 400); do
   sleep 4
   if curl -s -o /dev/null "http://localhost:$PORT/health"; then break; fi
   if ! kill -0 $SERVER_PID 2>/dev/null; then
