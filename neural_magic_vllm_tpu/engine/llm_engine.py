@@ -262,6 +262,7 @@ class LLMEngine:
                 running_queue_size=scheduler_outputs.running_queue_size,
                 finished_request_ids=fin_req,
                 finished_seq_ids=fin_seq,
+                num_waiting=len(self.scheduler.waiting),
             )
             outputs = self.model_executor.execute_model(execute_model_req)
         else:

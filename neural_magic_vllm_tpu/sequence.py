@@ -453,6 +453,10 @@ class ExecuteModelRequest:
     blocks_to_copy: List[Tuple[int, int]] = field(default_factory=list)
     num_lookahead_slots: int = 0
     running_queue_size: int = 0
+    # WAITING-queue depth at schedule time: the worker shortens fused
+    # decode windows at low load so arrivals don't sit behind a full
+    # K-step dispatch (TTFT tail; PERF.md r4/r5 serving campaigns)
+    num_waiting: int = 0
     virtual_engine: int = 0
     # requests/seqs that finished or aborted since the last step: the
     # worker purges its per-request host caches (mm embeddings, draft
@@ -469,4 +473,5 @@ class ExecuteModelRequest:
             blocks_to_copy=list(self.blocks_to_copy),
             num_lookahead_slots=self.num_lookahead_slots,
             running_queue_size=self.running_queue_size,
+            num_waiting=self.num_waiting,
             virtual_engine=self.virtual_engine)

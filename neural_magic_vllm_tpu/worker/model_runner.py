@@ -1250,10 +1250,17 @@ class TPUModelRunner:
     def fused_k_for_batch(self, num_decodes: int) -> int:
         """K for this step's decode dispatch: per-bucket adaptive when
         fused_dispatch_target_ms is set (falling back to the nearest
-        measured bucket at or above), else the configured K."""
+        measured bucket at or above), else the configured K. At low load
+        (small padded batch) with requests WAITING, the window shrinks to
+        4 so the arrival's prefill isn't stuck behind a long dispatch."""
         k_cfg = self.scheduler_config.num_scheduler_steps
         if k_cfg <= 1:
             return 1
+        from neural_magic_vllm_tpu import envs as _envs
+        if getattr(self, "_num_waiting", 0) > 0 and \
+                self.scheduler_config.pad_decode_batch(num_decodes) < \
+                _envs.NMV_TPU_MIXED_WINDOW_MIN_DECODE:
+            return min(4, k_cfg)
         if self.scheduler_config.fused_dispatch_target_ms <= 0 or \
                 not self._fused_k_table:
             return k_cfg
@@ -1526,9 +1533,16 @@ class TPUModelRunner:
         self,
         seq_group_metadata_list: List[SequenceGroupMetadata],
         cache_engine: CacheEngine,
+        num_waiting: int = 0,
     ) -> List[SamplerOutput]:
         """Returns one SamplerOutput per fused step (len > 1 only on the
-        multi-step decode fast path)."""
+        multi-step decode fast path). ``num_waiting``: WAITING-queue depth
+        at schedule time — small decode batches shorten their fused
+        window so the queued arrival isn't stuck behind a K=16 dispatch
+        (the r4 TTFT-tail diagnosis; saturated batches keep full K since
+        the queue is never empty there and dispatch overhead amortizes
+        over many rows)."""
+        self._num_waiting = num_waiting
         prefills = [(i, m) for i, m in enumerate(seq_group_metadata_list)
                     if m.is_prompt]
         decodes = [(i, m) for i, m in enumerate(seq_group_metadata_list)

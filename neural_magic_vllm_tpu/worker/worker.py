@@ -205,7 +205,8 @@ class Worker:
         if not req.seq_group_metadata_list:
             return []
         return self.model_runner.execute_model(req.seq_group_metadata_list,
-                                               self.cache_engine)
+                                               self.cache_engine,
+                                               num_waiting=req.num_waiting)
 
     def save_state(self, model_dir: str) -> None:
         self.model_runner.save_state(model_dir)
