@@ -26,6 +26,10 @@ for i in $(seq 1 400); do
     echo "server died:"; tail -5 "$LOG"; exit 1
   fi
 done
+if ! curl -s -o /dev/null "http://localhost:$PORT/health"; then
+  echo "server never came up (warmup still running after wait budget):"
+  tail -3 "$LOG"; exit 1
+fi
 echo "server up after warmup: $(grep -c 'Warmup' "$LOG") warmup lines"
 grep "Warmup done" "$LOG" || true
 
