@@ -383,11 +383,13 @@ class Scheduler:
                                  budget.remaining_tokens())
             sc = self.scheduler_config
             if sc.num_scheduler_steps > 1 and num_new_tokens > 1:
-                # windowed mixed mode: a chunk must fit the fused
-                # window's K x mixed_chunk_width prefill lanes
-                num_new_tokens = min(
-                    num_new_tokens,
-                    sc.num_scheduler_steps * sc.mixed_chunk_width())
+                from neural_magic_vllm_tpu import envs
+                if envs.NMV_TPU_MIXED_PREFILL_WINDOW:
+                    # windowed mixed mode: a chunk must fit the fused
+                    # window's K x mixed_chunk_width prefill lanes
+                    num_new_tokens = min(
+                        num_new_tokens,
+                        sc.num_scheduler_steps * sc.mixed_chunk_width())
         return num_new_tokens
 
     def _can_append_slots(self, seq_group: SequenceGroup) -> bool:
@@ -849,7 +851,9 @@ class Scheduler:
         # the window's K scan-iteration lanes, so prefill scheduling is
         # bounded by a lane budget instead of a token budget alone.
         # Overflow groups wait a window (FCFS); decodes never stall.
-        windowed = self.scheduler_config.num_scheduler_steps > 1
+        from neural_magic_vllm_tpu import envs
+        windowed = (self.scheduler_config.num_scheduler_steps > 1
+                    and envs.NMV_TPU_MIXED_PREFILL_WINDOW)
         lanes = None
         if windowed:
             lanes = LaneBudget(self.scheduler_config.num_scheduler_steps,

@@ -36,7 +36,9 @@ class EngineArgs:
     # KV cache
     block_size: int = 16
     enable_prefix_caching: bool = False
-    swap_space: float = 4.0  # GiB
+    # GiB; NMV_TPU_SWAP_SPACE_GB provides the DEFAULT only — an explicit
+    # --swap-space (or constructor value) wins (review r5 finding #8)
+    swap_space: Optional[float] = None
     gpu_memory_utilization: float = 0.90  # reference-compat name
     hbm_utilization: Optional[float] = None
     num_gpu_blocks_override: Optional[int] = None
@@ -240,9 +242,10 @@ class EngineArgs:
             block_size=self.block_size,
             hbm_utilization=(self.hbm_utilization
                              or self.gpu_memory_utilization),
-            swap_space=(envs.NMV_TPU_SWAP_SPACE_GB
-                        if envs.NMV_TPU_SWAP_SPACE_GB is not None
-                        else self.swap_space),
+            swap_space=(self.swap_space if self.swap_space is not None
+                        else (envs.NMV_TPU_SWAP_SPACE_GB
+                              if envs.NMV_TPU_SWAP_SPACE_GB is not None
+                              else 4.0)),
             cache_dtype=self.kv_cache_dtype,
             num_gpu_blocks_override=self.num_gpu_blocks_override,
             sliding_window=model_config.get_sliding_window(),

@@ -54,6 +54,25 @@ class FSMLogitsProcessor:
         # it with each sibling sequence's divergent ids.
         self._states: Dict[tuple, Optional[int]] = {(): fsm.start}
 
+    def _dstate_for(self, dfsm, ids: List[int]) -> int:
+        """Prefix-memoized walk over the compressed DeviceFSM tables
+        (same amortized-O(1) contract as _state_for; a stateless replay
+        was O(n^2) over a generation — review r5 #6)."""
+        if not hasattr(self, "_dstates"):
+            self._dstates = {(): dfsm.start}
+        key = tuple(ids)
+        if key in self._dstates:
+            return self._dstates[key]
+        i = len(ids)
+        while i > 0 and tuple(ids[:i]) not in self._dstates:
+            i -= 1
+        state = self._dstates[tuple(ids[:i])]
+        for tid in ids[i:]:
+            state = dfsm.advance(state, int(tid))
+            i += 1
+            self._dstates[tuple(ids[:i])] = state
+        return state
+
     def _state_for(self, ids: List[int]) -> Optional[int]:
         key = tuple(ids)
         if key in self._states:
@@ -79,7 +98,7 @@ class FSMLogitsProcessor:
         # tests/guided_decoding/test_device_fsm.py).
         dfsm = getattr(self.fsm, "_device_fsm", None)
         if dfsm and dfsm.eos_token_id == self.eos_token_id:
-            state = dfsm.state_for(generated_ids)
+            state = self._dstate_for(dfsm, generated_ids)
             row = dfsm.allowed_row(state)
             mask = np.full_like(logits, -math.inf)
             n = min(logits.shape[-1], row.shape[0])
@@ -105,10 +124,17 @@ class FSMLogitsProcessor:
         return mask
 
 
+_FSM_CACHE_CAP = 128
+
+
 def _get_fsm(pattern: str, tokenizer) -> RegexFSM:
     key = (pattern, id(tokenizer))
     fsm = _FSM_CACHE.get(key)
     if fsm is None:
+        # bounded FIFO: each entry can pin tens of MB of host tables
+        # once its DeviceFSM materializes (review r5 #7)
+        while len(_FSM_CACHE) >= _FSM_CACHE_CAP:
+            _FSM_CACHE.pop(next(iter(_FSM_CACHE)))
         fsm = RegexFSM(pattern, _vocab_strings(tokenizer))
         _FSM_CACHE[key] = fsm
     return fsm

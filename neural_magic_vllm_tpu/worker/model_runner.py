@@ -284,11 +284,34 @@ class TPUModelRunner:
         if not isinstance(p, FSMLogitsProcessor):
             return None
         eos = sgm.eos_token_id
-        dfsm = build_device_fsm(
-            p.fsm, self.model_config.get_vocab_size(), eos,
-            max_states=envs.NMV_TPU_GUIDED_DEVICE_STATES,
-            max_transitions=envs.NMV_TPU_GUIDED_DEVICE_NNZ,
-            time_budget_s=envs.NMV_TPU_GUIDED_BUILD_BUDGET_S)
+        # materialization runs on a BACKGROUND thread (review r5 #3: a
+        # synchronous build stalled every in-flight decode for up to the
+        # 60 s budget on a pattern's first request); rows use the host
+        # path until the tables are ready
+        if not hasattr(p.fsm, "_device_fsm"):
+            pending = getattr(p.fsm, "_device_fsm_building", None)
+            if pending is None:
+                import threading
+                vocab_size = self.model_config.get_vocab_size()
+
+                def _build():
+                    build_device_fsm(
+                        p.fsm, vocab_size, eos,
+                        max_states=envs.NMV_TPU_GUIDED_DEVICE_STATES,
+                        max_transitions=envs.NMV_TPU_GUIDED_DEVICE_NNZ,
+                        time_budget_s=envs.NMV_TPU_GUIDED_BUILD_BUDGET_S)
+
+                pending = threading.Thread(target=_build,
+                                           name="nmv-guided-fsm",
+                                           daemon=True)
+                p.fsm._device_fsm_building = pending
+                pending.start()
+            # small patterns finish inline (bounded wait); big ones keep
+            # building in the background while rows use the host path
+            pending.join(timeout=0.5)
+            if not hasattr(p.fsm, "_device_fsm"):
+                return None
+        dfsm = p.fsm._device_fsm or None
         if dfsm is None or dfsm.eos_token_id != eos:
             return None
         return dfsm
@@ -971,13 +994,7 @@ class TPUModelRunner:
                 from neural_magic_vllm_tpu import envs as _envs
                 if _envs.NMV_TPU_MIXED_PREFILL_WINDOW and \
                         self.scheduler_config.chunked_prefill_enabled and \
-                        self.control_plane is None and \
-                        not self.has_state and \
-                        self.draft_model is None and \
-                        self.mlp_speculator is None and \
-                        self._spec_proposer is None and \
-                        (self.mesh is None or
-                         self.mesh.shape.get("dp", 1) <= 1):
+                        self._fused_composition_ok():
                     tb = time.time()
                     cache_engine.kv_caches = \
                         self._run_dummy_prefill_batch_decode(
@@ -1036,12 +1053,7 @@ class TPUModelRunner:
             from neural_magic_vllm_tpu import envs as _envs
             if K > 1 and _envs.NMV_TPU_MIXED_PREFILL_WINDOW and \
                     self.scheduler_config.chunked_prefill_enabled and \
-                    self.control_plane is None and not self.has_state and \
-                    self.draft_model is None and \
-                    self.mlp_speculator is None and \
-                    self._spec_proposer is None and \
-                    (self.mesh is None or
-                     self.mesh.shape.get("dp", 1) <= 1):
+                    self._fused_composition_ok():
                 # mixed decode+prefill window executables
                 for b in decode_buckets:
                     K_b = self._fused_k_table.get(b, K)
@@ -1069,6 +1081,26 @@ class TPUModelRunner:
                             cache_engine.kv_caches, b, K_b)
                     logger.info("Warmup guided fused-%d decode bucket "
                                 "%d: %.1fs", K_b, b, time.time() - tb)
+            # queue-pressure short windows: small buckets fuse K=4 when
+            # requests wait (fused_k_for_batch); pre-compile those
+            # variants so the arrival the shrink protects never pays a
+            # serve-time compile (review r5 finding #1)
+            if K > 1:
+                K_small = min(4, K)
+                for b in decode_buckets:
+                    if b >= _envs.NMV_TPU_MIXED_WINDOW_MIN_DECODE or \
+                            K_small >= self._fused_k_table.get(b, K):
+                        continue
+                    tb = time.time()
+                    cache_engine.kv_caches = self._run_dummy_decode_multi(
+                        cache_engine.kv_caches, b, K_small)
+                    if _envs.NMV_TPU_GUIDED_DEVICE and \
+                            self.control_plane is None:
+                        cache_engine.kv_caches = \
+                            self._run_dummy_decode_multi_guided(
+                                cache_engine.kv_caches, b, K_small)
+                    logger.info("Warmup short fused-%d decode bucket %d: "
+                                "%.1fs", K_small, b, time.time() - tb)
             # host-sampled decode_logits executables (guided / beam /
             # penalty minority) ride a coarse powers-of-4 lattice; warm
             # every bucket so the FIRST guided request in steady state
@@ -1728,6 +1760,20 @@ class TPUModelRunner:
         return min(256, self.scheduler_config.pad_decode_batch(
             self.scheduler_config.max_num_seqs))
 
+    def _fused_composition_ok(self) -> bool:
+        """Shared eligibility gate for the mixed-window / piggyback
+        compositions (and their warmup sites — keep them AGREEING, or a
+        serve-time trace appears that warmup never compiled): no stateful
+        models, no speculative machinery, no multi-host replay, no data
+        parallelism (concatenated prefill rows break the dp batch
+        sharding)."""
+        return not (self.has_state or self.draft_model is not None
+                    or self.mlp_speculator is not None
+                    or self._spec_proposer is not None
+                    or self.control_plane is not None
+                    or (self.mesh is not None
+                        and self.mesh.shape.get("dp", 1) > 1))
+
     def _piggyback_ok(self, decodes) -> bool:
         """Decode rows may ride a batched-prefill dispatch when they are
         plain single-seq device-sampled rows fitting the static row
@@ -1735,12 +1781,7 @@ class TPUModelRunner:
         from neural_magic_vllm_tpu import envs
         if not envs.NMV_TPU_MIXED_PREFILL_WINDOW or not decodes:
             return False
-        if (self.has_state or self.draft_model is not None
-                or self.mlp_speculator is not None
-                or self._spec_proposer is not None
-                or self.control_plane is not None):
-            return False
-        if self.mesh is not None and self.mesh.shape.get("dp", 1) > 1:
+        if not self._fused_composition_ok():
             return False
         if len(decodes) > self._piggyback_rows():
             return False
@@ -2265,14 +2306,12 @@ class TPUModelRunner:
             return False
         if not prefills or not decodes or guided_dev:
             return False
-        if (self.has_state or self.draft_model is not None
-                or self.mlp_speculator is not None
-                or self._spec_proposer is not None
-                or self.control_plane is not None):
+        if not self._fused_composition_ok():
             return False
-        if self.mesh is not None and self.mesh.shape.get("dp", 1) > 1:
-            # concatenated prefill rows break the dp batch sharding
-            return False
+        # NOTE: under adaptive fused-K (fused_dispatch_target_ms) the
+        # scheduler's lane budget uses the CONFIGURED K while this check
+        # uses the measured K_b; a K_b below the packed lane count simply
+        # declines the window (piggyback/separate paths run instead).
         K = self.fused_k_for_batch(len(decodes))
         C = self.scheduler_config.mixed_chunk_width()
         if K <= 1:
