@@ -273,3 +273,19 @@ def test_lora_cap_shared_adapter_counts_once():
         scheduler.add_seq_group(g)
     meta, out = scheduler.schedule()
     assert {m.request_id for m in meta} == {"s1", "s2"}
+
+
+def test_lane_budget_math():
+    from neural_magic_vllm_tpu.core.scheduler import LaneBudget
+    lb = LaneBudget(k=16, c=128)
+    assert lb.lanes_for(1) == 1
+    assert lb.lanes_for(128) == 1
+    assert lb.lanes_for(129) == 2
+    assert lb.trim(5000) == 16 * 128
+    lb.claim(2048)  # 16 lanes
+    assert lb.remaining() == 0
+    assert lb.trim(64) == 0
+    lb2 = LaneBudget(k=4, c=64)
+    lb2.claim(65)  # 2 lanes
+    assert lb2.remaining() == 2
+    assert lb2.trim(1000) == 128
