@@ -138,11 +138,21 @@ def run_leg(engine, tok, fsm, eos_id, guided_every, label):
 
 def main():
     from neural_magic_vllm_tpu.guided_decoding import _get_fsm
+    from neural_magic_vllm_tpu.guided_decoding.device_fsm import \
+        build_device_fsm
     tok = _tokenizer()
     t0 = time.perf_counter()
     fsm = _get_fsm(PATTERN, tok)
     fsm_build_s = time.perf_counter() - t0
-    eos_id = tok.eos_token_id
+    # the bench engine runs skip_tokenizer_init (sgm.eos_token_id None),
+    # so the processors and the device tables must carry eos None too or
+    # the device-path eos consistency check declines every row; also
+    # pre-build the tables synchronously so the measured dispatches are
+    # never a host/device mix from the background build
+    eos_id = None
+    t0 = time.perf_counter()
+    dfsm = build_device_fsm(fsm, 128256, eos_id)
+    dfsm_build_s = time.perf_counter() - t0
     engine = build_engine()
     legs = [
         # (label, guided_every, DISABLE_MIXED_FUSED, GUIDED_DEVICE)
@@ -153,6 +163,9 @@ def main():
         ("guided-1of4-device", 4, "0", "1"),
     ]
     print(json.dumps({"fsm_build_s": round(fsm_build_s, 2),
+                      "device_fsm_build_s": round(dfsm_build_s, 2),
+                      "device_fsm_states":
+                      dfsm.n_states if dfsm else None,
                       "pattern": PATTERN}), flush=True)
     for label, every, disable, device in legs:
         os.environ["NMV_TPU_DISABLE_MIXED_FUSED"] = disable
