@@ -127,8 +127,11 @@ def run_leg(engine, tok, fsm, eos_id, guided_every, label):
     dt = time.perf_counter() - t0
     emitted = _total_output_tokens(engine) - out0
     engine.abort_request([f"{label}-{i}" for i in range(BATCH)])
+    runner = engine.model_executor.driver_worker.model_runner
     return {
         "leg": label, "batch": BATCH, "guided": n_guided,
+        "device_kind_compiled": any(
+            k[0] == "decode_multi_guided" for k in runner._fns),
         "mixed_fused": not bool(int(os.environ.get(
             "NMV_TPU_DISABLE_MIXED_FUSED", "0"))),
         "tokens_per_s": round(emitted / dt, 1),
